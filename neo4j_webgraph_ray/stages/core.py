@@ -1,0 +1,100 @@
+"""Core shuffle patterns: pre-aggregated bucketed groupby and exact distinct.
+
+The reference serializes all cross-thread consistency through a global
+lock or transactions (``importer/BatchGraphImporter.java:79,176-196``,
+``importer/TransactionalGraphImporter.java:206-220``).  Here consistency
+comes from shuffle semantics instead: hash-partition rows by key so each
+key is owned by exactly one reduce task.
+
+Scale design: a bare ``ds.groupby(keys)`` shuffles every row.  The
+helpers here always (1) run a vectorized *local combine* inside
+``map_batches`` first, so at most one row per (key, batch) crosses the
+shuffle, then (2) shuffle on a bounded int32 ``bucket = hash64(key) %
+num_buckets`` and run the same combine per bucket — bounded group
+count, vectorized group bodies, no per-key Python call.  A hot (hub)
+key therefore costs O(#input blocks) shuffled rows instead of O(#rows):
+the local combine is the salted partial-aggregation step, and the
+bucket groupby is the final combine.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from neo4j_webgraph_ray.ids import hash64
+
+BUCKET_COL = "__bucket"
+
+
+def _composite_key(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
+    if len(keys) == 1:
+        return df[keys[0]].to_numpy()
+    comp = df[keys[0]].astype(str)
+    for k in keys[1:]:
+        comp = comp + "\x00" + df[k].astype(str)
+    return comp.to_numpy()
+
+
+def add_bucket_column(
+    df: pd.DataFrame, keys: list[str], num_buckets: int
+) -> pd.DataFrame:
+    comp = _composite_key(df, keys)
+    if np.issubdtype(np.asarray(comp).dtype, np.integer):
+        bucket = (comp % num_buckets).astype(np.int32)
+    else:
+        bucket = (
+            hash64(comp).view(np.uint64) % np.uint64(num_buckets)
+        ).astype(np.int32)
+    out = df.copy(deep=False)
+    out[BUCKET_COL] = bucket
+    return out
+
+
+def bucketed_groupby(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    combine: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 64,
+    local_combine: bool = True,
+) -> ray.data.Dataset:
+    """Pre-aggregate per batch, shuffle by key-hash bucket, final combine.
+
+    ``combine`` must be an *algebraic* pandas transform: applied to any
+    partition of the rows of one key and then re-applied to the union of
+    the partial results, it yields the same final row(s) per key.  It
+    receives a DataFrame containing whole key groups (never a split
+    key) and must return one or more rows per key including the key
+    columns.
+    """
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        out = combine(df) if local_combine else df
+        return add_bucket_column(out, keys, num_buckets)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = combine(df.drop(columns=[BUCKET_COL]))
+        return out
+
+    staged = ds.map_batches(local, batch_format="pandas")
+    return staged.groupby(BUCKET_COL).map_groups(final, batch_format="pandas")
+
+
+def exact_distinct(
+    ds: ray.data.Dataset, keys: list[str], num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Exact distinct on ``keys`` (other columns dropped).
+
+    Mirrors the reference's get-or-create uniqueness (A4,
+    ``TransactionalGraphImporter.java:206-220``) and edge dedup (J3,
+    ``AbstractObservableGraphImporter.java:107-136``) as a shuffle.
+    """
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df[keys].drop_duplicates()
+
+    return bucketed_groupby(ds, keys, combine, num_buckets=num_buckets)

@@ -1,0 +1,164 @@
+"""Edge derivation from transcripts (replaces the reference's crawler source).
+
+The reference extracts one node per fetched page plus ``LINKS_TO`` edges
+to each out-link (``importer/HtmlOnlyCrawler.java:147-197`` →
+``importer/TransactionalGraphImporter.java:255-343``).  Here the graph
+is derived from the transcript table (SURVEY.md §7.2):
+
+- **conv→tool**: each row with non-null ``tool`` yields an edge
+  ``v(conv:conv_id) → v(tool:tool)`` — a stateless vectorized
+  ``map_batches`` over zero-copy Arrow batches, no shuffle.
+- **role adjacency**: within each ``conv_id``, sort turns by
+  ``turn_idx`` (stable) and pair consecutive turns:
+  ``v(role:role[i]) → v(role:role[i+1])`` — requires co-locating each
+  conversation, done with the bounded-bucket shuffle keyed by
+  ``hash(conv_id) % num_buckets`` and a vectorized per-bucket pairing
+  (no per-conversation Python call).
+
+Edge schema (FIXTURES.md F2): ``src:int64, dst:int64`` hashed vertex
+ids, plus readable endpoint keys (``src_kind, src_key, dst_kind,
+dst_key``) and provenance (``conv_id, turn_idx``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from neo4j_webgraph_ray.ids import KIND_CONV, KIND_ROLE, KIND_TOOL, vertex_id
+from neo4j_webgraph_ray.stages.core import BUCKET_COL, add_bucket_column, bucketed_groupby
+
+EDGE_COLUMNS = [
+    "src", "dst", "src_kind", "src_key", "dst_kind", "dst_key", "conv_id", "turn_idx",
+]
+
+
+def _edge_table(
+    src_kind: str,
+    src_key: np.ndarray,
+    dst_kind: str,
+    dst_key: np.ndarray,
+    conv_id: np.ndarray,
+    turn_idx: np.ndarray,
+) -> pa.Table:
+    return pa.table(
+        {
+            "src": pa.array(vertex_id(src_kind, src_key), type=pa.int64()),
+            "dst": pa.array(vertex_id(dst_kind, dst_key), type=pa.int64()),
+            "src_kind": pa.array(np.full(len(src_key), src_kind, dtype=object), type=pa.string()),
+            "src_key": pa.array(src_key, type=pa.string()),
+            "dst_kind": pa.array(np.full(len(dst_key), dst_kind, dtype=object), type=pa.string()),
+            "dst_key": pa.array(dst_key, type=pa.string()),
+            "conv_id": pa.array(conv_id, type=pa.string()),
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+        }
+    )
+
+
+def conv_tool_edge_batch(batch: pa.Table) -> pa.Table:
+    """Arrow batch -> conv→tool edge rows (stateless, vectorized)."""
+    t = batch.filter(pc.is_valid(batch["tool"]))
+    conv = t["conv_id"].to_numpy(zero_copy_only=False).astype(object)
+    tool = t["tool"].to_numpy(zero_copy_only=False).astype(object)
+    return _edge_table(
+        KIND_CONV,
+        conv,
+        KIND_TOOL,
+        tool,
+        conv,
+        t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int32),
+    )
+
+
+def derive_conv_tool_edges(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    return transcripts.map_batches(
+        conv_tool_edge_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _dedup_turns(df: pd.DataFrame) -> pd.DataFrame:
+    """At most one row per (conv_id, turn_idx) — the transcript analog of
+    the reference's get-or-create ("re-adding a page doesn't change
+    anything", ``GraphImporterTestBase.java:156-184``).  Witness choice
+    is deterministic (min role) so results never depend on block order.
+    """
+    df = df.sort_values(["conv_id", "turn_idx", "role"], kind="stable")
+    return df.drop_duplicates(["conv_id", "turn_idx"], keep="first")
+
+
+def role_adjacency_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized pairing over a bucket of whole conversations.
+
+    Stable sort by (conv_id, turn_idx) then pair row i with row i+1
+    where both belong to the same conversation — the north rule's
+    "stable turn ordering" requirement; never relies on block order.
+    """
+    df = _dedup_turns(df)
+    conv = df["conv_id"].to_numpy().astype(object)
+    role = df["role"].to_numpy().astype(object)
+    turn = df["turn_idx"].to_numpy().astype(np.int32)
+    if len(df) < 2:
+        same = np.zeros(0, dtype=bool)
+    else:
+        same = conv[:-1] == conv[1:]
+    src_role = role[:-1][same]
+    dst_role = role[1:][same]
+    out_conv = conv[:-1][same]
+    out_turn = turn[:-1][same]
+    return _edge_table(
+        KIND_ROLE, src_role, KIND_ROLE, dst_role, out_conv, out_turn
+    ).to_pandas()
+
+
+def derive_role_adjacency_edges(
+    transcripts: ray.data.Dataset, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Role-to-role turn-adjacency edges, one bounded shuffle on conv_id."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        # Pre-dedup within the batch (same deterministic witness rule as
+        # the final pass — algebraic) to shrink the shuffle.
+        deduped = _dedup_turns(df[["conv_id", "turn_idx", "role"]])
+        return add_bucket_column(deduped, ["conv_id"], num_buckets)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return role_adjacency_group(df.drop(columns=[BUCKET_COL]))
+
+    staged = transcripts.map_batches(local, batch_format="pandas")
+    return staged.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+
+
+def _dedup_edges_combine(df: pd.DataFrame) -> pd.DataFrame:
+    """Keep one row per (src, dst); provenance = earliest witness
+    (min conv_id, min turn_idx per column — deterministic, algebraic).
+
+    Mirrors reference edge dedup: "re-adding a link ... shouldn't change
+    anything" (``AbstractObservableGraphImporter.java:107-136``,
+    ``GraphImporterTestBase.java:156-166``).
+    """
+    return (
+        df.groupby(
+            ["src", "dst", "src_kind", "src_key", "dst_kind", "dst_key"],
+            as_index=False,
+            sort=False,
+        )
+        .agg(conv_id=("conv_id", "min"), turn_idx=("turn_idx", "min"))
+    )
+
+
+def dedup_edges(edges: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+    return bucketed_groupby(
+        edges, ["src", "dst"], _dedup_edges_combine, num_buckets=num_buckets
+    )
+
+
+def derive_edges(
+    transcripts: ray.data.Dataset, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Full deduplicated edge table: conv→tool ∪ role-adjacency."""
+    ct = derive_conv_tool_edges(transcripts)
+    ra = derive_role_adjacency_edges(transcripts, num_buckets=num_buckets)
+    return dedup_edges(ct.union(ra), num_buckets=num_buckets)

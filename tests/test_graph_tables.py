@@ -1,0 +1,158 @@
+"""Contract suite over the engine's public Dataset API on tiny
+deterministic in-memory tables — the new-engine equivalent of the
+reference's shared ``GraphImporterTestBase`` semantics
+(``src/test/java/.../importer/GraphImporterTestBase.java``):
+dedup, degree counts, merge rules, edge dedup, stable turn ordering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from neo4j_webgraph_ray.ids import validate_no_collisions, vertex_id
+from neo4j_webgraph_ray.pipelines.graph_tables import build_graph
+from neo4j_webgraph_ray.stages.derive import (
+    derive_conv_tool_edges,
+    derive_role_adjacency_edges,
+)
+
+
+def make_transcripts(rows: list[tuple]) -> ray.data.Dataset:
+    """rows: (conv_id, turn_idx, role, text, tool)"""
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["ts"] = pd.Timestamp("2025-01-01") + pd.to_timedelta(df["turn_idx"], unit="s")
+    return ray.data.from_pandas(df)
+
+
+def graph_of(rows, num_buckets=4):
+    ds = make_transcripts(rows)
+    edges, vertices = build_graph(ds, num_buckets=num_buckets)
+    e = edges.to_pandas().sort_values(["src_kind", "src_key", "dst_kind", "dst_key"])
+    v = vertices.to_pandas().set_index(["kind", "key"]).sort_index()
+    return e.reset_index(drop=True), v
+
+
+def test_conv_tool_edges_skip_null_tool():
+    rows = [
+        ("a", 0, "user", "t0", None),
+        ("a", 1, "assistant", "t1", "search"),
+        ("a", 2, "user", "t2", None),
+    ]
+    ds = make_transcripts(rows)
+    e = derive_conv_tool_edges(ds).to_pandas()
+    assert len(e) == 1
+    assert e.loc[0, "src_key"] == "a" and e.loc[0, "dst_key"] == "search"
+    assert e.loc[0, "turn_idx"] == 1
+
+
+def test_role_adjacency_stable_order():
+    # Turns given OUT of order; pairing must follow turn_idx, not row order.
+    rows = [
+        ("a", 2, "user", "t2", None),
+        ("a", 0, "user", "t0", None),
+        ("a", 1, "assistant", "t1", None),
+        ("b", 0, "system", "s0", None),
+        ("b", 1, "user", "s1", None),
+    ]
+    ds = make_transcripts(rows)
+    e = derive_role_adjacency_edges(ds, num_buckets=2).to_pandas()
+    pairs = sorted(zip(e["src_key"], e["dst_key"], e["conv_id"], e["turn_idx"]))
+    assert pairs == [
+        ("assistant", "user", "a", 1),
+        ("system", "user", "b", 0),
+        ("user", "assistant", "a", 0),
+    ]
+
+
+def test_edge_dedup_and_degree_count_once():
+    # Same conv→tool edge emitted 3×: dedup keeps 1, degrees count it once
+    # (reference: "re-adding a link ... shouldn't change anything",
+    # GraphImporterTestBase.java:156-166).
+    rows = [
+        ("a", 0, "user", "t0", "search"),
+        ("a", 1, "user", "t1", "search"),
+        ("a", 2, "user", "t2", "search"),
+    ]
+    e, v = graph_of(rows)
+    ct = e[e["dst_kind"] == "tool"]
+    assert len(ct) == 1
+    assert ct.iloc[0]["turn_idx"] == 0  # earliest witness provenance
+    assert v.loc[("tool", "search"), "in_deg"] == 1
+    assert v.loc[("conv", "a"), "out_deg"] == 1
+
+
+def test_vertex_dedup_and_content_merge():
+    # Vertex seen many times -> one row; content = earliest text in stable
+    # turn order (merge rule M9 / A4).
+    rows = [
+        ("a", 1, "user", "later text", None),
+        ("a", 0, "user", "first text", None),
+        ("b", 0, "user", "b text", "search"),
+    ]
+    _, v = graph_of(rows)
+    assert v.loc[("conv", "a"), "content"] == "first text"
+    assert v.loc[("conv", "b"), "content"] == "b text"
+    # tool vertex exists via edge target only, with null content (placeholder)
+    assert v.loc[("tool", "search"), "content"] is None or pd.isna(
+        v.loc[("tool", "search"), "content"]
+    )
+
+
+def test_degrees_small_fixture():
+    # conv a uses tools x,y; conv b uses x. role chain u->a1->u in conv a.
+    rows = [
+        ("a", 0, "user", "t0", "x"),
+        ("a", 1, "assistant", "t1", "y"),
+        ("a", 2, "user", "t2", None),
+        ("b", 0, "user", "s0", "x"),
+    ]
+    e, v = graph_of(rows)
+    assert v.loc[("tool", "x"), "in_deg"] == 2
+    assert v.loc[("tool", "y"), "in_deg"] == 1
+    assert v.loc[("conv", "a"), "out_deg"] == 2
+    assert v.loc[("conv", "b"), "out_deg"] == 1
+    # role edges in conv a: user->assistant, assistant->user
+    assert v.loc[("role", "user"), "out_deg"] == 1
+    assert v.loc[("role", "assistant"), "out_deg"] == 1
+    assert v.loc[("role", "assistant"), "in_deg"] == 1
+    # conv with no tool rows still yields conv vertex? (b has tool; add c)
+    rows.append(("c", 0, "user", "only turn", None))
+    _, v2 = graph_of(rows)
+    assert ("conv", "c") in v2.index
+    assert v2.loc[("conv", "c"), "out_deg"] == 0
+
+
+def test_reimport_idempotent():
+    # Processing the same transcripts twice (union of input with itself)
+    # changes nothing — order-insensitivity by construction
+    # (GraphImporterTestBase.java:156-184).
+    rows = [
+        ("a", 0, "user", "t0", "x"),
+        ("a", 1, "assistant", "t1", None),
+    ]
+    ds1 = make_transcripts(rows)
+    ds2 = make_transcripts(rows + rows)  # duplicated rows
+    e1, v1 = build_graph(ds1, num_buckets=4)
+    e2, v2 = build_graph(ds2, num_buckets=4)
+    c1 = e1.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    c2 = e2.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(c1, c2)
+    w1 = v1.to_pandas().sort_values(["kind", "key"]).reset_index(drop=True)
+    w2 = v2.to_pandas().sort_values(["kind", "key"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(w1, w2)
+
+
+def test_vertex_id_stable_and_collision_free():
+    ids1 = vertex_id("conv", np.array(["a", "b", "c"], dtype=object))
+    ids2 = vertex_id("conv", np.array(["a", "b", "c"], dtype=object))
+    assert (ids1 == ids2).all()
+    assert len(set(ids1)) == 3
+    # kind participates in the id: conv:a != tool:a
+    assert vertex_id("conv", "a")[0] != vertex_id("tool", "a")[0]
+    kinds = ["conv"] * 1000 + ["tool"] * 1000
+    keys = [f"k{i}" for i in range(1000)] * 2
+    validate_no_collisions(kinds, keys)

@@ -1,0 +1,54 @@
+"""Driver-style oracle parity: every queries() entry with an oracle_sql()
+entry must match DuckDB on the same parquet tables (order-insensitive)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+import __ray_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+from tests.util import assert_result_equal
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_every_oracle_has_query():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracles without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(name):
+    con = _con(SF_SMOKE)
+    oracle = con.sql(ORACLES[name]).df()
+    mine = QUERIES[name](SF_SMOKE)
+    assert_result_equal(mine, oracle, name=name)
+
+
+def test_entry_smoke():
+    res = entrymod.entry()
+    from tests.util import to_pandas
+
+    df = to_pandas(res)
+    assert len(df) >= 0
+    assert list(df.columns)
