@@ -27,17 +27,25 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
-    from neo4j_webgraph_ray.queries import RELATIONAL_QUERIES
+    from neo4j_webgraph_ray.queries import (
+        GRAPH_ANALYTICS_QUERIES,
+        RELATIONAL_QUERIES,
+    )
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(RELATIONAL_QUERIES)
+    out.update(GRAPH_ANALYTICS_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same column names)."""
-    from neo4j_webgraph_ray.queries import RELATIONAL_ORACLES
+    from neo4j_webgraph_ray.queries import (
+        GRAPH_ANALYTICS_ORACLES,
+        RELATIONAL_ORACLES,
+    )
 
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
+    out.update(GRAPH_ANALYTICS_ORACLES)
     return out

@@ -1,0 +1,224 @@
+"""Graph algorithms as vertex programs on the superstep harness.
+
+All four analytics the north rule requires — PageRank, connected
+components, label propagation, triangle counting (triangles live in
+``pipelines/triangles.py`` as a non-iterative join pipeline) — built
+from scratch as groupby-aggregate shuffles.  The reference offers no
+iterative analytics (its query surface is one-shot Cypher,
+``README.md:72-166``); these are the new engine's core capability over
+the same graph model.
+
+Determinism notes (SURVEY.md §7.5):
+- PageRank float summation order varies with partitioning; the 1e-6
+  convergence tolerance absorbs re-association (validated against a
+  dense NumPy power iteration with ``allclose(atol=1e-6)``).
+- CC labels are exact min vertex-ids — order-insensitive.
+- LPA tie-breaks deterministically by smaller label; synchronous
+  updates, so results are partitioning-independent (exact-match vs the
+  single-node oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from neo4j_webgraph_ray.state.superstep import SuperstepEngine, VertexProgram
+
+
+def _merge_agg(state: pd.DataFrame, reduced: pd.DataFrame) -> pd.DataFrame:
+    """Left-join reduced messages onto state by id (both sorted by id)."""
+    return state.merge(reduced, on="id", how="left")
+
+
+class PageRankProgram(VertexProgram):
+    """Standard damped PageRank with dangling-mass redistribution.
+
+    rank' = (1-d)/n + d * (sum_in + dangling/n); stop at L∞ delta < tol.
+    Dangling mass is carried between supersteps through the manifest
+    metrics (``update_ctx``), so a resumed run continues exactly.
+    """
+
+    name = "pagerank"
+    undirected = False
+    mode = "sum"
+
+    def __init__(self, damping: float = 0.85, tol: float = 1e-6):
+        self.damping = damping
+        self.tol = tol
+
+    def config(self):
+        return {"damping": self.damping, "tol": self.tol}
+
+    def init_state(self, ids, out_deg, ctx):
+        n = max(ctx["n"], 1)
+        return pd.DataFrame(
+            {
+                "id": ids.astype(np.int64),
+                "out_deg": out_deg.astype(np.int64),
+                "rank": np.full(len(ids), 1.0 / n, dtype=np.float64),
+            }
+        )
+
+    def init_metrics(self, state):
+        dangling = float(state.loc[state["out_deg"] == 0, "rank"].sum())
+        return {"dangling": dangling}
+
+    def scatter_values(self, state):
+        out_deg = state["out_deg"].to_numpy().astype(np.float64)
+        rank = state["rank"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = np.where(out_deg > 0, rank / out_deg, 0.0)
+        return v
+
+    def gather_update(self, state, reduced, ctx):
+        n = max(ctx["n"], 1)
+        d = self.damping
+        dangling_in = ctx.get("dangling", 0.0)
+        merged = _merge_agg(state, reduced)
+        sums = merged["agg"].fillna(0.0).to_numpy()
+        old = state["rank"].to_numpy()
+        new = (1.0 - d) / n + d * (sums + dangling_in / n)
+        out = state.copy(deep=False)
+        out["rank"] = new
+        delta = float(np.max(np.abs(new - old))) if len(new) else 0.0
+        dangling_out = float(new[state["out_deg"].to_numpy() == 0].sum())
+        return out, {"max_delta": delta, "dangling": dangling_out}
+
+    def converged(self, m):
+        return m.get("max_delta", np.inf) < self.tol
+
+    def update_ctx(self, ctx, step_metrics):
+        if "dangling" in step_metrics:
+            ctx["dangling"] = step_metrics["dangling"]
+
+
+class ConnectedComponentsProgram(VertexProgram):
+    """Min-label propagation to fixpoint over the undirected graph.
+    Labels are vertex ids; the final label of each vertex is the
+    minimum vertex id in its (weakly) connected component — exact."""
+
+    name = "connected_components"
+    undirected = True
+    mode = "min"
+
+    def config(self):
+        return {}
+
+    def init_state(self, ids, out_deg, ctx):
+        return pd.DataFrame(
+            {"id": ids.astype(np.int64), "label": ids.astype(np.int64)}
+        )
+
+    def scatter_values(self, state):
+        return state["label"].to_numpy()
+
+    def gather_update(self, state, reduced, ctx):
+        merged = _merge_agg(state, reduced)
+        incoming = merged["agg"].fillna(np.iinfo(np.int64).max).to_numpy().astype(np.int64)
+        old = state["label"].to_numpy()
+        new = np.minimum(old, incoming)
+        out = state.copy(deep=False)
+        out["label"] = new
+        return out, {"n_changed": int((new != old).sum())}
+
+    def converged(self, m):
+        return m.get("n_changed", 1) == 0
+
+
+class LabelPropagationProgram(VertexProgram):
+    """Synchronous label propagation (community detection).
+
+    Each vertex adopts the most frequent label among its neighbours
+    (undirected), ties broken by the smaller label; isolated vertices
+    keep their label.  Deterministic and partitioning-independent by
+    construction; runs to label-stability or max_steps (synchronous LPA
+    can oscillate on bipartite structures — the step cap is part of the
+    algorithm spec, mirrored by the oracle)."""
+
+    name = "label_propagation"
+    undirected = True
+    mode = "mode"
+
+    def config(self):
+        return {}
+
+    def init_state(self, ids, out_deg, ctx):
+        return pd.DataFrame(
+            {"id": ids.astype(np.int64), "label": ids.astype(np.int64)}
+        )
+
+    def scatter_values(self, state):
+        return state["label"].to_numpy()
+
+    def gather_update(self, state, reduced, ctx):
+        # reduced: (id, lab, wt) — pick per id: max wt, tie -> min lab
+        old = state["label"].to_numpy()
+        if len(reduced):
+            r = reduced.sort_values(
+                ["id", "wt", "lab"], ascending=[True, False, True], kind="stable"
+            ).drop_duplicates("id", keep="first")
+            merged = state.merge(r[["id", "lab"]], on="id", how="left")
+            new = merged["lab"].fillna(pd.Series(old, index=merged.index)).to_numpy().astype(np.int64)
+        else:
+            new = old
+        out = state.copy(deep=False)
+        out["label"] = new
+        return out, {"n_changed": int((new != old).sum())}
+
+    def converged(self, m):
+        return m.get("n_changed", 1) == 0
+
+
+# -- public API -------------------------------------------------------------
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    workdir: str,
+    num_partitions: int = 16,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_steps: int = 100,
+    resume: bool = False,
+) -> ray.data.Dataset:
+    """Per-vertex PageRank scores: Dataset(id, out_deg, rank)."""
+    engine = SuperstepEngine(
+        workdir, PageRankProgram(damping, tol), num_partitions, max_steps
+    )
+    if not resume:
+        engine.prepare(edges)
+    return engine.run(resume=resume)
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    workdir: str,
+    num_partitions: int = 16,
+    max_steps: int = 200,
+    resume: bool = False,
+) -> ray.data.Dataset:
+    """Weakly connected components: Dataset(id, label=min id in comp)."""
+    engine = SuperstepEngine(
+        workdir, ConnectedComponentsProgram(), num_partitions, max_steps
+    )
+    if not resume:
+        engine.prepare(edges)
+    return engine.run(resume=resume)
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    workdir: str,
+    num_partitions: int = 16,
+    max_steps: int = 20,
+    resume: bool = False,
+) -> ray.data.Dataset:
+    """Synchronous LPA communities: Dataset(id, label)."""
+    engine = SuperstepEngine(
+        workdir, LabelPropagationProgram(), num_partitions, max_steps
+    )
+    if not resume:
+        engine.prepare(edges)
+    return engine.run(resume=resume)

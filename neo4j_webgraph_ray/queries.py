@@ -16,6 +16,8 @@ replicating the hash function.
 from __future__ import annotations
 
 import functools
+import os
+import shutil
 from typing import Callable
 
 import numpy as np
@@ -24,11 +26,19 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from neo4j_webgraph_ray.ids import vertex_id
+from neo4j_webgraph_ray.pipelines.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+)
 from neo4j_webgraph_ray.pipelines.graph_tables import build_graph
+from neo4j_webgraph_ray.pipelines.triangles import triangle_count
 from neo4j_webgraph_ray.sources.transcripts import (
     TRANSCRIPTS_FROM_EVENTS_SQL,
     transcripts_from_events,
 )
+from neo4j_webgraph_ray.stages.core import BUCKET_COL, add_bucket_column, exact_distinct
 
 # ---------------------------------------------------------------------------
 # Shared SQL prelude: transcripts -> edges -> vertices, mirroring
@@ -237,7 +247,232 @@ def q_cross_kind_pattern(
     return out.sort_values(["conv_key", "tool_key"]).reset_index(drop=True)
 
 
+# --- graph analytics (PageRank / CC / LPA / triangles) ---------------------
+
+
+def _workdir(sf_dir: str, algo: str) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), "nwr_queries", f"{algo}-{tag}")
+    # fresh dir per invocation: queries must be self-contained
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@functools.lru_cache(maxsize=4)
+def _vertex_composites(sf_dir: str) -> dict[int, str]:
+    """id -> "kind:key" for the (small) vertex table — broadcast-side
+    lookup used to render analytics outputs with readable keys."""
+    _, vertices = graph(sf_dir)
+    df = vertices.select_columns(["id", "kind", "key"]).to_pandas()
+    return dict(zip(df["id"], df["kind"] + ":" + df["key"]))
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Damped PageRank to 1e-6 convergence on the transcript graph
+    (superstep harness); output (vkey, rank).  No SQL oracle — iterative;
+    validated against the NumPy power-iteration oracle in tests."""
+    edges, _ = graph(sf_dir)
+    state = pagerank(edges, _workdir(sf_dir, "pagerank"), num_partitions=8)
+    df = state.to_pandas()
+    comp = _vertex_composites(sf_dir)
+    out = pd.DataFrame(
+        {"vkey": df["id"].map(comp), "rank": df["rank"].round(9)}
+    )
+    return out.sort_values("vkey").reset_index(drop=True)
+
+
+def q_connected_components(sf_dir: str) -> pd.DataFrame:
+    """Connected components; per vertex the canonical component key =
+    min "kind:key" string in its component (SQL-checkable via a
+    recursive min-label CTE).  Isolated vertices are their own
+    component."""
+    edges, _ = graph(sf_dir)
+    state = connected_components(
+        edges, _workdir(sf_dir, "cc"), num_partitions=8
+    ).to_pandas()
+    comp_map = _vertex_composites(sf_dir)
+    df = pd.DataFrame(
+        {"vkey": state["id"].map(comp_map), "label": state["label"]}
+    )
+    # canonicalize: component representative = min composite string
+    rep = (
+        df.assign(c=df["vkey"])
+        .groupby("label")["c"]
+        .min()
+        .to_dict()
+    )
+    df["component"] = df["label"].map(rep)
+    out = df[["vkey", "component"]]
+    # isolated vertices (no edges) are absent from superstep state
+    missing = sorted(set(comp_map.values()) - set(out["vkey"]))
+    if missing:
+        out = pd.concat(
+            [out, pd.DataFrame({"vkey": missing, "component": missing})],
+            ignore_index=True,
+        )
+    return out.sort_values("vkey").reset_index(drop=True)
+
+
+def q_label_propagation(sf_dir: str) -> pd.DataFrame:
+    """Synchronous LPA communities (vkey, community key).  No SQL oracle
+    — iterative; validated against the single-node oracle in tests."""
+    edges, _ = graph(sf_dir)
+    state = label_propagation(
+        edges, _workdir(sf_dir, "lpa"), num_partitions=8
+    ).to_pandas()
+    comp_map = _vertex_composites(sf_dir)
+    out = pd.DataFrame(
+        {
+            "vkey": state["id"].map(comp_map),
+            "community": state["label"].map(comp_map),
+        }
+    )
+    return out.sort_values("vkey").reset_index(drop=True)
+
+
+def q_triangle_count(sf_dir: str) -> pd.DataFrame:
+    """Global triangle count of the undirected transcript graph."""
+    edges, _ = graph(sf_dir)
+    n = triangle_count(edges, num_buckets=16)
+    return pd.DataFrame({"n_triangles": pd.array([n], dtype="int64")})
+
+
+def q_tool_cooccurrence(sf_dir: str) -> ray.data.Dataset:
+    """Derived co-occurrence graph: tools used within the same
+    conversation (distinct unordered pairs) — the J4 'linking pages'
+    semi-join analog over the bipartite conv→tool edges."""
+    edges, _ = graph(sf_dir)
+
+    def conv_tools(t: pa.Table) -> pd.DataFrame:
+        df = t.select(["src_key", "dst_kind", "dst_key"]).to_pandas()
+        df = df[df["dst_kind"] == "tool"]
+        return df.rename(columns={"src_key": "conv_id", "dst_key": "tool"})[
+            ["conv_id", "tool"]
+        ]
+
+    ct = edges.map_batches(conv_tools, batch_format="pyarrow")
+
+    def pairs_per_conv(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).drop_duplicates().sort_values(
+            ["conv_id", "tool"], kind="stable"
+        )
+        xs, ys = [], []
+        for _, g in df.groupby("conv_id", sort=False):
+            tools = g["tool"].to_numpy()
+            if len(tools) < 2:
+                continue
+            iu, ju = np.triu_indices(len(tools), k=1)
+            xs.append(tools[iu])
+            ys.append(tools[ju])
+        if not xs:
+            return pd.DataFrame({"tool_a": [], "tool_b": []}, dtype=object)
+        return pd.DataFrame(
+            {"tool_a": np.concatenate(xs), "tool_b": np.concatenate(ys)}
+        )
+
+    staged = ct.map_batches(
+        lambda df: add_bucket_column(df, ["conv_id"], 16), batch_format="pandas"
+    )
+    pairs = staged.groupby(BUCKET_COL).map_groups(pairs_per_conv, batch_format="pandas")
+    return exact_distinct(pairs, ["tool_a", "tool_b"], num_buckets=16)
+
+
+def q_tool_cooccurrence_triangles(sf_dir: str) -> pd.DataFrame:
+    """Triangle count of the tool co-occurrence graph."""
+    pairs = q_tool_cooccurrence(sf_dir)
+
+    def to_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": vertex_id("tool", df["tool_a"].to_numpy()),
+                "dst": vertex_id("tool", df["tool_b"].to_numpy()),
+            }
+        )
+
+    id_edges = pairs.map_batches(to_ids, batch_format="pandas")
+    n = triangle_count(id_edges, num_buckets=8)
+    return pd.DataFrame({"n_triangles": pd.array([n], dtype="int64")})
+
+
+_RECURSIVE_PRELUDE = GRAPH_SQL_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)
+
+CC_ORACLE_SQL = (
+    _RECURSIVE_PRELUDE
+    + """,
+und AS (
+    SELECT src_kind || ':' || src_key AS u, dst_kind || ':' || dst_key AS v
+    FROM edges WHERE src_kind || ':' || src_key <> dst_kind || ':' || dst_key
+),
+sym AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+vk AS (SELECT kind || ':' || "key" AS v FROM vertices),
+reach(v, l) AS (
+    SELECT v, v FROM vk
+    UNION
+    SELECT s.v, r.l FROM reach r JOIN sym s ON s.u = r.v
+)
+SELECT v AS vkey, min(l) AS component FROM reach GROUP BY v ORDER BY vkey
+"""
+)
+
+TRIANGLE_ORACLE_SQL = (
+    GRAPH_SQL_PRELUDE
+    + """,
+und AS (
+    SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+    FROM (SELECT src_kind || ':' || src_key AS u,
+                 dst_kind || ':' || dst_key AS v FROM edges)
+    WHERE u <> v
+)
+SELECT count(*) AS n_triangles
+FROM und e1 JOIN und e2 ON e2.a = e1.b
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+)
+
+TOOL_COOC_SQL = f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+ct AS (SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL)
+SELECT DISTINCT a.tool AS tool_a, b.tool AS tool_b
+FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+"""
+
+TOOL_COOC_TRIANGLES_SQL = f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+ct AS (SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL),
+pairs AS (
+    SELECT DISTINCT a.tool AS a, b.tool AS b
+    FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+)
+SELECT count(*) AS n_triangles
+FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b
+JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
 # --- registry --------------------------------------------------------------
+
+GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
+    "pagerank": q_pagerank,
+    "connected_components": q_connected_components,
+    "label_propagation": q_label_propagation,
+    "triangle_count": q_triangle_count,
+    "tool_cooccurrence": q_tool_cooccurrence,
+    "tool_cooccurrence_triangles": q_tool_cooccurrence_triangles,
+}
+
+GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
+    # pagerank / label_propagation: iterative, non-SQL-expressible —
+    # rows-only driver check; NumPy oracles cover them in pytest.
+    "connected_components": CC_ORACLE_SQL,
+    "triangle_count": TRIANGLE_ORACLE_SQL,
+    "tool_cooccurrence": TOOL_COOC_SQL,
+    "tool_cooccurrence_triangles": TOOL_COOC_TRIANGLES_SQL,
+}
 
 RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "transcripts": q_transcripts,

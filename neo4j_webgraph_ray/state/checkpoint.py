@@ -1,0 +1,93 @@
+"""Checkpoint manifest for the superstep harness.
+
+The reference's batch importer is explicitly NOT crash-safe — "the
+insertion has to be re-done from scratch" on crash
+(``importer/BatchGraphImporter.java:22-29``); only the crawl frontier
+resumes (``importer/App.java:308-312``).  The north rule upgrades this:
+every superstep checkpoints per-partition vertex-state Parquet plus a
+manifest carrying lineage (input fingerprint + config hash + operator
+chain) and per-step metrics (rank delta / changed count / message
+count), so a killed run resumes mid-algorithm and a resume against
+changed input fails loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class Manifest:
+    algo: str
+    num_partitions: int
+    config: dict[str, Any]
+    input_fingerprint: dict[str, Any]
+    lineage: list[str] = field(default_factory=list)
+    steps: list[dict[str, Any]] = field(default_factory=list)
+    status: str = "running"
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "algo": self.algo,
+            "num_partitions": self.num_partitions,
+            "config": self.config,
+            "input_fingerprint": self.input_fingerprint,
+            "lineage": self.lineage,
+            "steps": self.steps,
+            "status": self.status,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Manifest":
+        return cls(
+            algo=d["algo"],
+            num_partitions=d["num_partitions"],
+            config=d["config"],
+            input_fingerprint=d["input_fingerprint"],
+            lineage=d.get("lineage", []),
+            steps=d.get("steps", []),
+            status=d.get("status", "running"),
+        )
+
+
+def manifest_path(workdir: str) -> str:
+    return os.path.join(workdir, "manifest.json")
+
+
+def save_manifest(workdir: str, m: Manifest) -> None:
+    """Atomic write: temp file + rename, so a crash mid-write never
+    leaves a torn manifest."""
+    path = manifest_path(workdir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m.to_dict(), f, indent=1)
+    os.replace(tmp, path)
+
+
+def load_manifest(workdir: str) -> Manifest | None:
+    path = manifest_path(workdir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return Manifest.from_dict(json.load(f))
+
+
+def state_dir(workdir: str, step: int) -> str:
+    return os.path.join(workdir, "state", f"step={step:05d}")
+
+
+def edges_dir(workdir: str) -> str:
+    return os.path.join(workdir, "edges")
+
+
+def atomic_write_parquet(table, path: str) -> None:
+    """Write Parquet atomically (temp + rename) — idempotent under Ray
+    task retries; a re-run of the same write produces the same file."""
+    import pyarrow.parquet as pq
+
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)

@@ -1,0 +1,489 @@
+"""Superstep harness: iterative vertex programs as Ray Data pipelines.
+
+The engine core (SURVEY.md §7.3 step 4).  A graph algorithm is a
+:class:`VertexProgram`; one superstep is
+
+    scatter  — P tasks, one per source partition: load that partition's
+               CSR edge block + vertex-state Parquet, propagate each
+               vertex's scatter value along its out-edges and
+               PRE-AGGREGATE messages by destination inside the
+               partition (numpy reduceat — the salted/partial-combine
+               step, so a hub destination receives at most P partial
+               rows instead of one per in-edge);
+    shuffle  — hash partition messages on destination-vertex id
+               (``dst % P``) — the one all-to-all exchange per superstep;
+    gather   — per destination partition: final-combine messages
+               (sum/min/mode), apply the program's update against the
+               old state, write ``state/step=K+1/part=p.parquet``
+               atomically, emit a metrics row.
+
+State never materializes globally: each superstep reads partitioned
+Parquet and writes partitioned Parquet, so lineage stays one superstep
+deep and every superstep is a checkpoint (resume = continue from the
+last manifest entry).  Partitioning key is the hashed vertex id on both
+sides: edges by ``src % P`` (scatter locality), state by ``id % P``
+(gather ownership) — one partitioning scheme reused across all stages.
+
+Reference contrast: the reference has no iterative analytics (its README
+queries are one-shot Cypher scans); its closest mechanism is the
+incremental degree counters (``PageNode.java:215-227``), which here are
+a special case of a one-superstep sum program.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from neo4j_webgraph_ray.state.checkpoint import (
+    Manifest,
+    atomic_write_parquet,
+    edges_dir,
+    load_manifest,
+    save_manifest,
+    state_dir,
+)
+
+SENTINEL_DST = np.iinfo(np.int64).min  # marker rows so every partition gathers
+
+
+def part_of(ids: np.ndarray, num_partitions: int) -> np.ndarray:
+    return np.mod(ids, num_partitions).astype(np.int32)
+
+
+class VertexProgram:
+    """Base vertex program.  Subclasses set ``name``, ``undirected``,
+    ``mode`` ('sum' | 'min' | 'mode') and implement the four hooks.
+    State DataFrames are always sorted by ``id`` within a partition.
+    """
+
+    name: str = "base"
+    undirected: bool = False
+    mode: str = "sum"
+
+    def config(self) -> dict[str, Any]:
+        return {}
+
+    def init_state(self, ids: np.ndarray, out_deg: np.ndarray, ctx: dict) -> pd.DataFrame:
+        raise NotImplementedError
+
+    def scatter_values(self, state: pd.DataFrame) -> np.ndarray:
+        raise NotImplementedError
+
+    def gather_update(
+        self, state: pd.DataFrame, reduced: pd.DataFrame, ctx: dict
+    ) -> tuple[pd.DataFrame, dict[str, float]]:
+        """reduced: DataFrame (id, agg) — one row per destination vertex
+        that received messages; for mode-aggregation (id, lab, wt) rows."""
+        raise NotImplementedError
+
+    def init_metrics(self, state: pd.DataFrame) -> dict[str, float]:
+        return {}
+
+    def converged(self, step_metrics: dict[str, float]) -> bool:
+        raise NotImplementedError
+
+    def update_ctx(self, ctx: dict, step_metrics: dict[str, float]) -> None:
+        pass
+
+
+# --------------------------------------------------------------------------
+# scatter / gather task bodies (module-level => cheaply picklable)
+# --------------------------------------------------------------------------
+
+
+def _load_state(workdir: str, step: int, part: int) -> pd.DataFrame:
+    path = os.path.join(state_dir(workdir, step), f"part={part}.parquet")
+    return pq.read_table(path).to_pandas()
+
+
+def _scatter_batch(
+    batch: pa.Table,
+    *,
+    workdir: str,
+    step: int,
+    num_partitions: int,
+    program: VertexProgram,
+) -> pa.Table:
+    outs: list[pa.Table] = []
+    for part in batch["id"].to_pylist():
+        epath = os.path.join(edges_dir(workdir), f"part={part}.parquet")
+        if os.path.exists(epath):
+            et = pq.read_table(epath, columns=["src", "dst"])
+            src = et["src"].to_numpy()
+            dst = et["dst"].to_numpy()  # sorted by dst at prepare time
+        else:
+            src = dst = np.empty(0, dtype=np.int64)
+        state = _load_state(workdir, step, part)
+        state_ids = state["id"].to_numpy()
+        if len(src):
+            svals = program.scatter_values(state)
+            eidx = np.searchsorted(state_ids, src)
+            evals = svals[eidx]
+            # run-boundary pre-aggregation by dst (dst is sorted)
+            starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
+            dst_u = dst[starts]
+            if program.mode == "sum":
+                agg = np.add.reduceat(evals, starts)
+                t = pa.table(
+                    {
+                        "dst": pa.array(dst_u, type=pa.int64()),
+                        "fval": pa.array(agg.astype(np.float64)),
+                        "dst_part": pa.array(part_of(dst_u, num_partitions)),
+                    }
+                )
+            elif program.mode == "min":
+                agg = np.minimum.reduceat(evals, starts)
+                t = pa.table(
+                    {
+                        "dst": pa.array(dst_u, type=pa.int64()),
+                        "lab": pa.array(agg.astype(np.int64)),
+                        "dst_part": pa.array(part_of(dst_u, num_partitions)),
+                    }
+                )
+            else:  # mode-aggregation: pre-sum weights per (dst, label)
+                pairs = pd.DataFrame({"dst": dst, "lab": evals.astype(np.int64)})
+                cnt = pairs.groupby(["dst", "lab"], sort=False).size().reset_index(name="wt")
+                t = pa.table(
+                    {
+                        "dst": pa.array(cnt["dst"].to_numpy(), type=pa.int64()),
+                        "lab": pa.array(cnt["lab"].to_numpy(), type=pa.int64()),
+                        "wt": pa.array(cnt["wt"].to_numpy(), type=pa.int64()),
+                        "dst_part": pa.array(
+                            part_of(cnt["dst"].to_numpy(), num_partitions)
+                        ),
+                    }
+                )
+            outs.append(t)
+    if not outs:
+        return _marker_table(np.empty(0, dtype=np.int32), program.mode)
+    return pa.concat_tables(outs)
+
+
+def _marker_table(parts: np.ndarray, mode: str) -> pa.Table:
+    n = len(parts)
+    cols = {
+        "dst": pa.array(np.full(n, SENTINEL_DST, dtype=np.int64)),
+    }
+    if mode == "sum":
+        cols["fval"] = pa.array(np.zeros(n, dtype=np.float64))
+    else:
+        cols["lab"] = pa.array(np.zeros(n, dtype=np.int64))
+        if mode == "mode":
+            cols["wt"] = pa.array(np.zeros(n, dtype=np.int64))
+    cols["dst_part"] = pa.array(parts.astype(np.int32))
+    return pa.table(cols)
+
+
+def _gather_group(
+    df: pd.DataFrame,
+    *,
+    workdir: str,
+    step: int,
+    program: VertexProgram,
+    ctx: dict,
+) -> pd.DataFrame:
+    part = int(df["dst_part"].iloc[0])
+    df = df[df["dst"] != SENTINEL_DST]
+    n_msgs = len(df)
+    if program.mode == "sum":
+        reduced = df.groupby("dst", sort=True, as_index=False)["fval"].sum()
+        reduced = reduced.rename(columns={"dst": "id", "fval": "agg"})
+    elif program.mode == "min":
+        reduced = df.groupby("dst", sort=True, as_index=False)["lab"].min()
+        reduced = reduced.rename(columns={"dst": "id", "lab": "agg"})
+    else:
+        reduced = (
+            df.groupby(["dst", "lab"], sort=True, as_index=False)["wt"].sum()
+            .rename(columns={"dst": "id"})
+        )
+    state = _load_state(workdir, step, part)
+    new_state, metrics = program.gather_update(state, reduced, ctx)
+    out_path = os.path.join(state_dir(workdir, step + 1), f"part={part}.parquet")
+    atomic_write_parquet(pa.Table.from_pandas(new_state, preserve_index=False), out_path)
+    row = {"part": part, "n_msgs": n_msgs}
+    row.update(metrics)
+    return pd.DataFrame([row])
+
+
+# --------------------------------------------------------------------------
+
+
+class SuperstepEngine:
+    """Drives a VertexProgram over a partitioned edge table with
+    per-superstep checkpoints and resume."""
+
+    def __init__(
+        self,
+        workdir: str,
+        program: VertexProgram,
+        num_partitions: int = 16,
+        max_steps: int = 100,
+    ):
+        self.workdir = workdir
+        self.program = program
+        self.num_partitions = num_partitions
+        self.max_steps = max_steps
+        self.ctx: dict[str, Any] = {}
+
+    # -- prepare ----------------------------------------------------------
+
+    def prepare(self, edges: ray.data.Dataset) -> Manifest:
+        """Partition edges by src, build initial vertex state, write
+        manifest step 0.  ``edges`` needs int64 ``src``/``dst`` columns;
+        it must already be deduplicated (A4/J3 are upstream stages)."""
+        P = self.num_partitions
+        workdir = self.workdir
+        os.makedirs(edges_dir(workdir), exist_ok=True)
+        os.makedirs(state_dir(workdir, 0), exist_ok=True)
+        undirected = self.program.undirected
+
+        def add_part(t: pa.Table) -> pa.Table:
+            src = t["src"].to_numpy()
+            dst = t["dst"].to_numpy()
+            if undirected:
+                src, dst = np.r_[src, dst], np.r_[dst, src]
+            return pa.table(
+                {
+                    "src": pa.array(src, type=pa.int64()),
+                    "dst": pa.array(dst, type=pa.int64()),
+                    "part": pa.array(part_of(src, P)),
+                }
+            )
+
+        def write_edge_part(df: pd.DataFrame) -> pd.DataFrame:
+            part = int(df["part"].iloc[0])
+            df = df.sort_values("dst", kind="stable")  # dst-sorted => reduceat runs
+            t = pa.table(
+                {
+                    "src": pa.array(df["src"].to_numpy(), type=pa.int64()),
+                    "dst": pa.array(df["dst"].to_numpy(), type=pa.int64()),
+                }
+            )
+            atomic_write_parquet(t, os.path.join(edges_dir(self.workdir), f"part={part}.parquet"))
+            # cheap content fingerprint per partition (order-insensitive)
+            fp = int(
+                np.bitwise_xor.reduce(
+                    (df["src"].to_numpy() * np.int64(31)) ^ df["dst"].to_numpy()
+                )
+            ) if len(df) else 0
+            return pd.DataFrame([{"part": part, "n_edges": len(df), "fp": fp}])
+
+        edge_parts = (
+            edges.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("part")
+            .map_groups(write_edge_part, batch_format="pandas")
+        ).to_pandas()
+        n_edges = int(edge_parts["n_edges"].sum())
+        fingerprint = {
+            "n_edges": n_edges,
+            "xor": int(np.bitwise_xor.reduce(edge_parts["fp"].to_numpy()))
+            if len(edge_parts)
+            else 0,
+        }
+
+        # vertex set + out-degree (directed orientation of the prepared
+        # edge table, i.e. post-doubling for undirected programs)
+        def endpoints(t: pa.Table) -> pa.Table:
+            src = t["src"].to_numpy()
+            dst = t["dst"].to_numpy()
+            if undirected:
+                src, dst = np.r_[src, dst], np.r_[dst, src]
+            ids = np.r_[src, dst]
+            out_c = np.r_[np.ones(len(src), dtype=np.int64), np.zeros(len(dst), dtype=np.int64)]
+            # local combine
+            u, inv = np.unique(ids, return_inverse=True)
+            deg = np.bincount(inv, weights=out_c).astype(np.int64)
+            return pa.table(
+                {
+                    "id": pa.array(u, type=pa.int64()),
+                    "out_c": pa.array(deg),
+                    "part": pa.array(part_of(u, P)),
+                }
+            )
+
+        program = self.program
+        vdir = os.path.join(workdir, "vertices")
+        os.makedirs(vdir, exist_ok=True)
+
+        def write_vertex_part(df: pd.DataFrame) -> pd.DataFrame:
+            part = int(df["part"].iloc[0])
+            g = df.groupby("id", sort=True, as_index=False)["out_c"].sum()
+            t = pa.table(
+                {
+                    "id": pa.array(g["id"].to_numpy(), type=pa.int64()),
+                    "out_deg": pa.array(g["out_c"].to_numpy().astype(np.int64)),
+                }
+            )
+            atomic_write_parquet(t, os.path.join(vdir, f"part={part}.parquet"))
+            return pd.DataFrame([{"part": part, "n_vertices": len(g)}])
+
+        vparts = (
+            edges.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("part")
+            .map_groups(write_vertex_part, batch_format="pandas")
+        ).to_pandas()
+        n_vertices = int(vparts["n_vertices"].sum())
+
+        # second pass, distributed: init state per part now that n is known
+        self.ctx = {"n": n_vertices, "step": 0}
+        ctx0 = dict(self.ctx)
+        sdir0 = state_dir(workdir, 0)
+
+        def init_part(batch: pa.Table) -> pa.Table:
+            rows = []
+            for part in batch["id"].to_pylist():
+                vpath = os.path.join(vdir, f"part={part}.parquet")
+                if os.path.exists(vpath):
+                    vt = pq.read_table(vpath)
+                    ids = vt["id"].to_numpy()
+                    out_deg = vt["out_deg"].to_numpy()
+                else:
+                    ids = np.empty(0, dtype=np.int64)
+                    out_deg = np.empty(0, dtype=np.int64)
+                st = program.init_state(ids, out_deg, ctx0)
+                atomic_write_parquet(
+                    pa.Table.from_pandas(st, preserve_index=False),
+                    os.path.join(sdir0, f"part={part}.parquet"),
+                )
+                rows.append({"part": part, **program.init_metrics(st)})
+            return pa.Table.from_pylist(rows)
+
+        init_df = (
+            ray.data.range(P, override_num_blocks=P)
+            .map_batches(init_part, batch_format="pyarrow")
+            .to_pandas()
+        )
+        init_metrics = {
+            col: float(init_df[col].sum()) for col in init_df.columns if col != "part"
+        }
+
+        manifest = Manifest(
+            algo=program.name,
+            num_partitions=P,
+            config=program.config(),
+            input_fingerprint=fingerprint,
+            lineage=[
+                "dedup_edges(src,dst)",
+                f"partition(src % {P})" + (" [undirected-doubled]" if undirected else ""),
+                f"{program.name} supersteps (scatter → shuffle(dst % {P}) → gather)",
+            ],
+            steps=[
+                {
+                    "step": 0,
+                    "kind": "init",
+                    "n_vertices": n_vertices,
+                    "n_edges": n_edges,
+                    **init_metrics,
+                }
+            ],
+        )
+        save_manifest(workdir, manifest)
+        self._n_edges = n_edges
+        return manifest
+
+    # -- run --------------------------------------------------------------
+
+    def run(self, resume: bool = False) -> ray.data.Dataset:
+        """Iterate to convergence (or max_steps); returns final state.
+
+        ``resume=True`` continues from the last checkpointed superstep;
+        it refuses to resume if the manifest's config does not match
+        (input fingerprint is bound at prepare time, so a changed input
+        under the same workdir is caught by re-running prepare into a
+        fresh workdir — or detected here via the stored fingerprint)."""
+        manifest = load_manifest(self.workdir)
+        if manifest is None:
+            raise RuntimeError(f"no manifest in {self.workdir}; call prepare() first")
+        if resume:
+            want = self.program.config()
+            if manifest.config != want or manifest.algo != self.program.name:
+                raise RuntimeError(
+                    f"refusing to resume: manifest config {manifest.config} "
+                    f"(algo {manifest.algo}) != requested {want} ({self.program.name})"
+                )
+        P = manifest.num_partitions
+        program = self.program
+        n_vertices = manifest.steps[0]["n_vertices"]
+        n_edges = manifest.steps[0]["n_edges"]
+        self.ctx = {"n": n_vertices}
+        # replay ctx evolution over completed steps (e.g. dangling mass)
+        for sm in manifest.steps:
+            program.update_ctx(self.ctx, sm)
+        step = manifest.steps[-1]["step"]
+        while True:
+            last_metrics = manifest.steps[-1]
+            if last_metrics.get("kind") != "init" and program.converged(last_metrics):
+                manifest.status = "converged"
+                save_manifest(self.workdir, manifest)
+                return self.final_state(step)
+            if step >= self.max_steps:
+                manifest.status = "max_steps"
+                save_manifest(self.workdir, manifest)
+                return self.final_state(step)
+            t0 = time.perf_counter()
+            self.ctx["step"] = step
+            parts_ds = ray.data.range(P, override_num_blocks=P)
+            workdir = self.workdir
+            mode = program.mode
+            msgs = parts_ds.map_batches(
+                _scatter_batch,
+                batch_format="pyarrow",
+                fn_kwargs={
+                    "workdir": workdir,
+                    "step": step,
+                    "num_partitions": P,
+                    "program": program,
+                },
+            )
+            markers = ray.data.from_arrow(
+                _marker_table(np.arange(P, dtype=np.int32), mode)
+            )
+            os.makedirs(state_dir(workdir, step + 1), exist_ok=True)
+            ctx_snapshot = dict(self.ctx)
+            metrics_df = (
+                msgs.union(markers)
+                .groupby("dst_part")
+                .map_groups(
+                    _gather_group,
+                    batch_format="pandas",
+                    fn_kwargs={
+                        "workdir": workdir,
+                        "step": step,
+                        "program": program,
+                        "ctx": ctx_snapshot,
+                    },
+                )
+                .to_pandas()
+            )
+            wall = time.perf_counter() - t0
+            step_metrics: dict[str, Any] = {
+                "step": step + 1,
+                "n_msgs": int(metrics_df["n_msgs"].sum()),
+                "wall_sec": round(wall, 4),
+                "edges_per_sec": round(n_edges / wall, 1) if wall > 0 else 0.0,
+            }
+            for col in metrics_df.columns:
+                if col in ("part", "n_msgs"):
+                    continue
+                if col.startswith("max_"):
+                    step_metrics[col] = float(metrics_df[col].max())
+                else:
+                    step_metrics[col] = float(metrics_df[col].sum())
+            manifest.steps.append(step_metrics)
+            program.update_ctx(self.ctx, step_metrics)
+            save_manifest(self.workdir, manifest)
+            step += 1
+
+    def final_state(self, step: int | None = None) -> ray.data.Dataset:
+        if step is None:
+            manifest = load_manifest(self.workdir)
+            step = manifest.steps[-1]["step"]
+        return ray.data.read_parquet(state_dir(self.workdir, step))

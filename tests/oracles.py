@@ -1,0 +1,105 @@
+"""Single-node reference implementations (oracles) for the graph
+algorithms — dense power iteration, union-find, synchronous LPA, and
+brute-force triangle enumeration.  The distributed engine must match
+these: PageRank allclose(atol=1e-6), components/labels/triangles exact
+(north rule)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+
+
+def pagerank_oracle(
+    edges: list[tuple[int, int]],
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_steps: int = 100,
+) -> dict[int, float]:
+    """Dense synchronous power iteration with dangling redistribution,
+    identical update rule to PageRankProgram:
+    r' = (1-d)/n + d * (A^T (r/deg) + dangling(r)/n), stop at L∞ < tol."""
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    if n == 0:
+        return {}
+    deg = np.zeros(n)
+    for s, d in edges:
+        deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_steps):
+        contrib = np.where(deg > 0, r / np.maximum(deg, 1), 0.0)
+        sums = np.zeros(n)
+        for s, d in edges:
+            sums[idx[d]] += contrib[idx[s]]
+        dangling = r[deg == 0].sum()
+        new = (1.0 - damping) / n + damping * (sums + dangling / n)
+        delta = np.max(np.abs(new - r))
+        r = new
+        if delta < tol:
+            break
+    return {v: r[idx[v]] for v in ids}
+
+
+def components_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find; label = min vertex id in the (weakly) connected comp."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in edges:
+        for v in e:
+            parent.setdefault(v, v)
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {v: find(v) for v in parent}
+
+
+def lpa_oracle(edges: list[tuple[int, int]], max_steps: int = 20) -> dict[int, int]:
+    """Synchronous LPA, same spec as LabelPropagationProgram: adopt the
+    most frequent neighbour label (undirected), ties -> smaller label,
+    isolated vertices keep their label; stop at stability or max_steps."""
+    ids = sorted({v for e in edges for v in e})
+    nbrs: dict[int, list[int]] = {v: [] for v in ids}
+    for s, d in edges:
+        nbrs[s].append(d)
+        nbrs[d].append(s)
+    label = {v: v for v in ids}
+    for _ in range(max_steps):
+        new = {}
+        for v in ids:
+            if not nbrs[v]:
+                new[v] = label[v]
+                continue
+            counts: dict[int, int] = {}
+            for u in nbrs[v]:
+                counts[label[u]] = counts.get(label[u], 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[v] = best
+        if new == label:
+            break
+        label = new
+    return label
+
+
+def triangles_oracle(edges: list[tuple[int, int]]) -> int:
+    """Brute-force: count unordered vertex triples pairwise connected in
+    the undirected simple graph (self-loops and duplicates ignored)."""
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = 0
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            count += 1
+    return count

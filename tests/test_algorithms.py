@@ -1,0 +1,130 @@
+"""Algorithm conformance: distributed results vs single-node oracles on
+the FIXTURES.md F4 micro-graphs plus a seeded random graph and the
+sf0.001 transcript-derived graph.  PageRank allclose(atol=1e-6);
+components / labels exact."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from neo4j_webgraph_ray.pipelines.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+)
+from tests.oracles import components_oracle, lpa_oracle, pagerank_oracle
+
+# FIXTURES.md F4 micro-graphs
+GRAPHS = {
+    "g_chain": [(0, 1), (1, 2), (2, 3)],
+    "g_star": [(1, 0), (2, 0), (3, 0), (4, 0), (5, 0)],
+    "g_two_islands": [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)],
+    "g_cycle": [(0, 1), (1, 2), (2, 0)],
+    "g_dangling": [(0, 1), (1, 2)],
+    "g_self_loop": [(0, 0), (0, 1), (1, 2)],
+}
+
+
+def seeded_graph(n=60, m=220, seed=7):
+    rng = np.random.default_rng(seed)
+    edges = set()
+    while len(edges) < m:
+        s, d = rng.integers(0, n, size=2)
+        edges.add((int(s), int(d)))
+    return sorted(edges)
+
+
+GRAPHS["g_random"] = seeded_graph()
+
+
+def edges_ds(pairs) -> ray.data.Dataset:
+    t = pa.table(
+        {
+            "src": pa.array([s for s, _ in pairs], type=pa.int64()),
+            "dst": pa.array([d for _, d in pairs], type=pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_pagerank_matches_oracle(gname, tmp_path):
+    pairs = GRAPHS[gname]
+    res = pagerank(edges_ds(pairs), str(tmp_path / "pr"), num_partitions=4).to_pandas()
+    oracle = pagerank_oracle(pairs)
+    assert len(res) == len(oracle)
+    got = dict(zip(res["id"], res["rank"]))
+    for v, r in oracle.items():
+        assert abs(got[v] - r) < 1e-6, f"{gname}: vertex {v} {got[v]} vs {r}"
+    # ranks sum to ~1
+    assert abs(res["rank"].sum() - 1.0) < 1e-6
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_components_match_oracle(gname, tmp_path):
+    pairs = GRAPHS[gname]
+    res = connected_components(
+        edges_ds(pairs), str(tmp_path / "cc"), num_partitions=4
+    ).to_pandas()
+    oracle = components_oracle(pairs)
+    got = dict(zip(res["id"], res["label"]))
+    assert got == oracle, f"{gname}"
+
+
+@pytest.mark.parametrize("gname", ["g_chain", "g_two_islands", "g_star", "g_random"])
+def test_lpa_matches_oracle(gname, tmp_path):
+    pairs = GRAPHS[gname]
+    res = label_propagation(
+        edges_ds(pairs), str(tmp_path / "lpa"), num_partitions=4
+    ).to_pandas()
+    oracle = lpa_oracle(pairs)
+    got = dict(zip(res["id"], res["label"]))
+    assert got == oracle, f"{gname}"
+
+
+def test_two_islands_components_exact(tmp_path):
+    res = connected_components(
+        edges_ds(GRAPHS["g_two_islands"]), str(tmp_path / "cc2"), num_partitions=3
+    ).to_pandas()
+    labels = set(res["label"])
+    assert labels == {0, 10}
+
+
+def test_cycle_pagerank_uniform(tmp_path):
+    res = pagerank(
+        edges_ds(GRAPHS["g_cycle"]), str(tmp_path / "pr3"), num_partitions=2
+    ).to_pandas()
+    assert np.allclose(res["rank"], 1.0 / 3, atol=1e-6)
+
+
+def test_pagerank_partitioning_invariance(tmp_path):
+    """Result does not depend on the partition count (within 1e-6)."""
+    pairs = GRAPHS["g_random"]
+    a = pagerank(edges_ds(pairs), str(tmp_path / "a"), num_partitions=2).to_pandas()
+    b = pagerank(edges_ds(pairs), str(tmp_path / "b"), num_partitions=7).to_pandas()
+    am = dict(zip(a["id"], a["rank"]))
+    bm = dict(zip(b["id"], b["rank"]))
+    assert set(am) == set(bm)
+    for v in am:
+        assert abs(am[v] - bm[v]) < 1e-6
+
+
+def test_pagerank_on_transcript_graph(sf_smoke, tmp_path):
+    """End-to-end: derived sf0.001 graph, engine vs oracle."""
+    from neo4j_webgraph_ray.queries import graph
+
+    edges, _ = graph(sf_smoke)
+    pairs = [
+        (int(s), int(d))
+        for s, d in zip(*(edges.to_pandas()[c] for c in ("src", "dst")))
+    ]
+    res = pagerank(edges, str(tmp_path / "pr_sf"), num_partitions=8).to_pandas()
+    oracle = pagerank_oracle(pairs)
+    got = dict(zip(res["id"], res["rank"]))
+    assert len(got) == len(oracle)
+    for v, r in oracle.items():
+        assert abs(got[v] - r) < 1e-6

@@ -1,0 +1,96 @@
+"""Checkpoint/resume semantics (FIXTURES.md F6): a run interrupted after
+superstep K and resumed must produce exactly the same final state as an
+uninterrupted run, with manifest lineage continuity; resuming with a
+different algorithm config must fail loudly."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from neo4j_webgraph_ray.pipelines.algorithms import PageRankProgram
+from neo4j_webgraph_ray.state.checkpoint import load_manifest
+from neo4j_webgraph_ray.state.superstep import SuperstepEngine
+from tests.test_algorithms import GRAPHS, edges_ds
+
+
+def final_df(ds):
+    return ds.to_pandas().sort_values("id").reset_index(drop=True)
+
+
+def test_resume_identical_to_uninterrupted(tmp_path):
+    pairs = GRAPHS["g_random"]
+
+    # uninterrupted truth
+    full = SuperstepEngine(str(tmp_path / "full"), PageRankProgram(), num_partitions=4)
+    full.prepare(edges_ds(pairs))
+    truth = final_df(full.run())
+    full_manifest = load_manifest(str(tmp_path / "full"))
+    assert full_manifest.status == "converged"
+    n_steps = len(full_manifest.steps)
+    assert n_steps > 4  # enough supersteps to interrupt meaningfully
+
+    # interrupted at 3 supersteps ("crash"), then resumed
+    wd = str(tmp_path / "resumed")
+    eng = SuperstepEngine(wd, PageRankProgram(), num_partitions=4, max_steps=3)
+    eng.prepare(edges_ds(pairs))
+    eng.run()
+    m = load_manifest(wd)
+    assert m.status == "max_steps"
+    assert m.steps[-1]["step"] == 3
+
+    eng2 = SuperstepEngine(wd, PageRankProgram(), num_partitions=4, max_steps=100)
+    resumed = final_df(eng2.run(resume=True))
+    pd.testing.assert_frame_equal(truth, resumed)  # exact, including floats
+
+    # manifest lineage continuity: fingerprints identical, steps contiguous
+    m2 = load_manifest(wd)
+    assert m2.status == "converged"
+    assert m2.input_fingerprint == full_manifest.input_fingerprint
+    assert [s["step"] for s in m2.steps] == list(range(len(m2.steps)))
+    # resumed run reused the first 3 checkpointed supersteps (same
+    # metrics, modulo wall-clock timings)
+    def strip_timing(d):
+        return {k: v for k, v in d.items() if k not in ("wall_sec", "edges_per_sec")}
+
+    for a, b in zip(full_manifest.steps[:4], m2.steps[:4]):
+        assert strip_timing(a) == strip_timing(b)
+
+
+def test_resume_refuses_changed_config(tmp_path):
+    pairs = GRAPHS["g_chain"]
+    wd = str(tmp_path / "wd")
+    eng = SuperstepEngine(wd, PageRankProgram(damping=0.85), num_partitions=2, max_steps=2)
+    eng.prepare(edges_ds(pairs))
+    eng.run()
+    eng2 = SuperstepEngine(wd, PageRankProgram(damping=0.5), num_partitions=2)
+    with pytest.raises(RuntimeError, match="refusing to resume"):
+        eng2.run(resume=True)
+
+
+def test_resume_noop_when_converged(tmp_path):
+    pairs = GRAPHS["g_cycle"]
+    wd = str(tmp_path / "wd")
+    eng = SuperstepEngine(wd, PageRankProgram(), num_partitions=2)
+    eng.prepare(edges_ds(pairs))
+    a = final_df(eng.run())
+    steps_before = len(load_manifest(wd).steps)
+    b = final_df(SuperstepEngine(wd, PageRankProgram(), num_partitions=2).run(resume=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(load_manifest(wd).steps) == steps_before  # no extra supersteps
+
+
+def test_manifest_metrics_recorded(tmp_path):
+    pairs = GRAPHS["g_star"]
+    wd = str(tmp_path / "wd")
+    eng = SuperstepEngine(wd, PageRankProgram(), num_partitions=2)
+    eng.prepare(edges_ds(pairs))
+    eng.run()
+    m = load_manifest(wd)
+    assert m.input_fingerprint["n_edges"] == len(pairs)
+    assert m.lineage and any("supersteps" in ln for ln in m.lineage)
+    for s in m.steps[1:]:
+        assert "n_msgs" in s and "max_delta" in s and "edges_per_sec" in s

@@ -1,0 +1,30 @@
+"""Triangle count vs brute-force oracle on micro-graphs and a seeded
+random graph (exact match per the north rule)."""
+
+from __future__ import annotations
+
+import pytest
+
+from neo4j_webgraph_ray.pipelines.triangles import triangle_count
+from tests.oracles import triangles_oracle
+from tests.test_algorithms import GRAPHS, edges_ds, seeded_graph
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_triangle_count_matches_oracle(gname):
+    pairs = GRAPHS[gname]
+    assert triangle_count(edges_ds(pairs), num_buckets=4) == triangles_oracle(pairs)
+
+
+def test_triangle_known_values():
+    assert triangle_count(edges_ds(GRAPHS["g_cycle"]), num_buckets=2) == 1
+    assert triangle_count(edges_ds(GRAPHS["g_two_islands"]), num_buckets=2) == 2
+    assert triangle_count(edges_ds(GRAPHS["g_chain"]), num_buckets=2) == 0
+    # complete graph K5: C(5,3) = 10 triangles
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    assert triangle_count(edges_ds(k5), num_buckets=3) == 10
+
+
+def test_triangle_denser_random():
+    pairs = seeded_graph(n=30, m=180, seed=11)
+    assert triangle_count(edges_ds(pairs), num_buckets=5) == triangles_oracle(pairs)
