@@ -1,0 +1,278 @@
+"""Benchmark entry point (driver contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "edges_per_sec_per_superstep": ..., ...}
+
+Headline = the flagship pipeline (transcripts → graph build → PageRank
+to 1e-6 convergence) on a deterministic synthetic transcript table
+(FIXTURES.md F1; Zipf tool popularity for hub skew) — the workload the
+authoritative BASELINE.json metric is defined on.  The per-query section
+times the relational/analytics surface over $GRAFT_SF_DIR testdata.
+
+  python bench.py              # full bench at $RAY_GRAFT_CPUS (def. 32)
+  python bench.py --scaling    # same headline at 8 and 32 CPUs in fresh
+                               # processes; prints throughputs + scaling
+                               # efficiency (N vs 4N evidence)
+
+Env knobs: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS,
+NWR_BENCH_CONVS (synthetic size, default 200000 convs ≈ 2.6M turns),
+NWR_BENCH_ONLY=headline to skip the per-query section.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+METRIC = (
+    "edges/sec per superstep (PageRank to 1e-6 convergence) on the "
+    "transcript-derived edge table"
+)
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_convs = int(os.environ.get("NWR_BENCH_CONVS", "200000"))
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from neo4j_webgraph_ray.pipelines.algorithms import PageRankProgram
+    from neo4j_webgraph_ray.sources.transcripts import (
+        generate_synthetic_transcripts,
+        read_transcripts,
+    )
+    from neo4j_webgraph_ray.state.checkpoint import load_manifest
+    from neo4j_webgraph_ray.state.superstep_actors import ActorSuperstepEngine
+
+    timings: dict[str, float] = {}
+    out: dict = {"metric": METRIC, "unit": "sec", "sf": sf_dir, "num_cpus": num_cpus}
+
+    # -- headline: synthetic transcripts -> graph -> PageRank ------------
+    gen_dir = f"/tmp/nwr_bench/transcripts-{n_convs}"
+    t0 = time.perf_counter()
+    generate_synthetic_transcripts(gen_dir, n_convs=n_convs, n_tools=200)
+    timings["generate_or_reuse_input"] = round(time.perf_counter() - t0, 3)
+
+    import shutil
+
+    workdir = os.environ.get("NWR_WORKDIR") or f"/tmp/nwr_bench/pr-{n_convs}-{num_cpus}"
+    if os.path.exists(workdir):
+        shutil.rmtree(workdir)
+    num_parts = int(os.environ.get("NWR_NUM_PARTS", "0")) or max(8, num_cpus // 2)
+
+    t0 = time.perf_counter()
+    transcripts = read_transcripts(gen_dir)
+    from neo4j_webgraph_ray.stages.derive import (
+        derive_conv_tool_edges,
+        derive_role_adjacency_edges,
+    )
+
+    # raw (pre-dedup) edge union: exact dedup folds into prepare's
+    # partition pass (src-ownership makes per-partition dedup global)
+    edges = derive_conv_tool_edges(transcripts).union(
+        derive_role_adjacency_edges(transcripts, num_buckets=num_parts)
+    )
+    engine = ActorSuperstepEngine(
+        workdir,
+        PageRankProgram(tol=1e-6),
+        num_partitions=num_parts,
+        max_steps=100,
+        checkpoint_every=int(os.environ.get("NWR_CHECKPOINT_EVERY", "1")),
+    )
+    engine.prepare(edges, dedup=True)
+    t_prepare = time.perf_counter() - t0
+    timings["headline_build_and_partition"] = round(t_prepare, 3)
+
+    if os.environ.get("NWR_PREPARE_ONLY"):
+        out.update({"value": round(t_prepare, 3), "queries": timings})
+        return out
+
+    t0 = time.perf_counter()
+    engine.run()
+    t_pr = time.perf_counter() - t0
+    timings["headline_pagerank"] = round(t_pr, 3)
+
+    manifest = load_manifest(workdir)
+    sup_steps = [s for s in manifest.steps if s.get("kind") != "init"]
+    n_edges = manifest.steps[0]["n_edges"]
+    n_vertices = manifest.steps[0]["n_vertices"]
+    mean_wall = sum(s["wall_sec"] for s in sup_steps) / max(1, len(sup_steps))
+    out.update(
+        {
+            "value": round(t_prepare + t_pr, 3),
+            "n_edges": n_edges,
+            "n_vertices": n_vertices,
+            "n_supersteps": len(sup_steps),
+            "status": manifest.status,
+            "edges_per_sec_per_superstep": round(n_edges / mean_wall, 1),
+            "mean_superstep_sec": round(mean_wall, 4),
+        }
+    )
+
+    # -- per-query timings over the testdata dir -------------------------
+    if os.environ.get("NWR_BENCH_ONLY") != "headline":
+        import __ray_entry__ as entrymod
+
+        Q = entrymod.queries()
+        for name in [
+            "vertices",
+            "top_in_degree",
+            "degree_threshold",
+            "count_by_kind",
+            "cross_kind_pattern",
+            "pagerank",
+            "connected_components",
+            "label_propagation",
+            "triangle_count",
+            "tool_cooccurrence",
+        ]:
+            t0 = time.perf_counter()
+            res = Q[name](sf_dir)
+            if hasattr(res, "materialize"):
+                res = res.materialize()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+    out["queries"] = timings
+    return out
+
+
+def run_prepared() -> dict:
+    """Run ONLY the superstep loop on an already-prepared workdir
+    (NWR_PREPARED_DIR) — the timed unit of the scaling comparison."""
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    workdir = os.environ["NWR_PREPARED_DIR"]
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from neo4j_webgraph_ray.pipelines.algorithms import PageRankProgram
+    from neo4j_webgraph_ray.state.checkpoint import load_manifest
+    from neo4j_webgraph_ray.state.superstep_actors import ActorSuperstepEngine
+
+    engine = ActorSuperstepEngine(
+        workdir,
+        PageRankProgram(tol=1e-6),
+        num_partitions=load_manifest(workdir).num_partitions,
+        max_steps=100,
+        checkpoint_every=int(os.environ.get("NWR_CHECKPOINT_EVERY", "1")),
+    )
+    t0 = time.perf_counter()
+    engine.run(resume=True)
+    wall = time.perf_counter() - t0
+    manifest = load_manifest(workdir)
+    sup = [s for s in manifest.steps if s.get("kind") != "init"]
+    n_edges = manifest.steps[0]["n_edges"]
+    mean_wall = sum(s["wall_sec"] for s in sup) / max(1, len(sup))
+    return {
+        "value": round(wall, 3),
+        "num_cpus": num_cpus,
+        "n_edges": n_edges,
+        "n_supersteps": len(sup),
+        "status": manifest.status,
+        "edges_per_sec_per_superstep": round(n_edges / mean_wall, 1),
+        "mean_superstep_sec": round(mean_wall, 4),
+    }
+
+
+def run_scaling() -> dict:
+    """N vs 4N evidence: prepare the partitioned graph once, then run
+    the identical superstep job at 8 and 32 CPUs in fresh processes on
+    copies of the same prepared workdir."""
+    import shutil
+
+    n_convs = int(os.environ.get("NWR_SCALING_CONVS", "2000000"))
+    num_parts = int(os.environ.get("NWR_NUM_PARTS", "32"))
+    template = f"/tmp/nwr_bench/scaling-template-{n_convs}-{num_parts}"
+
+    if not os.path.exists(os.path.join(template, "manifest.json")):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS="32",
+            NWR_BENCH_ONLY="headline",
+            NWR_BENCH_CONVS=str(n_convs),
+            NWR_NUM_PARTS=str(num_parts),
+            NWR_PREPARE_ONLY="1",
+            NWR_WORKDIR=template,
+        )
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+
+    results = {}
+    for ncpu in (8, 32):
+        rundir = f"/tmp/nwr_bench/scaling-run-{ncpu}"
+        if os.path.exists(rundir):
+            shutil.rmtree(rundir)
+        shutil.copytree(template, rundir)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            NWR_PREPARED_DIR=rundir,
+            NWR_CHECKPOINT_EVERY=os.environ.get("NWR_CHECKPOINT_EVERY", "1"),
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run-prepared"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    lo, hi = results[8], results[32]
+    thr_lo = lo["edges_per_sec_per_superstep"]
+    thr_hi = hi["edges_per_sec_per_superstep"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    return {
+        "metric": METRIC + "; scaling efficiency N->4N (8 vs 32 CPUs)",
+        "unit": "sec",
+        "value": hi["value"],
+        "n_convs": n_convs,
+        "num_partitions": num_parts,
+        "sec_8cpu": lo["value"],
+        "sec_32cpu": hi["value"],
+        "edges_per_sec_per_superstep_8cpu": thr_lo,
+        "edges_per_sec_per_superstep_32cpu": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+        "n_edges": hi["n_edges"],
+        "n_supersteps": hi["n_supersteps"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--run-prepared" in sys.argv:
+        result = run_prepared()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

@@ -65,6 +65,9 @@ class PageRankProgram(VertexProgram):
         dangling = float(state.loc[state["out_deg"] == 0, "rank"].sum())
         return {"dangling": dangling}
 
+    def payload_stats(self, state):
+        return {"dangling": float(state.loc[state["out_deg"] == 0, "rank"].sum())}
+
     def scatter_values(self, state):
         out_deg = state["out_deg"].to_numpy().astype(np.float64)
         rank = state["rank"].to_numpy()
@@ -174,6 +177,25 @@ class LabelPropagationProgram(VertexProgram):
 # -- public API -------------------------------------------------------------
 
 
+def _make_engine(
+    workdir: str,
+    program: VertexProgram,
+    num_partitions: int,
+    max_steps: int,
+    backend: str,
+    checkpoint_every: int = 1,
+) -> SuperstepEngine:
+    if backend == "actors":
+        from neo4j_webgraph_ray.state.superstep_actors import ActorSuperstepEngine
+
+        return ActorSuperstepEngine(
+            workdir, program, num_partitions, max_steps, checkpoint_every
+        )
+    if backend == "dataset":
+        return SuperstepEngine(workdir, program, num_partitions, max_steps)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
 def pagerank(
     edges: ray.data.Dataset,
     workdir: str,
@@ -182,10 +204,13 @@ def pagerank(
     tol: float = 1e-6,
     max_steps: int = 100,
     resume: bool = False,
+    backend: str = "actors",
+    checkpoint_every: int = 1,
 ) -> ray.data.Dataset:
     """Per-vertex PageRank scores: Dataset(id, out_deg, rank)."""
-    engine = SuperstepEngine(
-        workdir, PageRankProgram(damping, tol), num_partitions, max_steps
+    engine = _make_engine(
+        workdir, PageRankProgram(damping, tol), num_partitions, max_steps,
+        backend, checkpoint_every,
     )
     if not resume:
         engine.prepare(edges)
@@ -198,10 +223,13 @@ def connected_components(
     num_partitions: int = 16,
     max_steps: int = 200,
     resume: bool = False,
+    backend: str = "actors",
+    checkpoint_every: int = 1,
 ) -> ray.data.Dataset:
     """Weakly connected components: Dataset(id, label=min id in comp)."""
-    engine = SuperstepEngine(
-        workdir, ConnectedComponentsProgram(), num_partitions, max_steps
+    engine = _make_engine(
+        workdir, ConnectedComponentsProgram(), num_partitions, max_steps,
+        backend, checkpoint_every,
     )
     if not resume:
         engine.prepare(edges)
@@ -214,10 +242,13 @@ def label_propagation(
     num_partitions: int = 16,
     max_steps: int = 20,
     resume: bool = False,
+    backend: str = "actors",
+    checkpoint_every: int = 1,
 ) -> ray.data.Dataset:
     """Synchronous LPA communities: Dataset(id, label)."""
-    engine = SuperstepEngine(
-        workdir, LabelPropagationProgram(), num_partitions, max_steps
+    engine = _make_engine(
+        workdir, LabelPropagationProgram(), num_partitions, max_steps,
+        backend, checkpoint_every,
     )
     if not resume:
         engine.prepare(edges)

@@ -147,48 +147,57 @@ def generate_synthetic_transcripts(
             if n.endswith(".parquet"):
                 os.remove(os.path.join(out_dir, n))
 
-    rng = np.random.default_rng(seed)
-    roles = np.array(["user", "assistant", "tool", "system"], dtype=object)
-    # Zipf tool weights over ranked tool ids.
+    roles = np.array(["user", "assistant", "tool", "system"])
+    # Zipf tool weights over ranked tool ids — a few hub tools.
     w = 1.0 / np.arange(1, n_tools + 1) ** zipf_alpha
     w /= w.sum()
-
-    n_turns = rng.integers(2, max_turns + 1, size=n_convs)
-    total = int(n_turns.sum())
-    conv_rep = np.repeat(np.arange(n_convs), n_turns)
-    turn_idx = (np.arange(total) - np.repeat(np.cumsum(n_turns) - n_turns, n_turns)).astype(
-        np.int32
-    )
-    role_sel = roles[(conv_rep + turn_idx) % len(roles)]
-    # ~40% of turns invoke a tool, drawn from the Zipf distribution.
-    has_tool = rng.random(total) < 0.4
-    tool_ids = rng.choice(n_tools, size=total, p=w)
-    conv_ids = np.char.add("conv", conv_rep.astype(str)).astype(object)
-    tools = np.where(has_tool, np.char.add("tool", tool_ids.astype(str)), None)
-    h = (conv_rep * 1_000_003 + turn_idx * 7919) % 99_991
-    texts = np.array(
-        [f"{c}:{t}:{hh}" for c, t, hh in zip(conv_ids, turn_idx, h)], dtype=object
-    )
     base = np.datetime64("2025-01-01T00:00:00", "us")
-    ts = base + (conv_rep.astype("int64") * 3_600_000_000 + turn_idx * 30_000_000).astype(
-        "timedelta64[us]"
-    )
 
-    table = pa.table(
-        {
-            "conv_id": pa.array(conv_ids, type=pa.string()),
-            "turn_idx": pa.array(turn_idx, type=pa.int32()),
-            "role": pa.array(role_sel, type=pa.string()),
-            "text": pa.array(texts, type=pa.string()),
-            "tool": pa.array(tools, type=pa.string()),
-            "ts": pa.array(ts, type=pa.timestamp("us")),
-        }
-    )
-    for i, start in enumerate(range(0, total, rows_per_file)):
-        pq.write_table(
-            table.slice(start, rows_per_file),
-            os.path.join(out_dir, f"part-{i:05d}.parquet"),
+    # Chunked by conversation so multi-GB scales stream to disk; each
+    # chunk is seeded independently (seed + chunk index) => the output
+    # is deterministic for fixed (n_convs, seed, chunk size).
+    convs_per_chunk = max(1, rows_per_file // ((2 + max_turns) // 2))
+    file_i = 0
+    for chunk_i, c0 in enumerate(range(0, n_convs, convs_per_chunk)):
+        nc = min(convs_per_chunk, n_convs - c0)
+        rng = np.random.default_rng(seed + 7919 * chunk_i)
+        n_turns = rng.integers(2, max_turns + 1, size=nc)
+        total = int(n_turns.sum())
+        conv_rep = np.repeat(np.arange(c0, c0 + nc), n_turns)
+        turn_idx = (
+            np.arange(total) - np.repeat(np.cumsum(n_turns) - n_turns, n_turns)
+        ).astype(np.int32)
+        role_sel = roles[(conv_rep + turn_idx) % len(roles)]
+        has_tool = rng.random(total) < 0.4
+        tool_ids = rng.choice(n_tools, size=total, p=w)
+        conv_ids = np.char.add("conv", conv_rep.astype(np.str_))
+        tools_np = np.char.add("tool", tool_ids.astype(np.str_))
+        h = (conv_rep * 1_000_003 + turn_idx * 7919) % 99_991
+        texts = np.char.add(
+            np.char.add(conv_ids, ":"),
+            np.char.add(
+                np.char.add(turn_idx.astype(np.str_), ":"), h.astype(np.str_)
+            ),
         )
+        ts = base + (
+            conv_rep.astype("int64") * 3_600_000_000 + turn_idx * 30_000_000
+        ).astype("timedelta64[us]")
+        tool_arr = pa.Array.from_pandas(
+            pd.Series(tools_np).where(pd.Series(has_tool), other=None),
+            type=pa.string(),
+        )
+        table = pa.table(
+            {
+                "conv_id": pa.array(conv_ids, type=pa.string()),
+                "turn_idx": pa.array(turn_idx, type=pa.int32()),
+                "role": pa.array(role_sel, type=pa.string()),
+                "text": pa.array(texts, type=pa.string()),
+                "tool": tool_arr,
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+            }
+        )
+        pq.write_table(table, os.path.join(out_dir, f"part-{file_i:05d}.parquet"))
+        file_i += 1
     with open(manifest, "w") as f:
         f.write(stamp)
     return out_dir

@@ -87,6 +87,12 @@ class VertexProgram:
     def init_metrics(self, state: pd.DataFrame) -> dict[str, float]:
         return {}
 
+    def payload_stats(self, state: pd.DataFrame) -> dict[str, float]:
+        """Per-partition scalars attached to every scatter payload; the
+        gatherer sums them over its P inboxes to recover global values
+        (e.g. PageRank dangling mass) without a driver round-trip."""
+        return {}
+
     def converged(self, step_metrics: dict[str, float]) -> bool:
         raise NotImplementedError
 
@@ -235,10 +241,23 @@ class SuperstepEngine:
 
     # -- prepare ----------------------------------------------------------
 
-    def prepare(self, edges: ray.data.Dataset) -> Manifest:
+    def prepare(self, edges: ray.data.Dataset, dedup: bool = False) -> Manifest:
         """Partition edges by src, build initial vertex state, write
-        manifest step 0.  ``edges`` needs int64 ``src``/``dst`` columns;
-        it must already be deduplicated (A4/J3 are upstream stages)."""
+        manifest step 0.  ``edges`` needs int64 ``src``/``dst`` columns.
+
+        ``dedup=True`` folds exact (src, dst) dedup into the partition
+        write — every src key is owned by exactly one partition, so
+        per-partition dedup IS global dedup.  This saves a full shuffle
+        when the input is a raw (pre-dedup) edge derivation; it is only
+        valid for directed programs (for undirected the doubling happens
+        before partitioning, which would merge genuine multi-edges).
+        Input already deduplicated → leave the default.
+
+        The vertex/degree pass reads the freshly written partition files
+        back instead of re-executing the upstream derivation, so the
+        input pipeline executes exactly once end-to-end."""
+        if dedup and self.program.undirected:
+            raise ValueError("dedup-in-prepare is only supported for directed programs")
         P = self.num_partitions
         workdir = self.workdir
         os.makedirs(edges_dir(workdir), exist_ok=True)
@@ -260,6 +279,8 @@ class SuperstepEngine:
 
         def write_edge_part(df: pd.DataFrame) -> pd.DataFrame:
             part = int(df["part"].iloc[0])
+            if dedup:
+                df = df.drop_duplicates(["src", "dst"])
             df = df.sort_values("dst", kind="stable")  # dst-sorted => reduceat runs
             t = pa.table(
                 {
@@ -289,13 +310,12 @@ class SuperstepEngine:
             else 0,
         }
 
-        # vertex set + out-degree (directed orientation of the prepared
-        # edge table, i.e. post-doubling for undirected programs)
+        # vertex set + out-degree over the written partition files (the
+        # on-disk table is already doubled for undirected programs and
+        # deduped when requested — the upstream pipeline never re-runs)
         def endpoints(t: pa.Table) -> pa.Table:
             src = t["src"].to_numpy()
             dst = t["dst"].to_numpy()
-            if undirected:
-                src, dst = np.r_[src, dst], np.r_[dst, src]
             ids = np.r_[src, dst]
             out_c = np.r_[np.ones(len(src), dtype=np.int64), np.zeros(len(dst), dtype=np.int64)]
             # local combine
@@ -309,6 +329,7 @@ class SuperstepEngine:
                 }
             )
 
+        edges_on_disk = ray.data.read_parquet(edges_dir(workdir))
         program = self.program
         vdir = os.path.join(workdir, "vertices")
         os.makedirs(vdir, exist_ok=True)
@@ -326,7 +347,7 @@ class SuperstepEngine:
             return pd.DataFrame([{"part": part, "n_vertices": len(g)}])
 
         vparts = (
-            edges.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+            edges_on_disk.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("part")
             .map_groups(write_vertex_part, batch_format="pandas")
         ).to_pandas()
