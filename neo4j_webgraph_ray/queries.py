@@ -399,6 +399,37 @@ def q_tool_cooccurrence_triangles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_triangles": pd.array([n], dtype="int64")})
 
 
+def q_enrich_social(sf_dir: str) -> pd.DataFrame:
+    """Stub social-count enrichment over the vertex table — the
+    GraphObserver/actor-pool stage (T1): deterministic count written per
+    vertex, deterministic permanent failures left null (property-absent
+    analog) and routed to rejects."""
+    from neo4j_webgraph_ray.stages.enrich import StubSocialCountStage, enrich
+
+    _, vertices = graph(sf_dir)
+    out = enrich(
+        vertices.select_columns(["kind", "key"]),
+        StubSocialCountStage,
+        concurrency=2,
+        batch_size=2048,
+    )
+    df = out.to_pandas()[["kind", "key", "social_count"]]
+    df["social_count"] = df["social_count"].astype("Int64")
+    return df.sort_values(["kind", "key"]).reset_index(drop=True)
+
+
+ENRICH_ORACLE_SQL = (
+    GRAPH_SQL_PRELUDE
+    + """
+SELECT kind, "key",
+       CASE WHEN ascii(substr("key", length("key"), 1)) % 9 = 0 THEN NULL
+            ELSE 7 * length("key") + ascii(substr("key", 1, 1)) % 10
+       END AS social_count
+FROM vertices
+ORDER BY kind, "key"
+"""
+)
+
 _RECURSIVE_PRELUDE = GRAPH_SQL_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)
 
 CC_ORACLE_SQL = (
@@ -463,6 +494,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "triangle_count": q_triangle_count,
     "tool_cooccurrence": q_tool_cooccurrence,
     "tool_cooccurrence_triangles": q_tool_cooccurrence_triangles,
+    "enrich_social": q_enrich_social,
 }
 
 GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
@@ -472,6 +504,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "triangle_count": TRIANGLE_ORACLE_SQL,
     "tool_cooccurrence": TOOL_COOC_SQL,
     "tool_cooccurrence_triangles": TOOL_COOC_TRIANGLES_SQL,
+    "enrich_social": ENRICH_ORACLE_SQL,
 }
 
 RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {

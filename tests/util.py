@@ -24,7 +24,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith(("int", "Int", "uint")):
-            df[c] = df[c].astype("int64")
+            if df[c].isna().any():
+                df[c] = df[c].astype("float64")
+            else:
+                df[c] = df[c].astype("int64")
         elif str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(9)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
