@@ -31,10 +31,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         GRAPH_ANALYTICS_QUERIES,
         RELATIONAL_QUERIES,
     )
+    from neo4j_webgraph_ray.queries_docs import DOC_QUERIES
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(RELATIONAL_QUERIES)
     out.update(GRAPH_ANALYTICS_QUERIES)
+    out.update(DOC_QUERIES)
     return out
 
 
@@ -44,8 +46,10 @@ def oracle_sql() -> dict[str, str]:
         GRAPH_ANALYTICS_ORACLES,
         RELATIONAL_ORACLES,
     )
+    from neo4j_webgraph_ray.queries_docs import DOC_ORACLES
 
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
     out.update(GRAPH_ANALYTICS_ORACLES)
+    out.update(DOC_ORACLES)
     return out

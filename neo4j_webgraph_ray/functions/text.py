@@ -1,0 +1,154 @@
+"""Text-analysis scalar functions for the documents pipeline.
+
+The reference's scalar-function surface is URL parsing + regex filters
+(``util/UrlUtil.java:16-81``, ``importer/HtmlOnlyCrawler.java:22-24``);
+this module is the equivalent vectorized function layer for a
+training-data pipeline over the ``documents`` table: token counting
+(whitespace + word-regex), quality metrics, language-ID (stopword
+heuristic), and document fingerprinting (Karp-Rabin rolling hash
+min-sketch).  Everything is pyarrow.compute / numpy kernels — no Python
+loop over rows in the counting paths.
+
+Where a function is SQL-expressible the matching DuckDB expression is
+kept adjacent (queries.py oracles) with IDENTICAL semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+WORD_REGEX = r"[A-Za-z0-9]+"
+PUNCT_REGEX = r"[.,!?;:]"
+
+# tiny per-language stopword lists (heuristic language-ID)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "es": ["el", "los", "que", "es", "y"],
+    "fr": ["le", "les", "et", "est", "des"],
+}
+
+
+def _count_regex(text: pa.ChunkedArray | pa.Array, pattern: str) -> np.ndarray:
+    return pc.count_substring_regex(text, pattern).to_numpy(zero_copy_only=False)
+
+
+def ws_token_count(text) -> np.ndarray:
+    """Whitespace tokens, identical to DuckDB
+    ``len(string_split_regex(trim(text), '\\s+'))``."""
+    trimmed = pc.utf8_trim_whitespace(text)
+    return pc.list_value_length(
+        pc.split_pattern_regex(trimmed, r"\s+")
+    ).to_numpy(zero_copy_only=False)
+
+
+def word_token_count(text) -> np.ndarray:
+    """BPE-ish word tokens: ``[A-Za-z0-9]+`` matches — DuckDB
+    ``len(regexp_extract_all(text, '[A-Za-z0-9]+'))``."""
+    return _count_regex(text, WORD_REGEX)
+
+
+def punct_count(text) -> np.ndarray:
+    return _count_regex(text, PUNCT_REGEX)
+
+
+def stopword_counts(text) -> dict[str, np.ndarray]:
+    """Per-language word-boundary stopword match counts."""
+    return {
+        lang: _count_regex(text, r"\b(" + "|".join(words) + r")\b")
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def quality_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality-scoring metrics per document: token/punct/stopword counts
+    plus derived ratios (IEEE float division — bit-identical to the SQL
+    oracle's expression)."""
+    text = batch[text_col]
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_ws = ws_token_count(text).astype(np.int64)
+    n_words = word_token_count(text).astype(np.int64)
+    n_punct = punct_count(text).astype(np.int64)
+    n_stop_en = stopword_counts(text)["en"].astype(np.int64)
+    stop_ratio = n_stop_en.astype(np.float64) / np.maximum(n_ws, 1)
+    avg_token_len = n_chars.astype(np.float64) / np.maximum(n_ws, 1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(n_chars),
+            "n_ws_tokens": pa.array(n_ws),
+            "n_word_tokens": pa.array(n_words),
+            "n_punct": pa.array(n_punct),
+            "n_stop_en": pa.array(n_stop_en),
+            "stop_ratio": pa.array(stop_ratio),
+            "avg_token_len": pa.array(avg_token_len),
+        }
+    )
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic language-ID: argmax of per-language stopword counts,
+    ties broken by language code order (alphabetical), zero matches →
+    'unknown'.  Deterministic and SQL-expressible."""
+    text = batch[text_col]
+    counts = stopword_counts(text)
+    langs = sorted(counts)  # alphabetical tie-break
+    mat = np.stack([counts[lg] for lg in langs], axis=1)
+    best_idx = np.argmax(mat, axis=1)  # first max → alphabetical tie-break
+    best_cnt = mat[np.arange(len(mat)), best_idx]
+    pred = np.where(best_cnt > 0, np.array(langs, dtype=object)[best_idx], "unknown")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array(pred, type=pa.string()),
+        }
+    )
+
+
+# -- fingerprinting (rolling hash) ------------------------------------------
+
+_FP_BASE = np.uint64(1_000_003)
+_FP_MOD_MASK = np.uint64((1 << 61) - 1)
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
+
+
+def doc_fingerprint(text: str, k: int = 3) -> int:
+    """Karp-Rabin style fingerprint: minimum rolling hash over word
+    k-grams (winnowing min-sketch, window = whole doc).  Equal fingerprints
+    strongly indicate shared k-gram content; used as a cheap near-dup
+    prefilter.  Shorter-than-k docs hash the whole token sequence."""
+    tokens = text.split()
+    h = _token_hashes(tokens)
+    if len(h) == 0:
+        return 0
+    if len(h) < k:
+        acc = np.uint64(0)
+        for x in h:
+            acc = (acc * _FP_BASE + x) & _FP_MOD_MASK
+        return int(acc)
+    # vectorized k-gram rolling hashes: sum of base^j * h[i+j]
+    weights = np.array(
+        [int(_FP_BASE) ** j & ((1 << 64) - 1) for j in range(k)], dtype=np.uint64
+    )
+    n = len(h) - k + 1
+    grams = np.lib.stride_tricks.sliding_window_view(h, k)
+    vals = (grams * weights).sum(axis=1, dtype=np.uint64) & _FP_MOD_MASK
+    return int(vals.min())
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text", k: int = 3) -> pa.Table:
+    texts = batch[text_col].to_numpy(zero_copy_only=False)
+    fps = np.fromiter(
+        (doc_fingerprint(t if t is not None else "", k) for t in texts),
+        dtype=np.uint64,
+        count=len(texts),
+    ).view(np.int64)
+    return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps)})

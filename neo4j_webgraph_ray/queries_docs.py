@@ -1,0 +1,216 @@
+"""Driver-contract queries for the documents/embeddings pipeline family:
+text analysis, dedup (exact + near-dup), and similarity search — each a
+Ray Data pipeline over the testdata tables, with DuckDB oracles where
+SQL-expressible (token counts, quality, lang-id, exact dedup, cosine
+ANN / near-dup) and rows-only checks otherwise (MinHash/SimHash/n-gram
+near-dup, fingerprints — validated against brute-force oracles in
+pytest instead)."""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from neo4j_webgraph_ray.functions.text import (
+    LANG_STOPWORDS,
+    fingerprint_batch,
+    lang_id,
+    quality_metrics,
+)
+from neo4j_webgraph_ray.stages.dedup import (
+    exact_text_dedup,
+    minhash_neardup_pairs,
+    simhash_neardup_pairs,
+)
+from neo4j_webgraph_ray.stages.similarity import (
+    ann_topk_bruteforce,
+    ann_topk_lsh,
+    embedding_neardup_pairs,
+)
+
+ANN_QUERY_IDS = [0, 3, 11, 42, 99]
+ANN_K = 10
+NEARDUP_TAU = 0.8
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _emb(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Token counting: whitespace + word-regex tokens per doc (M-ops
+    analog over documents)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        q = quality_metrics(batch)
+        return q.select(["doc_id", "n_ws_tokens", "n_word_tokens"])
+
+    return _docs(sf_dir).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_quality(sf_dir: str) -> ray.data.Dataset:
+    """Quality-scoring metrics (length / punct / stopword ratios)."""
+    return _docs(sf_dir).map_batches(
+        quality_metrics, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Stopword-heuristic language ID."""
+    return _docs(sf_dir).map_batches(
+        lang_id, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Rolling-hash document fingerprints (rows-only check; properties
+    tested against the single-node implementation in pytest)."""
+    return _docs(sf_dir).map_batches(
+        fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
+    """Exact text dedup — surviving doc_id = min id per distinct text
+    (A4 get-or-create semantics on documents)."""
+    return exact_text_dedup(_docs(sf_dir), num_buckets=16)
+
+
+def q_minhash_neardup(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-duplicate pairs (word 3-shingles, Jaccard >=
+    0.5): shingle → minhash → band → bucket groupby → exact verify."""
+    out = minhash_neardup_pairs(_docs(sf_dir), tau=0.5).to_pandas()
+    return out[["a", "b"]].sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_ngram_jaccard_neardup(sf_dir: str) -> pd.DataFrame:
+    """Character-3-gram Jaccard near-dup pairs (>= 0.6) via the same
+    LSH pipeline with char shingles."""
+    out = minhash_neardup_pairs(_docs(sf_dir), tau=0.6, char=True).to_pandas()
+    return out[["a", "b"]].sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_simhash_neardup(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3, 4×16-bit band blocking)."""
+    out = simhash_neardup_pairs(_docs(sf_dir), max_hamming=3).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-k per query vector (numpy matmul per batch
+    against the broadcast query matrix)."""
+    return ann_topk_bruteforce(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
+    """Hyperplane-LSH-bucketed approximate top-k (scale path; recall vs
+    brute force asserted in pytest — rows-only driver check)."""
+    return ann_topk_lsh(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, n_planes=8)
+
+
+def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-duplicate pairs: cosine >= 0.8."""
+    return embedding_neardup_pairs(_emb(sf_dir), tau=NEARDUP_TAU)[["a", "b"]]
+
+
+_STOP_RE = {lg: r"\b(" + "|".join(ws) + r")\b" for lg, ws in LANG_STOPWORDS.items()}
+
+QUALITY_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word_tokens,
+       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+       len(regexp_extract_all(text, '{_STOP_RE["en"]}')) AS n_stop_en,
+       CAST(n_stop_en AS DOUBLE) / greatest(n_ws_tokens, 1) AS stop_ratio,
+       CAST(n_chars AS DOUBLE) / greatest(n_ws_tokens, 1) AS avg_token_len
+FROM documents
+"""
+
+LANG_ID_SQL = f"""
+WITH counts AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_STOP_RE["de"]}')) AS c_de,
+           len(regexp_extract_all(text, '{_STOP_RE["en"]}')) AS c_en,
+           len(regexp_extract_all(text, '{_STOP_RE["es"]}')) AS c_es,
+           len(regexp_extract_all(text, '{_STOP_RE["fr"]}')) AS c_fr
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'unknown'
+            WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+            WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM counts
+"""
+
+ANN_IDS_SQL = ", ".join(str(i) for i in ANN_QUERY_IDS)
+
+ANN_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN ({ANN_IDS_SQL})),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])), 6) AS cos
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+EMB_NEARDUP_SQL = f"""
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= {NEARDUP_TAU}
+"""
+
+DOC_QUERIES: dict[str, Callable[[str], object]] = {
+    "token_counts": q_token_counts,
+    "quality_metrics": q_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "minhash_neardup": q_minhash_neardup,
+    "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+DOC_ORACLES: dict[str, str] = {
+    "token_counts": (
+        "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens, "
+        "len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word_tokens FROM documents"
+    ),
+    "quality_metrics": QUALITY_SQL,
+    "lang_id": LANG_ID_SQL,
+    "dedup_exact_docs": (
+        'SELECT min(doc_id) AS doc_id FROM documents GROUP BY text'
+    ),
+    "ann_topk": ANN_TOPK_SQL,
+    "embedding_neardup": EMB_NEARDUP_SQL,
+    # doc_fingerprints / minhash / ngram / simhash / ann_topk_lsh:
+    # non-SQL-expressible — rows-only; brute-force oracles in pytest.
+}

@@ -1,0 +1,393 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash.
+
+The reference's only set-uniqueness operators are exact URL/edge dedup
+(SURVEY.md §2.7, ``TransactionalGraphImporter.java:206-220``); a 100 TB
+training-data pipeline additionally needs near-duplicate detection.
+All operators here follow the same scale shape:
+
+- signatures computed per batch in ``map_batches`` (numpy-vectorized
+  per document, constants built once);
+- candidate generation via bucketed hash shuffles (LSH band buckets /
+  SimHash bands) — never an all-pairs comparison;
+- exact verification only on the (small) candidate set.
+
+Shuffle keys: text-hash (exact), (band_id, band_hash) (MinHash LSH),
+(band_id, 16-bit band) (SimHash).  Hot buckets (boilerplate text) are
+bounded by ``max_bucket`` with a logged drop count — no silent cap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from neo4j_webgraph_ray.ids import hash64
+from neo4j_webgraph_ray.stages.core import BUCKET_COL, add_bucket_column, bucketed_groupby
+
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_text_dedup(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact dedup: keep the smallest id per distinct text.  The text
+    itself never crosses the shuffle — only its 64-bit hash (collision
+    note in ids.py applies)."""
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "h": hash64(texts),
+                id_col: batch[id_col].to_numpy(zero_copy_only=False),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("h", as_index=False, sort=False)[id_col].min()
+
+    out = bucketed_groupby(
+        docs.map_batches(project, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"],
+        combine,
+        num_buckets=num_buckets,
+    )
+    return out.map_batches(lambda df: df[[id_col]], batch_format="pandas")
+
+
+# -- shingling & MinHash ----------------------------------------------------
+
+
+def _shingle_hashes(text: str, k: int, char: bool) -> np.ndarray:
+    """uint64 hashes of the k-shingles (word or character) of a text."""
+    if char:
+        units = np.array([text[i : i + k] for i in range(max(1, len(text) - k + 1))],
+                         dtype=object)
+        return pd.util.hash_array(units).astype(np.uint64)
+    tokens = text.split()
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    th = pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
+    if len(th) < k:
+        th = np.pad(th, (0, k - len(th)), constant_values=np.uint64(11))
+    grams = np.lib.stride_tricks.sliding_window_view(th, k)
+    base = np.uint64(1_000_003)
+    w = np.array([int(base) ** j & ((1 << 64) - 1) for j in range(k)], dtype=np.uint64)
+    return (grams * w).sum(axis=1, dtype=np.uint64)
+
+
+def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE61), size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, int(_MERSENNE61), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm minima of (a*x + b) mod 2^61-1 over the shingle set."""
+    if len(shingles) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = shingles & _MERSENNE61
+    vals = (a[:, None] * x[None, :] + b[:, None]) & _MERSENNE61  # wraps mod 2^64 — fixed keyed mixing, fine for hashing
+    return vals.min(axis=1)
+
+
+class MinHasher:
+    """Actor-pool stage: permutation constants built once per actor."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, char: bool = False,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.a, self.b = _minhash_params(num_perm)
+        self.k = shingle_k
+        self.char = char
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_numpy(zero_copy_only=False)
+        sigs = np.stack(
+            [
+                minhash_signature(
+                    _shingle_hashes(t if t is not None else "", self.k, self.char),
+                    self.a,
+                    self.b,
+                )
+                for t in texts
+            ]
+        ).view(np.int64)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.ravel(), type=pa.int64()), len(self.a)
+                ),
+            }
+        )
+
+
+def minhash_signatures(
+    docs: ray.data.Dataset, num_perm: int = 64, shingle_k: int = 3,
+    char: bool = False, text_col: str = "text", id_col: str = "doc_id",
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    return docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, shingle_k=shingle_k, char=char,
+            text_col=text_col, id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: ray.data.Dataset, bands: int = 16, id_col: str = "doc_id",
+    num_buckets: int = 64, max_bucket: int = 2000,
+) -> ray.data.Dataset:
+    """Band the signatures, bucket by (band, band-hash), emit candidate
+    pairs per bucket.  Buckets larger than ``max_bucket`` (degenerate
+    boilerplate clusters) contribute their first ``max_bucket`` members
+    and log the drop — bounded skew, no silent truncation."""
+
+    def band_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sig = np.stack(batch["sig"].to_numpy(zero_copy_only=False)).view(np.uint64)
+        num_perm = sig.shape[1]
+        r = num_perm // bands
+        out_band, out_hash, out_id = [], [], []
+        base = np.uint64(1_000_003)
+        w = np.array([int(base) ** j & ((1 << 64) - 1) for j in range(r)], dtype=np.uint64)
+        for bi in range(bands):
+            chunk = sig[:, bi * r : (bi + 1) * r]
+            bh = (chunk * w).sum(axis=1, dtype=np.uint64).view(np.int64)
+            out_band.append(np.full(len(ids), bi, dtype=np.int32))
+            out_hash.append(bh)
+            out_id.append(ids)
+        return pd.DataFrame(
+            {
+                "band": np.concatenate(out_band),
+                "bh": np.concatenate(out_hash),
+                id_col: np.concatenate(out_id),
+            }
+        )
+
+    rows = sigs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        xs, ys = [], []
+        dropped = 0
+        for _, g in df.groupby(["band", "bh"], sort=False):
+            ids = np.unique(g[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:
+                dropped += len(ids) - max_bucket
+                ids = ids[:max_bucket]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            xs.append(ids[iu])
+            ys.append(ids[ju])
+        if dropped:
+            print(f"[lsh] degenerate bucket: dropped {dropped} members beyond {max_bucket}")
+        if not xs:
+            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+        return pd.DataFrame(
+            {"a": np.concatenate(xs), "b": np.concatenate(ys)}
+        ).drop_duplicates()
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return add_bucket_column(df, ["band", "bh"], num_buckets)
+
+    staged = rows.map_batches(local, batch_format="pandas")
+    pairs = staged.groupby(BUCKET_COL).map_groups(pairs_per_bucket, batch_format="pandas")
+    return bucketed_groupby(
+        pairs, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"]),
+        num_buckets=num_buckets,
+    )
+
+
+def verify_jaccard(
+    pairs: ray.data.Dataset, docs: ray.data.Dataset, tau: float,
+    shingle_k: int = 3, char: bool = False,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exact shingle-set Jaccard for each candidate pair; keep >= tau.
+
+    The candidate doc set is small after LSH, so texts are broadcast
+    (``ray.put`` once, read per task) — the documented scale path for a
+    candidate set that outgrows one node is a two-sided co-group join
+    of pairs against the docs table on each endpoint."""
+    need = set()
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        need.update(b["a"].to_pylist())
+        need.update(b["b"].to_pylist())
+    if not need:
+        return pairs.map_batches(
+            lambda t: pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            ),
+            batch_format="pyarrow",
+        )
+    need_arr = pa.array(list(need), type=pa.int64())
+
+    def keep_needed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch[id_col], value_set=need_arr)).select(
+            [id_col, text_col]
+        )
+
+    texts = {}
+    for b in docs.map_batches(keep_needed, batch_format="pyarrow").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        texts.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
+    ref = ray.put(texts)
+    k, is_char = shingle_k, char
+
+    def verify(batch: pa.Table) -> pa.Table:
+        tx = ray.get(ref)
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        jac = np.zeros(len(a))
+        for i in range(len(a)):
+            sa = np.unique(_shingle_hashes(tx.get(int(a[i]), ""), k, is_char))
+            sb = np.unique(_shingle_hashes(tx.get(int(b[i]), ""), k, is_char))
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 0.0
+        keep = jac >= tau
+        return pa.table(
+            {
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_neardup_pairs(
+    docs: ray.data.Dataset, tau: float = 0.7, num_perm: int = 64,
+    bands: int = 16, shingle_k: int = 3, char: bool = False,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """shingle → minhash → band → bucket groupby → verify: the full
+    near-dup pipeline (word shingles; ``char=True`` gives the n-gram
+    Jaccard variant)."""
+    sigs = minhash_signatures(
+        docs, num_perm=num_perm, shingle_k=shingle_k, char=char,
+        text_col=text_col, id_col=id_col,
+    )
+    cand = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
+    return verify_jaccard(
+        cand, docs, tau, shingle_k=shingle_k, char=char,
+        text_col=text_col, id_col=id_col,
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (hash votes per bit)."""
+    tokens = text.split()
+    if not tokens:
+        return 0
+    h = pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for j in range(64):
+        if votes[j] > 0:
+            out |= np.uint64(1) << np.uint64(j)
+    return int(out.view(np.int64) if hasattr(out, "view") else out)
+
+
+def simhash_signatures(
+    docs: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        sh = np.fromiter(
+            (simhash64(t if t is not None else "") for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return pa.table({id_col: batch[id_col], "simhash": pa.array(sh)})
+
+    return docs.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_neardup_pairs(
+    docs: ray.data.Dataset, max_hamming: int = 3,
+    text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, found by
+    4×16-bit band blocking (pigeonhole: <=3 differing bits leave at
+    least one band identical) and verified by popcount."""
+    sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col)
+
+    def band_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        frames = []
+        for bi in range(4):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "band": np.full(len(ids), bi, dtype=np.int32),
+                        "bh": ((sh >> np.uint64(16 * bi)) & np.uint64(0xFFFF)).astype(np.int64),
+                        id_col: ids,
+                        "simhash": sh.view(np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    rows = sigs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        xs, ys = [], []
+        for _, g in df.groupby(["band", "bh"], sort=False):
+            g = g.drop_duplicates(id_col).sort_values(id_col)
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            hs = g["simhash"].to_numpy().view(np.uint64)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            ham = np.array(
+                [bin(int(hs[i] ^ hs[j])).count("1") for i, j in zip(iu, ju)]
+            )
+            keep = ham <= max_hamming
+            xs.append(ids[iu[keep]])
+            ys.append(ids[ju[keep]])
+        if not xs:
+            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+        return pd.DataFrame(
+            {"a": np.concatenate(xs), "b": np.concatenate(ys)}
+        ).drop_duplicates()
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return add_bucket_column(df, ["band", "bh"], num_buckets)
+
+    staged = rows.map_batches(local, batch_format="pandas")
+    pairs = staged.groupby(BUCKET_COL).map_groups(pairs_per_bucket, batch_format="pandas")
+    return bucketed_groupby(
+        pairs, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"]),
+        num_buckets=num_buckets,
+    )

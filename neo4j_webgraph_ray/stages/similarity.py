@@ -1,0 +1,243 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — a numpy matmul per batch against a
+broadcast, L2-normalized query matrix (``ray.put`` once, read in every
+task; never re-shipped per batch).  Scale path: random-hyperplane LSH
+bucketing — vectors are routed to sign-pattern buckets (multi-probe on
+the query side), so each query only scans its probe buckets.
+
+Determinism for oracle parity: cosines are rounded to 6 decimals before
+ranking and ties broken by vec_id, so float summation-order noise can
+not reorder results vs the DuckDB ``list_cosine_similarity`` oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    return np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-30)
+
+
+def collect_queries(
+    embeddings: ray.data.Dataset, query_ids: list[int],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, normalized matrix) for the requested query vectors."""
+    qset = pa.array(query_ids, type=pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch[id_col], value_set=qset))
+
+    rows = []
+    ids = []
+    for b in embeddings.map_batches(keep, batch_format="pyarrow").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            ids.append(b[id_col].to_numpy(zero_copy_only=False))
+            rows.append(_matrix(b, vec_col))
+    qids = np.concatenate(ids)
+    order = np.argsort(qids)
+    return qids[order], _normalize(np.concatenate(rows))[order]
+
+
+def ann_topk_bruteforce(
+    embeddings: ray.data.Dataset, query_ids: list[int], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    include_self: bool = False,
+) -> pd.DataFrame:
+    """Exact cosine top-k per query: per-batch matmul against the
+    broadcast query matrix, per-batch partial top-k, tiny final merge.
+    Output: (query_id, neighbor_id, rank) with rank 1..k."""
+    qids, qmat = collect_queries(embeddings, query_ids, id_col, vec_col)
+    qref = ray.put((qids, qmat))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q = ray.get(qref)
+        m = _normalize(_matrix(batch, vec_col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cos = np.round(q @ m.T, 6)  # (Q, n)
+        out_q, out_n, out_c = [], [], []
+        kk = min(k + (0 if include_self else 1), cos.shape[1])
+        for qi in range(len(q_ids)):
+            row = cos[qi]
+            top = np.argpartition(-row, kk - 1)[:kk]
+            out_q.append(np.full(len(top), q_ids[qi], dtype=np.int64))
+            out_n.append(ids[top])
+            out_c.append(row[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    parts = embeddings.map_batches(
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if not include_self:
+        parts = parts[parts["query_id"] != parts["neighbor_id"]]
+    parts = parts.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True],
+        kind="stable",
+    )
+    top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]]
+
+
+def embedding_neardup_pairs(
+    embeddings: ray.data.Dataset, tau: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """All pairs (a < b) with cosine >= tau.  The full (normalized)
+    matrix is broadcast once and each task compares its batch against
+    it — O(n²) work split across tasks without an all-pairs shuffle;
+    the LSH-bucketed variant below is the >memory scale path."""
+    ids_all, mat_all = [], []
+    for b in embeddings.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids_all.append(b[id_col].to_numpy(zero_copy_only=False))
+        mat_all.append(_matrix(b, vec_col))
+    ids_all = np.concatenate(ids_all)
+    mat_all = _normalize(np.concatenate(mat_all))
+    ref = ray.put((ids_all, mat_all))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_m = ray.get(ref)
+        m = _normalize(_matrix(batch, vec_col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cos = np.round(m @ all_m.T, 6)
+        bi, aj = np.nonzero(cos >= tau)
+        a = ids[bi]
+        b_ = all_ids[aj]
+        keep = a < b_  # each unordered pair once
+        return pa.table(
+            {
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b_[keep], type=pa.int64()),
+                "cos": pa.array(cos[bi, aj][keep]),
+            }
+        )
+
+    out = embeddings.map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if "a" not in out.columns:  # empty result loses its schema via to_pandas
+        out = pd.DataFrame({"a": pd.array([], dtype="int64"),
+                            "b": pd.array([], dtype="int64"),
+                            "cos": pd.array([], dtype="float64")})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+class HyperplaneLsh:
+    """Random-hyperplane LSH for the bucketed ANN scale path: vectors
+    are routed to ``sign(v @ H)`` bit-pattern buckets."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.h = rng.standard_normal((dim, n_planes))
+        self.n_planes = n_planes
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.h) > 0
+        return (bits * (1 << np.arange(self.n_planes))).sum(axis=1).astype(np.int64)
+
+    def probe_buckets(self, v: np.ndarray, flips: int = 2) -> np.ndarray:
+        """Multi-probe: the query's bucket plus all buckets within
+        ``flips`` sign flips."""
+        base = int(self.bucket(v[None, :])[0])
+        out = [base]
+        if flips >= 1:
+            out += [base ^ (1 << j) for j in range(self.n_planes)]
+        if flips >= 2:
+            out += [
+                base ^ (1 << j) ^ (1 << i)
+                for j in range(self.n_planes)
+                for i in range(j + 1, self.n_planes)
+            ]
+        return np.unique(np.array(out, dtype=np.int64))
+
+
+def ann_topk_lsh(
+    embeddings: ray.data.Dataset, query_ids: list[int], k: int = 10,
+    n_planes: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Approximate top-k: hyperplane-bucket the corpus (one shuffle),
+    then scan only each query's probe buckets.  Recall measured against
+    the brute-force baseline in tests."""
+    first = next(iter(embeddings.iter_batches(batch_size=1, batch_format="pyarrow")))
+    dim = len(first[vec_col][0].as_py())
+    lsh = HyperplaneLsh(dim, n_planes)
+    qids, qmat = collect_queries(embeddings, query_ids, id_col, vec_col)
+    probe_sets = {
+        int(qids[i]): lsh.probe_buckets(qmat[i]) for i in range(len(qids))
+    }
+    wanted = np.unique(np.concatenate(list(probe_sets.values())))
+    wanted_arr = pa.array(wanted.tolist(), type=pa.int64())
+    qref = ray.put((qids, qmat, probe_sets))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = _normalize(_matrix(batch, vec_col))
+        buckets = lsh.bucket(m)
+        t = batch.append_column("bucket", pa.array(buckets))
+        return t.filter(pc.is_in(t["bucket"], value_set=wanted_arr))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q_ids, q, probes = ray.get(qref)
+        m = _normalize(_matrix(batch, vec_col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        buckets = batch["bucket"].to_numpy(zero_copy_only=False)
+        out_q, out_n, out_c = [], [], []
+        for qi in range(len(q_ids)):
+            mask = np.isin(buckets, probes[int(q_ids[qi])])
+            if not mask.any():
+                continue
+            row = np.round(q[qi] @ m[mask].T, 6)
+            sub_ids = ids[mask]
+            kk = min(k + 1, len(sub_ids))
+            top = np.argpartition(-row, kk - 1)[:kk]
+            out_q.append(np.full(len(top), q_ids[qi], dtype=np.int64))
+            out_n.append(sub_ids[top])
+            out_c.append(row[top])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    parts = (
+        embeddings.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    parts = parts[parts["query_id"] != parts["neighbor_id"]]
+    parts = parts.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True],
+        kind="stable",
+    ).drop_duplicates(["query_id", "neighbor_id"])
+    top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]]

@@ -1,0 +1,130 @@
+"""ANN similarity search vs brute-force numpy oracle; multimodal stage
+plumbing with the deterministic fake codec."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from neo4j_webgraph_ray.stages.multimodal import (
+    DecodeStage,
+    decode_features,
+    sample_frames,
+    synthesize_binary_items,
+)
+from neo4j_webgraph_ray.stages.similarity import (
+    ann_topk_bruteforce,
+    ann_topk_lsh,
+    embedding_neardup_pairs,
+)
+
+
+def emb_ds(n=200, dim=16, seed=3, with_dups=True):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim))
+    if with_dups:
+        m[1] = m[0] + 1e-4 * rng.standard_normal(dim)  # near-dup pair (0,1)
+        m[7] = m[5]  # exact dup (5,7)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.astype(np.float32).ravel()), dim
+            ),
+        }
+    )
+    return ray.data.from_arrow(t), m
+
+
+def brute_topk(m, qids, k):
+    mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        cos = np.round(mm[q] @ mm.T, 6).astype(np.float64)
+        order = sorted(
+            (i for i in range(len(m)) if i != q), key=lambda i: (-cos[i], i)
+        )
+        out[q] = order[:k]
+    return out
+
+
+def test_ann_bruteforce_matches_numpy_oracle():
+    ds, m = emb_ds()
+    m64 = m.astype(np.float32).astype(np.float64)  # match stored precision
+    qids = [0, 3, 11]
+    got = ann_topk_bruteforce(ds, qids, k=5)
+    oracle = brute_topk(m64, qids, 5)
+    for q in qids:
+        mine = got[got["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert mine == oracle[q], f"query {q}"
+
+
+def test_embedding_neardup():
+    ds, _ = emb_ds()
+    pairs = embedding_neardup_pairs(ds, tau=0.99)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 1) in got and (5, 7) in got
+    # random 16-dim vectors essentially never reach cos >= 0.99
+    assert got == {(0, 1), (5, 7)}
+
+
+def clustered_ds(n_clusters=20, per_cluster=20, dim=16, seed=5):
+    """Planted clusters — the regime LSH is for (random gaussian data
+    has near-uniform cosines and no LSH can beat scan-fraction there)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 3
+    m = np.repeat(centers, per_cluster, axis=0) + 0.3 * rng.standard_normal(
+        (n_clusters * per_cluster, dim)
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.astype(np.float32).ravel()), dim
+            ),
+        }
+    )
+    return ray.data.from_arrow(t), m
+
+
+def test_ann_lsh_recall():
+    ds, m = clustered_ds()
+    m64 = m.astype(np.float32).astype(np.float64)
+    qids = [0, 25, 111, 342]
+    oracle = brute_topk(m64, qids, 10)
+    got = ann_topk_lsh(ds, qids, k=10, n_planes=10)
+    recalls = []
+    for q in qids:
+        mine = set(got[got["query_id"] == q]["neighbor_id"])
+        recalls.append(len(mine & set(oracle[q])) / 10)
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_multimodal_decode_plumbing():
+    items = ray.data.from_arrow(synthesize_binary_items(32))
+    out = decode_features(items, resize_to=(8, 8), concurrency=2, batch_size=8).to_pandas()
+    assert len(out) == 32
+    assert (out["out_width"] == 8).all() and (out["out_height"] == 8).all()
+    assert out["mean_color"].map(len).eq(3).all()
+    # deterministic: same payload -> same features
+    out2 = decode_features(
+        ray.data.from_arrow(synthesize_binary_items(32)), resize_to=(8, 8)
+    ).to_pandas()
+    a = np.stack(out.sort_values("item_id")["mean_color"].to_numpy())
+    b = np.stack(out2.sort_values("item_id")["mean_color"].to_numpy())
+    assert np.array_equal(a, b)
+
+
+def test_multimodal_real_codec_stubbed():
+    with pytest.raises(NotImplementedError, match="image library"):
+        DecodeStage(codec="pil")
+
+
+def test_frame_sampling():
+    items = ray.data.from_arrow(synthesize_binary_items(8, seed=1))
+    frames = sample_frames(items, frame_bytes=128, stride=2).to_pandas()
+    assert (frames["frame_idx"] % 2 == 0).all()
+    assert frames["frame"].map(len).le(128).all()
+    assert set(frames["item_id"]) == set(range(8))

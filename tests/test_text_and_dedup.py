@@ -1,0 +1,150 @@
+"""Text-analysis functions + dedup family vs brute-force oracles."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from neo4j_webgraph_ray.functions.text import (
+    doc_fingerprint,
+    fingerprint_batch,
+    lang_id,
+    quality_metrics,
+    word_token_count,
+    ws_token_count,
+)
+from neo4j_webgraph_ray.stages.dedup import (
+    _shingle_hashes,
+    exact_text_dedup,
+    minhash_neardup_pairs,
+    simhash64,
+    simhash_neardup_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat again and again today"),  # near dup of 0
+    (3, "completely different content about database engines and shuffles"),
+    (4, "unrelated text mentioning gardens flowers and bees everywhere"),
+    (5, "completely different content about database engines and sharding"),  # near dup of 3
+]
+
+
+def docs_ds():
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in DOCS], type=pa.int64()),
+                "text": pa.array([d[1] for d in DOCS]),
+            }
+        )
+    )
+
+
+def brute_jaccard(a: str, b: str, k=3, char=False) -> float:
+    sa = set(np.unique(_shingle_hashes(a, k, char)))
+    sb = set(np.unique(_shingle_hashes(b, k, char)))
+    if not sa and not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_token_counts_match_python():
+    texts = pa.array(["a b  c", "  x ", "one,two three!", ""])
+    assert list(ws_token_count(texts)) == [3, 1, 2, 1]  # split on \s+ after trim
+    assert list(word_token_count(texts)) == [3, 1, 3, 0]
+
+
+def test_quality_metrics():
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["the cat, and the dog sat."])})
+    q = quality_metrics(t).to_pandas().iloc[0]
+    assert q["n_ws_tokens"] == 6
+    assert q["n_punct"] == 2  # ',' and '.'
+    assert q["n_stop_en"] == 3  # the, and, the
+    assert q["stop_ratio"] == 3 / 6
+
+
+def test_lang_id_heuristic():
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat and the dog of to is",
+                    "der hund und die katze ist",
+                    "el gato y los perros que es",
+                    "zzz qqq www",
+                ]
+            ),
+        }
+    )
+    out = lang_id(t).to_pandas()
+    assert list(out["lang_pred"]) == ["en", "de", "es", "unknown"]
+
+
+def test_fingerprint_properties():
+    a = "the quick brown fox jumps over the lazy dog"
+    assert doc_fingerprint(a) == doc_fingerprint(a)
+    assert doc_fingerprint(a) != doc_fingerprint("some other text entirely different")
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": pa.array([a, a])})
+    fps = fingerprint_batch(t).to_pandas()
+    assert fps["fingerprint"].iloc[0] == fps["fingerprint"].iloc[1]
+
+
+def test_exact_text_dedup():
+    out = exact_text_dedup(docs_ds(), num_buckets=4).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 4, 5]  # doc 1 deduped into 0
+
+
+def test_minhash_neardup_matches_brute_force():
+    tau = 0.5
+    expected = sorted(
+        (a, b)
+        for (a, ta), (b, tb) in itertools.combinations(DOCS, 2)
+        if brute_jaccard(ta, tb) >= tau
+    )
+    got = minhash_neardup_pairs(docs_ds(), tau=tau).to_pandas()
+    got_pairs = sorted(zip(got["a"], got["b"]))
+    assert got_pairs == expected
+    # jaccard values are the exact brute-force values
+    for _, row in got.iterrows():
+        assert row["jaccard"] == pytest.approx(
+            brute_jaccard(DOCS[int(row["a"])][1], DOCS[int(row["b"])][1])
+        )
+
+
+def test_char_ngram_jaccard_variant():
+    tau = 0.6
+    expected = sorted(
+        (a, b)
+        for (a, ta), (b, tb) in itertools.combinations(DOCS, 2)
+        if brute_jaccard(ta, tb, k=3, char=True) >= tau
+    )
+    got = minhash_neardup_pairs(docs_ds(), tau=tau, char=True).to_pandas()
+    assert sorted(zip(got["a"], got["b"])) == expected
+
+
+def test_simhash_neardup():
+    # identical docs -> hamming 0; near dups -> small hamming
+    assert simhash64(DOCS[0][1]) == simhash64(DOCS[1][1])
+    got = simhash_neardup_pairs(docs_ds(), max_hamming=6).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    assert (0, 1) in pairs  # exact dup always caught
+    # verify against brute-force hamming
+    sigs = {i: simhash64(t) for i, t in DOCS}
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 6
+    }
+    # band blocking guarantees recall for hamming<=3; for <=6 it is a
+    # candidate filter — every returned pair must be a true pair
+    assert pairs <= brute
+    assert {(a, b) for a, b in brute if bin(sigs[a] ^ sigs[b]).count("1") <= 3} <= pairs
