@@ -1,0 +1,192 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+Reference lifecycle analog: ``Main.main`` → ``App.run`` parses CLI +
+properties, runs the crawl-import, reports results
+(``importer/Main.java:4-6``, ``importer/App.java:50-135``).  Here:
+
+    ray job submit -- python -m neo4j_webgraph_ray build-graph \
+        --input /data/transcripts --out /data/graph
+    ray job submit -- python -m neo4j_webgraph_ray pagerank \
+        --input /data/transcripts --workdir /data/pr [--resume]
+
+Owns its Ray session (guarded init — under ``ray job submit`` the
+cluster connection already exists)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def _load_transcripts(path: str):
+    from neo4j_webgraph_ray.sources.io import read_table_auto
+
+    return read_table_auto(path)
+
+
+def _edges_for_algo(args):
+    """transcripts input -> cleaned -> derived+deduped edges; an edge
+    parquet input (src/dst columns) is used as-is."""
+    ds = _load_transcripts(args.input)
+    cols = set(ds.schema().names)
+    if {"src", "dst"} <= cols:
+        return ds, None
+    from neo4j_webgraph_ray.stages.derive import derive_edges
+    from neo4j_webgraph_ray.stages.filters import clean_transcripts
+
+    clean, rejects = clean_transcripts(ds)
+    return derive_edges(clean, num_buckets=args.num_partitions), rejects
+
+
+def cmd_build_graph(args) -> dict:
+    from neo4j_webgraph_ray.pipelines.graph_tables import build_graph
+    from neo4j_webgraph_ray.sources.io import write_partitioned, write_rejects
+    from neo4j_webgraph_ray.stages.filters import clean_transcripts
+
+    clean, rejects = clean_transcripts(_load_transcripts(args.input))
+    edges, vertices = build_graph(clean, num_buckets=args.num_partitions)
+    stats_e = write_partitioned(
+        edges, f"{args.out}/edges", ["src", "dst"], args.num_partitions,
+        resume=args.resume,
+    )
+    stats_v = write_partitioned(
+        vertices, f"{args.out}/vertices", ["id"], args.num_partitions,
+        resume=args.resume,
+    )
+    n_rejects = write_rejects(rejects, f"{args.out}/rejects")
+    return {"edges": stats_e, "vertices": stats_v, "rejects": n_rejects}
+
+
+def _run_algo(args, fn_name: str) -> dict:
+    from neo4j_webgraph_ray.pipelines import algorithms
+    from neo4j_webgraph_ray.state.checkpoint import load_manifest
+
+    edges, _ = _edges_for_algo(args)
+    fn = getattr(algorithms, fn_name)
+    kwargs = dict(
+        workdir=args.workdir,
+        num_partitions=args.num_partitions,
+        resume=args.resume,
+        backend=args.backend,
+        checkpoint_every=args.checkpoint_every,
+    )
+    if fn_name == "pagerank":
+        kwargs.update(damping=args.damping, tol=args.tol)
+    t0 = time.perf_counter()
+    state = fn(edges, **kwargs)
+    manifest = load_manifest(args.workdir)
+    sup = [s for s in manifest.steps if s.get("kind") != "init"]
+    return {
+        "algo": manifest.algo,
+        "status": manifest.status,
+        "n_vertices": manifest.steps[0]["n_vertices"],
+        "n_edges": manifest.steps[0]["n_edges"],
+        "supersteps": len(sup),
+        "wall_sec": round(time.perf_counter() - t0, 3),
+        "state_rows": state.count(),
+        "workdir": args.workdir,
+    }
+
+
+def cmd_triangles(args) -> dict:
+    from neo4j_webgraph_ray.pipelines.triangles import triangle_count
+
+    edges, _ = _edges_for_algo(args)
+    t0 = time.perf_counter()
+    n = triangle_count(edges, num_buckets=args.num_partitions)
+    return {"n_triangles": n, "wall_sec": round(time.perf_counter() - t0, 3)}
+
+
+def cmd_enrich(args) -> dict:
+    from neo4j_webgraph_ray.sources.io import write_partitioned, write_rejects
+    from neo4j_webgraph_ray.stages.enrich import enrich, split_rejects
+
+    ds = _load_transcripts(args.input)
+    out = enrich(ds, args.stage, json.loads(args.stage_config),
+                 concurrency=args.concurrency)
+    clean, rejects = split_rejects(out)
+    stats = write_partitioned(clean, f"{args.out}/enriched", [args.key_column],
+                              args.num_partitions, resume=args.resume)
+    n_rej = write_rejects(rejects, f"{args.out}/rejects")
+    return {"enriched": stats, "rejects": n_rej}
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="neo4j_webgraph_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, workdir=False):
+        sp.add_argument("--input", required=True)
+        sp.add_argument("--num-partitions", type=int, default=16)
+        sp.add_argument("--resume", action="store_true")
+        if workdir:
+            sp.add_argument("--workdir", required=True)
+            sp.add_argument("--backend", choices=["actors", "dataset"], default="actors")
+            sp.add_argument("--checkpoint-every", type=int, default=1)
+
+    sp = sub.add_parser("build-graph")
+    common(sp)
+    sp.add_argument("--out", required=True)
+
+    sp = sub.add_parser("pagerank")
+    common(sp, workdir=True)
+    sp.add_argument("--damping", type=float, default=0.85)
+    sp.add_argument("--tol", type=float, default=1e-6)
+
+    for name in ("components", "labelprop"):
+        common(sub.add_parser(name), workdir=True)
+
+    sp = sub.add_parser("triangles")
+    common(sp)
+
+    sp = sub.add_parser("enrich")
+    common(sp)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--stage", default="neo4j_webgraph_ray.stages.enrich.StubSocialCountStage")
+    sp.add_argument("--stage-config", default="{}")
+    sp.add_argument("--key-column", default="key")
+    sp.add_argument("--concurrency", type=int, default=4)
+
+    args = p.parse_args(argv)
+    _ray_session(args.num_cpus)
+    try:
+        if args.cmd == "build-graph":
+            out = cmd_build_graph(args)
+        elif args.cmd == "pagerank":
+            out = _run_algo(args, "pagerank")
+        elif args.cmd == "components":
+            out = _run_algo(args, "connected_components")
+        elif args.cmd == "labelprop":
+            out = _run_algo(args, "label_propagation")
+        elif args.cmd == "triangles":
+            out = cmd_triangles(args)
+        elif args.cmd == "enrich":
+            out = cmd_enrich(args)
+        else:  # pragma: no cover
+            raise SystemExit(2)
+        print(json.dumps(out))
+        return 0
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

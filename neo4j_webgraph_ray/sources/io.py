@@ -1,0 +1,113 @@
+"""Sinks and resumable partitioned output.
+
+The reference's sinks are the embedded Neo4j store (transactional
+``TransactionalGraphImporter.java:95-204`` / bulk
+``BatchGraphImporter.java:90-125`` — the bulk path is explicitly not
+crash-safe) and the FailedUrls text report (``FailedUrls.java:52-92``).
+Here every sink is partitioned Parquet written atomically per
+partition with a completion marker, so a failed run re-executes only
+the partitions that never completed — never one giant file, never a
+redo-from-scratch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from neo4j_webgraph_ray.stages.core import BUCKET_COL, add_bucket_column
+from neo4j_webgraph_ray.state.checkpoint import atomic_write_parquet
+
+
+def read_table_auto(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Format-sniffing reader: parquet (default) / jsonl / csv."""
+    if path.endswith((".json", ".jsonl")) or _dir_has(path, (".json", ".jsonl")):
+        ds = ray.data.read_json(path)
+        return ds.select_columns(columns) if columns else ds
+    if path.endswith(".csv") or _dir_has(path, (".csv",)):
+        ds = ray.data.read_csv(path)
+        return ds.select_columns(columns) if columns else ds
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def _dir_has(path: str, exts: tuple[str, ...]) -> bool:
+    if not os.path.isdir(path):
+        return False
+    return any(
+        n.endswith(exts)
+        for n in os.listdir(path)[:50]
+        if not n.startswith(("_", "."))  # metadata/marker files don't count
+    )
+
+
+def write_partitioned(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    key_cols: list[str],
+    num_partitions: int = 64,
+    resume: bool = True,
+) -> dict:
+    """Hash-partitioned resumable Parquet sink.
+
+    Layout: ``out_dir/part=K.parquet`` + ``out_dir/_manifest.json``
+    listing completed partitions and row counts.  With ``resume=True``
+    a rerun skips partitions already marked complete (the write itself
+    is temp-file + rename, so a crash never leaves a half partition
+    marked done)."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    done: dict[str, int] = {}
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            done = json.load(f).get("partitions", {})
+
+    done_set = frozenset(int(k) for k in done)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        out = add_bucket_column(df, key_cols, num_partitions)
+        if done_set:
+            out = out[~out[BUCKET_COL].isin(done_set)]
+        return out
+
+    def write_part(df: pd.DataFrame) -> pd.DataFrame:
+        part = int(df[BUCKET_COL].iloc[0])
+        body = df.drop(columns=[BUCKET_COL])
+        atomic_write_parquet(
+            pa.Table.from_pandas(body, preserve_index=False),
+            os.path.join(out_dir, f"part={part}.parquet"),
+        )
+        return pd.DataFrame([{"part": part, "rows": len(body)}])
+
+    stats = (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby(BUCKET_COL)
+        .map_groups(write_part, batch_format="pandas")
+    ).to_pandas()
+    for _, row in stats.iterrows():
+        done[str(int(row["part"]))] = int(row["rows"])
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"partitions": done, "key_cols": key_cols}, f)
+    os.replace(tmp, manifest_path)
+    return {"written_partitions": len(stats), "skipped_partitions": len(done) - len(stats),
+            "total_rows": sum(done.values())}
+
+
+def write_rejects(rejects: ray.data.Dataset, out_dir: str) -> int:
+    """FailedUrls-analog sink: rejects Parquet + per-error-type summary
+    (the reference logs small reports and spills large ones to file —
+    here both live in ``rejects/`` and ``rejects/_summary.json``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    df = rejects.to_pandas()
+    atomic_write_parquet(
+        pa.Table.from_pandas(df, preserve_index=False),
+        os.path.join(out_dir, "rejects.parquet"),
+    )
+    summary = df.groupby("error_type").size().to_dict() if len(df) else {}
+    with open(os.path.join(out_dir, "_summary.json"), "w") as f:
+        json.dump({str(k): int(v) for k, v in summary.items()}, f)
+    return len(df)

@@ -1,0 +1,120 @@
+"""Filters + rejects routing (F5 rules), resumable partitioned sink,
+and the CLI surface."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from neo4j_webgraph_ray.sources.io import read_table_auto, write_partitioned, write_rejects
+from neo4j_webgraph_ray.stages.filters import (
+    allow_deny_filter,
+    clean_transcripts,
+    regex_filter,
+)
+
+
+def raw_transcripts():
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "", "b", "  ", "c"],
+            "turn_idx": pd.array([0, 1, 0, -1, 0, 0], dtype="int32"),
+            "role": ["User", "assistant ", "user", "user", "user", ""],
+            "text": ["t0", "t1", "t2", "t3", "t4", "t5"],
+            "tool": [None, "search ", None, None, "   ", None],
+            "ts": pd.Timestamp("2025-01-01"),
+        }
+    )
+    return ray.data.from_pandas(df)
+
+
+def test_clean_transcripts_splits_and_normalizes():
+    clean, rejects = clean_transcripts(raw_transcripts())
+    c = clean.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    r = rejects.to_pandas()
+    # rows kept: (a,0) (a,1); dropped: empty conv ×2, negative turn, empty role
+    assert list(c["conv_id"]) == ["a", "a"]
+    assert list(c["role"]) == ["user", "assistant"]  # trimmed + lowercased
+    assert c["tool"].tolist() == [None, "search"]  # trimmed, null kept
+    assert sorted(r["error_type"]) == [
+        "empty_conv_id", "empty_conv_id", "empty_role", "negative_turn_idx",
+    ]
+
+
+def test_regex_and_allow_deny_filters():
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"key": ["page.html", "img.png", "style.css", "doc.pdf"]})
+    )
+    out = regex_filter(ds, "key", r"\.(png|css)$").to_pandas()
+    assert sorted(out["key"]) == ["doc.pdf", "page.html"]
+    out2 = allow_deny_filter(
+        ds, "key", allow=["page.html", "img.png"], deny=["img.png"]
+    ).to_pandas()
+    assert list(out2["key"]) == ["page.html"]
+
+
+def test_write_partitioned_resume(tmp_path):
+    df = pd.DataFrame({"k": range(100), "v": range(100)})
+    ds = ray.data.from_pandas(df)
+    out = str(tmp_path / "out")
+    s1 = write_partitioned(ds, out, ["k"], num_partitions=8)
+    assert s1["written_partitions"] == 8 and s1["total_rows"] == 100
+    # rerun: everything skipped
+    s2 = write_partitioned(ds, out, ["k"], num_partitions=8)
+    assert s2["written_partitions"] == 0 and s2["skipped_partitions"] == 8
+    back = read_table_auto(out).to_pandas()
+    assert sorted(back["k"]) == list(range(100))
+    # simulate a failed partition: remove one file + its manifest entry
+    mp = os.path.join(out, "_manifest.json")
+    m = json.load(open(mp))
+    victim = sorted(m["partitions"])[0]
+    del m["partitions"][victim]
+    json.dump(m, open(mp, "w"))
+    os.remove(os.path.join(out, f"part={victim}.parquet"))
+    s3 = write_partitioned(ds, out, ["k"], num_partitions=8)
+    assert s3["written_partitions"] == 1  # only the failed partition redone
+    assert sorted(read_table_auto(out).to_pandas()["k"]) == list(range(100))
+
+
+def test_write_rejects_summary(tmp_path):
+    _, rejects = clean_transcripts(raw_transcripts())
+    n = write_rejects(rejects, str(tmp_path / "rej"))
+    assert n == 4
+    summary = json.load(open(tmp_path / "rej" / "_summary.json"))
+    assert summary["empty_conv_id"] == 2
+
+
+def test_read_table_auto_json(tmp_path):
+    p = str(tmp_path / "t.json")
+    pd.DataFrame({"a": [1, 2]}).to_json(p, orient="records", lines=True)
+    assert sorted(read_table_auto(p).to_pandas()["a"]) == [1, 2]
+
+
+@pytest.mark.parametrize("cmd", [["pagerank"], ["triangles"]])
+def test_cli_end_to_end(tmp_path, cmd):
+    """CLI in a fresh process (its own Ray session), transcripts input."""
+    from neo4j_webgraph_ray.sources.transcripts import generate_synthetic_transcripts
+
+    tdir = str(tmp_path / "tr")
+    generate_synthetic_transcripts(tdir, n_convs=50, seed=1)
+    argv = [sys.executable, "-m", "neo4j_webgraph_ray", "--num-cpus", "4",
+            *cmd, "--input", tdir, "--num-partitions", "4"]
+    if cmd[0] == "pagerank":
+        argv += ["--workdir", str(tmp_path / "wd")]
+    proc = subprocess.run(
+        argv, capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    if cmd[0] == "pagerank":
+        assert out["status"] == "converged" and out["state_rows"] > 0
+    else:
+        assert out["n_triangles"] >= 0
