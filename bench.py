@@ -80,16 +80,11 @@ def run_bench() -> dict:
 
     t0 = time.perf_counter()
     transcripts = read_transcripts(gen_dir)
-    from neo4j_webgraph_ray.stages.derive import (
-        derive_conv_tool_edges,
-        derive_role_adjacency_edges,
-    )
+    from neo4j_webgraph_ray.stages.derive import derive_edge_ids
 
-    # raw (pre-dedup) edge union: exact dedup folds into prepare's
+    # lean raw int64 edge list; exact dedup folds into prepare's
     # partition pass (src-ownership makes per-partition dedup global)
-    edges = derive_conv_tool_edges(transcripts).union(
-        derive_role_adjacency_edges(transcripts, num_buckets=num_parts)
-    )
+    edges = derive_edge_ids(transcripts, num_buckets=max(64, num_cpus * 4))
     engine = ActorSuperstepEngine(
         workdir,
         PageRankProgram(tol=1e-6),
@@ -188,14 +183,21 @@ def run_prepared() -> dict:
     sup = [s for s in manifest.steps if s.get("kind") != "init"]
     n_edges = manifest.steps[0]["n_edges"]
     mean_wall = sum(s["wall_sec"] for s in sup) / max(1, len(sup))
+    # steady state: skip the pipeline-fill waves (they carry the one-time
+    # CSR build, amortized over a run of arbitrary length) and use the
+    # median so single disk-flush stalls don't swing the number
+    walls = sorted(s["wall_sec"] for s in sup[3:]) or [mean_wall]
+    med_wall = walls[len(walls) // 2]
     return {
         "value": round(wall, 3),
         "num_cpus": num_cpus,
         "n_edges": n_edges,
         "n_supersteps": len(sup),
         "status": manifest.status,
-        "edges_per_sec_per_superstep": round(n_edges / mean_wall, 1),
+        "edges_per_sec_per_superstep": round(n_edges / med_wall, 1),
+        "median_superstep_sec": round(med_wall, 4),
         "mean_superstep_sec": round(mean_wall, 4),
+        "edges_per_sec_mean": round(n_edges / mean_wall, 1),
     }
 
 
@@ -224,38 +226,52 @@ def run_scaling() -> dict:
             env=env, capture_output=True, text=True, check=True,
         )
 
+    lo_cpu, hi_cpu = (
+        int(x) for x in os.environ.get("NWR_SCALING_CPUS", "8,32").split(",")
+    )
     results = {}
-    for ncpu in (8, 32):
-        rundir = f"/tmp/nwr_bench/scaling-run-{ncpu}"
-        if os.path.exists(rundir):
-            shutil.rmtree(rundir)
-        shutil.copytree(template, rundir)
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            NWR_PREPARED_DIR=rundir,
-            NWR_CHECKPOINT_EVERY=os.environ.get("NWR_CHECKPOINT_EVERY", "1"),
-        )
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run-prepared"],
-            env=env, capture_output=True, text=True, check=True,
-        )
-        results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
-    lo, hi = results[8], results[32]
+    for ncpu in (lo_cpu, hi_cpu):
+        # two passes per level: the first warms the OS page cache (edge
+        # partitions + input), only the second is recorded — otherwise
+        # whichever level runs first pays cold reads
+        for attempt in range(2):
+            rundir = f"/tmp/nwr_bench/scaling-run-{ncpu}"
+            if os.path.exists(rundir):
+                shutil.rmtree(rundir)
+            shutil.copytree(template, rundir)
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                NWR_PREPARED_DIR=rundir,
+                NWR_CHECKPOINT_EVERY=os.environ.get("NWR_CHECKPOINT_EVERY", "1"),
+            )
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run-prepared"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    lo, hi = results[lo_cpu], results[hi_cpu]
     thr_lo = lo["edges_per_sec_per_superstep"]
     thr_hi = hi["edges_per_sec_per_superstep"]
-    eff = (thr_hi / thr_lo) / (32 / 8)
+    eff = (thr_hi / thr_lo) / (hi_cpu / lo_cpu)
     return {
-        "metric": METRIC + "; scaling efficiency N->4N (8 vs 32 CPUs)",
+        "metric": METRIC
+        + f"; scaling efficiency N->4N ({lo_cpu} vs {hi_cpu} CPUs)",
         "unit": "sec",
         "value": hi["value"],
         "n_convs": n_convs,
         "num_partitions": num_parts,
-        "sec_8cpu": lo["value"],
-        "sec_32cpu": hi["value"],
-        "edges_per_sec_per_superstep_8cpu": thr_lo,
-        "edges_per_sec_per_superstep_32cpu": thr_hi,
+        "cpus": [lo_cpu, hi_cpu],
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
+        "edges_per_sec_per_superstep_lo": thr_lo,
+        "edges_per_sec_per_superstep_hi": thr_hi,
+        "edges_per_sec_mean_lo": lo["edges_per_sec_mean"],
+        "edges_per_sec_mean_hi": hi["edges_per_sec_mean"],
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_mean": round(
+            (hi["edges_per_sec_mean"] / lo["edges_per_sec_mean"]) / (hi_cpu / lo_cpu), 3
+        ),
         "n_edges": hi["n_edges"],
         "n_supersteps": hi["n_supersteps"],
     }

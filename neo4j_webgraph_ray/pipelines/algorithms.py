@@ -27,9 +27,19 @@ import ray.data
 from neo4j_webgraph_ray.state.superstep import SuperstepEngine, VertexProgram
 
 
-def _merge_agg(state: pd.DataFrame, reduced: pd.DataFrame) -> pd.DataFrame:
-    """Left-join reduced messages onto state by id (both sorted by id)."""
-    return state.merge(reduced, on="id", how="left")
+def _aligned_agg(
+    state: pd.DataFrame, reduced: pd.DataFrame, default
+) -> np.ndarray:
+    """Positional left-join of reduced messages onto state: state is
+    sorted by id and reduced ids are a (usually small) subset, so a
+    searchsorted scatter beats a pandas merge by orders of magnitude on
+    large partitions."""
+    sids = state["id"].to_numpy()
+    out = np.full(len(sids), default, dtype=np.asarray(default).dtype)
+    if len(reduced):
+        idx = np.searchsorted(sids, reduced["id"].to_numpy())
+        out[idx] = reduced["agg"].to_numpy()
+    return out
 
 
 class PageRankProgram(VertexProgram):
@@ -79,8 +89,7 @@ class PageRankProgram(VertexProgram):
         n = max(ctx["n"], 1)
         d = self.damping
         dangling_in = ctx.get("dangling", 0.0)
-        merged = _merge_agg(state, reduced)
-        sums = merged["agg"].fillna(0.0).to_numpy()
+        sums = _aligned_agg(state, reduced, np.float64(0.0))
         old = state["rank"].to_numpy()
         new = (1.0 - d) / n + d * (sums + dangling_in / n)
         out = state.copy(deep=False)
@@ -118,8 +127,9 @@ class ConnectedComponentsProgram(VertexProgram):
         return state["label"].to_numpy()
 
     def gather_update(self, state, reduced, ctx):
-        merged = _merge_agg(state, reduced)
-        incoming = merged["agg"].fillna(np.iinfo(np.int64).max).to_numpy().astype(np.int64)
+        incoming = _aligned_agg(
+            state, reduced, np.int64(np.iinfo(np.int64).max)
+        ).astype(np.int64)
         old = state["label"].to_numpy()
         new = np.minimum(old, incoming)
         out = state.copy(deep=False)
@@ -162,8 +172,11 @@ class LabelPropagationProgram(VertexProgram):
             r = reduced.sort_values(
                 ["id", "wt", "lab"], ascending=[True, False, True], kind="stable"
             ).drop_duplicates("id", keep="first")
-            merged = state.merge(r[["id", "lab"]], on="id", how="left")
-            new = merged["lab"].fillna(pd.Series(old, index=merged.index)).to_numpy().astype(np.int64)
+            new = old.copy()
+            idx = np.searchsorted(
+                state["id"].to_numpy(), r["id"].to_numpy()
+            )
+            new[idx] = r["lab"].to_numpy().astype(np.int64)
         else:
             new = old
         out = state.copy(deep=False)

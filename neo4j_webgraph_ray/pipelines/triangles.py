@@ -128,9 +128,77 @@ def oriented_edges(edges: ray.data.Dataset, num_buckets: int = 64) -> ray.data.D
     return with_db.map_batches(orient, batch_format="pandas")
 
 
+def triangle_count_local(src: np.ndarray, dst: np.ndarray) -> int:
+    """Single-task vectorized triangle count — the broadcast path for
+    graphs whose edge list fits one worker (SURVEY.md §7.5: 'plan a
+    broadcast path for small graphs and a partitioned merge path
+    beyond').  Same semantics as the distributed pipeline."""
+    m = src != dst
+    a = np.minimum(src[m], dst[m])
+    b = np.maximum(src[m], dst[m])
+    und = np.unique(np.stack([a, b], axis=1), axis=0)
+    if len(und) == 0:
+        return 0
+    # compact vertex indices so an edge packs into one int64 key
+    verts, inv = np.unique(und.ravel(), return_inverse=True)
+    n = len(verts)
+    e = inv.reshape(-1, 2)
+    deg = np.bincount(e.ravel(), minlength=n)
+    # orient from lower (deg, id) endpoint
+    a_first = (deg[e[:, 0]] < deg[e[:, 1]]) | (
+        (deg[e[:, 0]] == deg[e[:, 1]]) & (e[:, 0] < e[:, 1])
+    )
+    lo = np.where(a_first, e[:, 0], e[:, 1])
+    hi = np.where(a_first, e[:, 1], e[:, 0])
+    edge_keys = np.sort(lo.astype(np.int64) * n + hi)
+    # group oriented neighbors by lo; generate wedge pairs with the
+    # shifted-overlap trick (k-th neighbor vs (k+j)-th within a group)
+    order = np.lexsort((hi, lo))
+    lo_s, hi_s = lo[order], hi[order]
+    group_change = np.r_[True, lo_s[1:] != lo_s[:-1]]
+    group_id = np.cumsum(group_change) - 1
+    counts = np.bincount(group_id)
+    total = 0
+    max_c = int(counts.max()) if len(counts) else 0
+    for k in range(1, max_c):
+        idx = np.arange(len(lo_s) - k)
+        mask = group_id[idx] == group_id[idx + k]
+        if not mask.any():
+            break
+        x = hi_s[idx[mask]]
+        y = hi_s[idx[mask] + k]
+        # candidate must be keyed in the same (deg, id) orientation as
+        # the oriented edge set
+        x_first = (deg[x] < deg[y]) | ((deg[x] == deg[y]) & (x < y))
+        xi = np.where(x_first, x, y).astype(np.int64)
+        yi = np.where(x_first, y, x).astype(np.int64)
+        cand = xi * n + yi
+        pos = np.searchsorted(edge_keys, cand)
+        pos = np.clip(pos, 0, len(edge_keys) - 1)
+        total += int((edge_keys[pos] == cand).sum())
+    return total
+
+
+# a graph whose canonical edge list fits comfortably in one task's heap
+LOCAL_TRIANGLE_EDGE_LIMIT = 5_000_000
+
+
 def triangle_count(edges: ray.data.Dataset, num_buckets: int = 64) -> int:
     """Global triangle count of the undirected simple projection of
-    ``edges`` (int64 ``src``/``dst`` columns)."""
+    ``edges`` (int64 ``src``/``dst`` columns).  Small graphs take the
+    single-task vectorized path; larger ones the partitioned
+    wedge/co-group pipeline below."""
+    limit_probe = edges.limit(LOCAL_TRIANGLE_EDGE_LIMIT + 1).count()
+    if limit_probe <= LOCAL_TRIANGLE_EDGE_LIMIT:
+        src_l, dst_l = [], []
+        for b in edges.select_columns(["src", "dst"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ):
+            src_l.append(b["src"].to_numpy())
+            dst_l.append(b["dst"].to_numpy())
+        if not src_l:
+            return 0
+        return triangle_count_local(np.concatenate(src_l), np.concatenate(dst_l))
     oriented = oriented_edges(edges, num_buckets)
 
     # 4. wedge candidates: ordered neighbor pairs per lo-vertex, ordered

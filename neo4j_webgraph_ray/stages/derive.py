@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from neo4j_webgraph_ray.ids import KIND_CONV, KIND_ROLE, KIND_TOOL, vertex_id
+from neo4j_webgraph_ray.ids import KIND_CONV, KIND_ROLE, KIND_TOOL, hash64, vertex_id
 from neo4j_webgraph_ray.stages.core import BUCKET_COL, add_bucket_column, bucketed_groupby
 
 EDGE_COLUMNS = [
@@ -162,3 +162,71 @@ def derive_edges(
     ct = derive_conv_tool_edges(transcripts)
     ra = derive_role_adjacency_edges(transcripts, num_buckets=num_buckets)
     return dedup_edges(ct.union(ra), num_buckets=num_buckets)
+
+
+# -- lean id-only derivation (algorithm/bench path) -------------------------
+
+
+def conv_tool_edge_ids_batch(batch: pa.Table) -> pa.Table:
+    """conv→tool edges as pure int64 (src, dst) — no key/provenance
+    columns, ~10× less shuffle volume than the full edge table."""
+    t = batch.filter(pc.is_valid(batch["tool"]))
+    conv = t["conv_id"].to_numpy(zero_copy_only=False).astype(object)
+    tool = t["tool"].to_numpy(zero_copy_only=False).astype(object)
+    return pa.table(
+        {
+            "src": pa.array(vertex_id(KIND_CONV, conv), type=pa.int64()),
+            "dst": pa.array(vertex_id(KIND_TOOL, tool), type=pa.int64()),
+        }
+    )
+
+
+def derive_edge_ids(
+    transcripts: ray.data.Dataset, num_buckets: int = 128
+) -> ray.data.Dataset:
+    """Raw (pre-dedup) int64 edge list for the iterative-algorithm path:
+    conv→tool ∪ role-adjacency, all string work done batch-locally so
+    the role-adjacency shuffle moves only three int columns
+    (hash(conv_id), turn_idx, role-vertex id) and sorts on ints.
+
+    Same edge SET as :func:`derive_edges` (dedup happens downstream,
+    e.g. fused into ``SuperstepEngine.prepare(dedup=True)``); the
+    duplicate-turn witness rule differs (min role-id instead of min
+    role-string) — irrelevant for inputs with unique (conv_id,
+    turn_idx), which the clean stage guarantees."""
+    ct = transcripts.map_batches(
+        conv_tool_edge_ids_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def local(batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False).astype(object)
+        role = batch["role"].to_numpy(zero_copy_only=False).astype(object)
+        cid = hash64(conv)
+        rid = vertex_id(KIND_ROLE, role)
+        return pa.table(
+            {
+                "cid": pa.array(cid, type=pa.int64()),
+                "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+                "rid": pa.array(rid, type=pa.int64()),
+                BUCKET_COL: pa.array(
+                    (cid.view(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cid", "turn_idx", "rid"], kind="stable")
+        df = df.drop_duplicates(["cid", "turn_idx"], keep="first")
+        cid = df["cid"].to_numpy()
+        rid = df["rid"].to_numpy()
+        if len(df) < 2:
+            same = np.zeros(0, dtype=bool)
+        else:
+            same = cid[:-1] == cid[1:]
+        return pd.DataFrame({"src": rid[:-1][same], "dst": rid[1:][same]})
+
+    staged = transcripts.map_batches(
+        local, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ra = staged.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+    return ct.union(ra)

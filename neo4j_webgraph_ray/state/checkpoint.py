@@ -85,9 +85,10 @@ def edges_dir(workdir: str) -> str:
 
 def atomic_write_parquet(table, path: str) -> None:
     """Write Parquet atomically (temp + rename) — idempotent under Ray
-    task retries; a re-run of the same write produces the same file."""
+    task retries; a re-run of the same write produces the same file.
+    Column stats are skipped: checkpoint files are always read whole."""
     import pyarrow.parquet as pq
 
     tmp = path + ".tmp"
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, write_statistics=False)
     os.replace(tmp, path)

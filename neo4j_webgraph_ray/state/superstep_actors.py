@@ -1,39 +1,40 @@
-"""Actor-pool superstep backend: per-partition CSR blocks held in memory,
+"""Actor-pool superstep backend: CSR partition shards held in memory,
 one-bundle-per-worker message exchange through the object store.
 
 The Dataset backend (``superstep.py``) re-reads the partitioned edge
 Parquet every superstep — correct and fully streaming, but each
 superstep pays a fresh Ray Data pipeline.  This backend implements the
-north-star fast path: P partition workers (Ray actors) each build their
-CSR block ONCE (edge src→state index mapping, dst run boundaries), keep
-vertex state in memory, and per superstep exchange pre-aggregated
-messages as ONE plasma object per worker — concatenated arrays plus a
-P+1 offsets vector, destination-partition-ordered.  The driver runs two
-task waves per superstep (scatter, then gather with the P scatter refs
-as direct arguments), so coordination is O(P) dispatches and message
-payloads never pass through the driver; on one node every gather maps
-the same shared-memory buffers zero-copy, and on a multi-node cluster
-each node pulls each remote bundle once.
+north-star fast path with an explicit separation between
 
-Earlier designs measured here: driver-routed ``num_returns=P`` slices
-(P² refs → ~70 ms/superstep serial floor) and actor-to-actor pushes
-(P² RPCs → ~100 ms floor, worse with more CPUs since single-node task
-dispatch serializes).  The bundle design cuts the floor to ~2P
-dispatches ≈ 10-15 ms at P=32.
+- **partitions** (P, fixed by ``prepare()`` — the data layout:
+  edges by ``src % P``, state by ``id % P``), and
+- **workers** (W shard actors, ``num_cpus=1`` each, worker w owning
+  partitions ``{p : p % W == w}``) — the execution parallelism, i.e.
+  the stand-in for cluster nodes.  Scaling N→4N = same P, 4× workers.
+
+Each worker builds the CSR blocks for its partitions ONCE (edge
+src→state index mapping, dst run boundaries), keeps vertex state in
+memory, and per superstep emits ONE plasma bundle: concatenated
+pre-aggregated message arrays plus a P+1 offsets vector in
+destination-partition order.  The driver runs pipelined ``advance``
+waves (gather step k, then scatter k+1) with the W bundle refs passed
+as direct task arguments — coordination is O(W) dispatches per
+superstep, payloads never route through the driver, and on one node
+every gather maps the same shared-memory buffers zero-copy.
+
+Whole-CPU workers matter for honest scaling measurements: fractional
+``num_cpus`` actors oversubscribe the physical cores, letting an
+"8 CPU" run silently use all of them.
 
 Global per-superstep scalars the gather needs (e.g. PageRank's dangling
-mass) ride inside every bundle as per-partition stats; each gatherer
-sums them over the P bundles, so no driver round-trip sits between
-scatter and gather.
+mass) ride inside every bundle as additive stats; each gatherer sums
+them over the W bundles, so no driver round-trip sits between scatter
+and gather.
 
 Checkpoint/resume protocol is IDENTICAL to the Dataset backend — same
 ``prepare()`` layout, same manifest, same per-superstep state Parquet —
-so a run can be prepared once, interrupted under one backend and
-resumed under the other (tests/test_actor_backend.py asserts equality).
-
-Partition→actor affinity is exact by construction: worker p owns edge
-partition p (src % P) and state partition p (id % P) for the whole run
-(SURVEY.md §7.5 "actor-held CSR" hard part).
+so a run can be prepared once, interrupted under one backend (or worker
+count) and resumed under another (tests/test_actor_backend.py).
 """
 
 from __future__ import annotations
@@ -60,25 +61,10 @@ from neo4j_webgraph_ray.state.superstep import SuperstepEngine, VertexProgram, p
 _INT64_MAX = np.iinfo(np.int64).max
 
 
-@ray.remote
-class PartitionWorker:
-    """Owns one partition: CSR edge block + vertex state."""
+class _PartBlock:
+    """CSR block + state for one partition, built once."""
 
-    def __init__(
-        self,
-        workdir: str,
-        part: int,
-        num_partitions: int,
-        program: VertexProgram,
-        start_step: int,
-        static_ctx: dict,
-    ):
-        self.workdir = workdir
-        self.part = part
-        self.P = num_partitions
-        self.program = program
-        self.static_ctx = static_ctx
-
+    def __init__(self, workdir: str, part: int, P: int, start_step: int):
         epath = os.path.join(edges_dir(workdir), f"part={part}.parquet")
         if os.path.exists(epath):
             et = pq.read_table(epath, columns=["src", "dst"])
@@ -89,11 +75,10 @@ class PartitionWorker:
         self.state = pq.read_table(
             os.path.join(state_dir(workdir, start_step), f"part={part}.parquet")
         ).to_pandas()
-        state_ids = self.state["id"].to_numpy()
-        self.state_ids = state_ids
-
-        # CSR block, built once:
-        self.edge_src_idx = np.searchsorted(state_ids, src) if len(src) else src
+        self.state_ids = self.state["id"].to_numpy()
+        self.edge_src_idx = (
+            np.searchsorted(self.state_ids, src) if len(src) else src
+        )
         starts = (
             np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
             if len(dst)
@@ -101,64 +86,174 @@ class PartitionWorker:
         )
         self.run_starts = starts
         self.dst_unique = dst[starts] if len(dst) else dst
-        dst_parts = part_of(self.dst_unique, self.P)
-        order = np.argsort(dst_parts, kind="stable")
-        self.dst_order = order  # destination-partition-ordered view
-        sorted_parts = dst_parts[order]
-        self.slice_offsets = np.r_[
-            np.searchsorted(sorted_parts, np.arange(self.P)), len(sorted_parts)
-        ].astype(np.int64)
+        self.dst_part = part_of(self.dst_unique, P)
         self.n_edges = len(src)
+
+
+@ray.remote(num_cpus=1)
+class ShardWorker:
+    """Owns a set of partitions: their CSR blocks + vertex state."""
+
+    def __init__(
+        self,
+        workdir: str,
+        parts: list[int],
+        num_partitions: int,
+        program: VertexProgram,
+        start_step: int,
+        static_ctx: dict,
+        num_threads: int = 1,
+    ):
+        self.workdir = workdir
+        self.parts = list(parts)
+        self.P = num_partitions
+        self.program = program
+        self.static_ctx = static_ctx
+        # optional intra-worker thread pool: per-partition kernels are
+        # numpy (GIL-released), so threads scale a worker across cores —
+        # the per-node-parallelism analog (a real 4N-node cluster also
+        # multiplies cores without multiplying driver dispatch work)
+        if num_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self.pool = ThreadPoolExecutor(max_workers=num_threads)
+        else:
+            self.pool = None
+        self.blocks = {
+            p: _PartBlock(workdir, p, num_partitions, start_step) for p in self.parts
+        }
+        # rolling references to the last few per-partition states (state
+        # frames are replaced, never mutated, so this is zero-copy) —
+        # lets the driver flush the EXACT converged step even when
+        # pipelined waves have speculatively advanced past it
+        self._history: dict[int, dict[int, pd.DataFrame]] = {p: {} for p in self.parts}
+        self._keep_states = 16
+        # async checkpoint writer threads, one pending per partition —
+        # parquet encoding releases the GIL, so the write overlaps the
+        # next superstep's compute instead of sitting on its critical
+        # path; joined before the next write of the same partition and
+        # at final flush
+        self._pending: dict[int, Any] = {}
+
+    def _ckpt_async(self, p: int, state: pd.DataFrame, step: int) -> None:
+        import threading
+
+        prev = self._pending.pop(p, None)
+        if prev is not None:
+            prev.join()
+        path = os.path.join(state_dir(self.workdir, step), f"part={p}.parquet")
+        table = pa.Table.from_pandas(state, preserve_index=False)
+        t = threading.Thread(target=atomic_write_parquet, args=(table, path))
+        t.start()
+        self._pending[p] = t
+
+    def flush(self) -> int:
+        for t in self._pending.values():
+            t.join()
+        self._pending.clear()
+        return len(self.parts)
 
     # -- scatter: ONE bundle = (offsets, ids, col arrays..., stats) -------
 
-    def scatter(self, step: int) -> tuple:
+    def _scatter_part(self, p: int):
         prog = self.program
-        stats = prog.payload_stats(self.state)
-        if not self.n_edges:
-            z = np.zeros(self.P + 1, dtype=np.int64)
-            e = np.empty(0, dtype=np.int64)
-            if prog.mode == "sum":
-                return (z, e, np.empty(0, np.float64), stats)
-            if prog.mode == "min":
-                return (z, e, e, stats)
-            return (z, e, e, e, stats)
-        svals = prog.scatter_values(self.state)
-        evals = svals[self.edge_src_idx]
-        if prog.mode in ("sum", "min"):
-            if prog.mode == "sum":
-                agg = np.add.reduceat(evals, self.run_starts)
+        mode = prog.mode
+        blk = self.blocks[p]
+        stats = prog.payload_stats(blk.state)
+        if not blk.n_edges:
+            return None, None, None, None, stats
+        svals = prog.scatter_values(blk.state)
+        evals = svals[blk.edge_src_idx]
+        if mode in ("sum", "min"):
+            if mode == "sum":
+                agg = np.add.reduceat(evals, blk.run_starts)
             else:
-                agg = np.minimum.reduceat(evals.astype(np.int64), self.run_starts)
-            ids = self.dst_unique[self.dst_order]
-            vals = agg[self.dst_order]
-            return (self.slice_offsets, ids, vals, stats)
-        # mode aggregation: (dst, label) pair weights
+                agg = np.minimum.reduceat(evals.astype(np.int64), blk.run_starts)
+            return blk.dst_unique, agg, None, blk.dst_part, stats
         dst_rep = np.repeat(
-            np.arange(len(self.run_starts)),
-            np.diff(np.r_[self.run_starts, self.n_edges]),
+            np.arange(len(blk.run_starts)),
+            np.diff(np.r_[blk.run_starts, blk.n_edges]),
         )
         df = pd.DataFrame({"r": dst_rep, "lab": evals.astype(np.int64)})
         cnt = df.groupby(["r", "lab"], sort=True, as_index=False).size()
-        ids = self.dst_unique[cnt["r"].to_numpy()]
-        labs = cnt["lab"].to_numpy()
-        wts = cnt["size"].to_numpy().astype(np.int64)
-        parts = part_of(ids, self.P)
-        order = np.argsort(parts, kind="stable")
-        ids, labs, wts, parts = ids[order], labs[order], wts[order], parts[order]
+        return (
+            blk.dst_unique[cnt["r"].to_numpy()],
+            cnt["lab"].to_numpy(),
+            cnt["size"].to_numpy().astype(np.int64),
+            part_of(blk.dst_unique[cnt["r"].to_numpy()], self.P),
+            stats,
+        )
+
+    def scatter(self, step: int) -> tuple:
+        prog = self.program
+        mode = prog.mode
+        stats: dict[str, float] = {}
+        ids_l, c1_l, c2_l, dp_l = [], [], [], []
+        if self.pool is not None:
+            results = list(self.pool.map(self._scatter_part, self.parts))
+        else:
+            results = [self._scatter_part(p) for p in self.parts]
+        for ids_p, c1_p, c2_p, dp_p, stats_p in results:
+            for k, v in stats_p.items():
+                stats[k] = stats.get(k, 0.0) + v
+            if ids_p is None:
+                continue
+            ids_l.append(ids_p)
+            c1_l.append(c1_p)
+            if c2_p is not None:
+                c2_l.append(c2_p)
+            dp_l.append(dp_p)
+
+        if not ids_l:
+            z = np.zeros(self.P + 1, dtype=np.int64)
+            e = np.empty(0, dtype=np.int64)
+            if mode == "sum":
+                return (z, e, np.empty(0, np.float64), stats)
+            if mode == "min":
+                return (z, e, e, stats)
+            return (z, e, e, e, stats)
+
+        ids = np.concatenate(ids_l)
+        dp = np.concatenate(dp_l)
+        c1 = np.concatenate(c1_l)
+        if mode in ("sum", "min"):
+            # combine duplicate destinations across this worker's owned
+            # source partitions (same id may appear once per part) —
+            # shrinks the bundle AND keeps gather's indexed updates safe
+            order = np.lexsort((ids, dp))
+            ids, dp, c1 = ids[order], dp[order], c1[order]
+            runs = np.flatnonzero(
+                np.r_[True, (ids[1:] != ids[:-1]) | (dp[1:] != dp[:-1])]
+            )
+            if mode == "sum":
+                c1 = np.add.reduceat(c1, runs)
+            else:
+                c1 = np.minimum.reduceat(c1, runs)
+            ids, dp = ids[runs], dp[runs]
+            offsets = np.r_[
+                np.searchsorted(dp, np.arange(self.P)), len(dp)
+            ].astype(np.int64)
+            return (offsets, ids, c1, stats)
+        # mode aggregation: duplicates of (dst, lab) across owned parts
+        # are summed by the gather-side groupby
+        order = np.argsort(dp, kind="stable")
+        ids, dp = ids[order], dp[order]
+        c1 = c1[order]
+        c2 = np.concatenate(c2_l)[order]
         offsets = np.r_[
-            np.searchsorted(parts, np.arange(self.P)), len(parts)
+            np.searchsorted(dp, np.arange(self.P)), len(dp)
         ].astype(np.int64)
-        return (offsets, ids, labs, wts, stats)
+        return (offsets, ids, c1, c2, stats)
 
     # -- gather -----------------------------------------------------------
 
-    def gather(self, step: int, do_ckpt: bool, *bundles) -> dict:
+    def gather(self, step: int, do_ckpt: bool, bundle_refs: list) -> dict:
+        # refs arrive as a plain list (ONE task arg): resolving W bundles
+        # with a single batched ray.get inside the actor is far cheaper
+        # than W per-task argument dependencies resolved at dispatch
+        bundles = ray.get(list(bundle_refs))
         prog = self.program
-        state = self.state
-        sids = self.state_ids
-        n = len(sids)
-        q = self.part
+        mode = prog.mode
         ctx = dict(self.static_ctx)
         ctx["step"] = step
         stat_sum: dict[str, float] = {}
@@ -167,88 +262,138 @@ class PartitionWorker:
                 stat_sum[k] = stat_sum.get(k, 0.0) + v
         ctx.update(stat_sum)
 
-        def my_slice(b, col):
-            off = b[0]
-            return b[col][off[q]: off[q + 1]]
+        if self.pool is not None:
+            results = list(
+                self.pool.map(
+                    lambda p: self._gather_part(p, bundles, ctx), self.parts
+                )
+            )
+        else:
+            results = [self._gather_part(p, bundles, ctx) for p in self.parts]
 
         n_msgs = 0
-        if prog.mode == "sum":
-            buf = np.zeros(n, dtype=np.float64)
-            got = np.zeros(n, dtype=bool)
-            for b in bundles:
-                ids = my_slice(b, 1)
-                if len(ids):
-                    vals = my_slice(b, 2)
-                    idx = np.searchsorted(sids, ids)
-                    buf[idx] += vals
-                    got[idx] = True
-                    n_msgs += len(ids)
-            reduced = pd.DataFrame({"id": sids[got], "agg": buf[got]})
-        elif prog.mode == "min":
-            buf = np.full(n, _INT64_MAX, dtype=np.int64)
-            got = np.zeros(n, dtype=bool)
-            for b in bundles:
-                ids = my_slice(b, 1)
-                if len(ids):
-                    vals = my_slice(b, 2)
-                    idx = np.searchsorted(sids, ids)
-                    np.minimum.at(buf, idx, vals)
-                    got[idx] = True
-                    n_msgs += len(ids)
-            reduced = pd.DataFrame({"id": sids[got], "agg": buf[got]})
-        else:
-            frames = []
-            for b in bundles:
-                ids = my_slice(b, 1)
-                if len(ids):
-                    frames.append(
-                        pd.DataFrame(
-                            {"id": ids, "lab": my_slice(b, 2), "wt": my_slice(b, 3)}
-                        )
-                    )
-                    n_msgs += len(ids)
-            if frames:
-                allm = pd.concat(frames, ignore_index=True)
-                reduced = allm.groupby(["id", "lab"], sort=True, as_index=False)["wt"].sum()
-            else:
-                reduced = pd.DataFrame(
-                    {"id": np.empty(0, np.int64), "lab": np.empty(0, np.int64),
-                     "wt": np.empty(0, np.int64)}
-                )
-        new_state, metrics = prog.gather_update(state, reduced, ctx)
-        self.state = new_state
-        if do_ckpt:
-            out = os.path.join(
-                state_dir(self.workdir, step + 1), f"part={self.part}.parquet"
-            )
-            atomic_write_parquet(
-                pa.Table.from_pandas(new_state, preserve_index=False), out
-            )
-        row = {"part": self.part, "n_msgs": n_msgs}
-        row.update(metrics)
+        out_metrics: dict[str, float] = {}
+        for p, (part_msgs, metrics, new_state) in zip(self.parts, results):
+            n_msgs += part_msgs
+            hist = self._history[p]
+            hist[step + 1] = new_state
+            for old in [k for k in hist if k <= step + 1 - self._keep_states]:
+                del hist[old]
+            if do_ckpt:
+                self._ckpt_async(p, new_state, step + 1)
+            for k, v in metrics.items():
+                if k.startswith("max_"):
+                    out_metrics[k] = max(out_metrics.get(k, float("-inf")), v)
+                else:
+                    out_metrics[k] = out_metrics.get(k, 0.0) + v
+
+        row = {"n_msgs": n_msgs}
+        row.update(out_metrics)
         return row
 
-    def advance(self, step: int, do_ckpt: bool, *bundles) -> tuple:
-        """Pipelined superstep: gather step ``step`` from the P scatter
+    def _gather_part(self, p: int, bundles: list, ctx: dict):
+        prog = self.program
+        mode = prog.mode
+        if True:
+            blk = self.blocks[p]
+            sids = blk.state_ids
+            n = len(sids)
+            n_msgs = 0
+            if mode in ("sum", "min"):
+                # concatenate all W slices for this part, then ONE
+                # indexed reduction — cost is O(n + msgs) per part,
+                # independent of the worker count (a per-bundle buffer
+                # pass would redo O(n) work W times)
+                ids_l2, vals_l2 = [], []
+                for b in bundles:
+                    off = b[0]
+                    if off[p + 1] > off[p]:
+                        ids_l2.append(b[1][off[p]: off[p + 1]])
+                        vals_l2.append(b[2][off[p]: off[p + 1]])
+                if ids_l2:
+                    ids = np.concatenate(ids_l2)
+                    vals = np.concatenate(vals_l2)
+                    n_msgs += len(ids)
+                    # combine duplicate destinations (once per sender)
+                    # in O(msgs log msgs) — no O(n_vertices) buffers
+                    order = np.argsort(ids, kind="stable")
+                    ids_s = ids[order]
+                    vals_s = vals[order]
+                    runs = np.flatnonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])
+                    if mode == "sum":
+                        agg = np.add.reduceat(vals_s, runs)
+                    else:
+                        agg = np.minimum.reduceat(vals_s, runs)
+                    reduced = pd.DataFrame({"id": ids_s[runs], "agg": agg})
+                else:
+                    reduced = pd.DataFrame(
+                        {"id": np.empty(0, np.int64), "agg": np.empty(0, np.float64)}
+                    )
+            else:
+                frames = []
+                for b in bundles:
+                    off = b[0]
+                    sl = slice(off[p], off[p + 1])
+                    if off[p + 1] > off[p]:
+                        frames.append(
+                            pd.DataFrame(
+                                {"id": b[1][sl], "lab": b[2][sl], "wt": b[3][sl]}
+                            )
+                        )
+                        n_msgs += off[p + 1] - off[p]
+                if frames:
+                    allm = pd.concat(frames, ignore_index=True)
+                    reduced = allm.groupby(
+                        ["id", "lab"], sort=True, as_index=False
+                    )["wt"].sum()
+                else:
+                    reduced = pd.DataFrame(
+                        {"id": np.empty(0, np.int64), "lab": np.empty(0, np.int64),
+                         "wt": np.empty(0, np.int64)}
+                    )
+            new_state, metrics = prog.gather_update(blk.state, reduced, ctx)
+            blk.state = new_state
+            blk.state_ids = new_state["id"].to_numpy()
+            return n_msgs, metrics, new_state
+
+    def advance(self, step: int, do_ckpt: bool, bundle_refs: list) -> tuple:
+        """Pipelined superstep: gather step ``step`` from the W scatter
         bundles (updating state to step+1), then immediately scatter for
         step+1.  Returns (next_bundle, metrics) as two objects so the
         driver fetches only the tiny metrics dict."""
-        metrics = self.gather(step, do_ckpt, *bundles)
-        return self.scatter(step + 1), metrics
+        t0 = time.perf_counter()
+        metrics = self.gather(step, do_ckpt, bundle_refs)
+        t1 = time.perf_counter()
+        out = self.scatter(step + 1)
+        t2 = time.perf_counter()
+        metrics["gather_sec"] = round(t1 - t0, 5)
+        metrics["scatter_sec"] = round(t2 - t1, 5)
+        metrics["max_worker_busy_sec"] = round(t2 - t0, 5)
+        return out, metrics
 
-    def checkpoint_now(self, step: int) -> int:
-        out = os.path.join(state_dir(self.workdir, step), f"part={self.part}.parquet")
-        atomic_write_parquet(
-            pa.Table.from_pandas(self.state, preserve_index=False), out
-        )
-        return self.part
+    def checkpoint_at(self, step: int) -> list[int]:
+        """Durably write the state AT ``step`` from the rolling history
+        (exact even when pipelined waves ran past it)."""
+        self.flush()
+        for p in self.parts:
+            state = self._history[p].get(step)
+            if state is None:
+                raise RuntimeError(
+                    f"state for step {step} no longer in history (part {p})"
+                )
+            atomic_write_parquet(
+                pa.Table.from_pandas(state, preserve_index=False),
+                os.path.join(state_dir(self.workdir, step), f"part={p}.parquet"),
+            )
+        return self.parts
 
 
 class ActorSuperstepEngine(SuperstepEngine):
-    """Superstep engine on persistent partition actors.
+    """Superstep engine on persistent shard workers.
 
     Same prepare()/manifest/checkpoint protocol as the Dataset backend;
-    only the superstep loop differs.  ``checkpoint_every`` trades
+    only the superstep loop differs.  ``num_workers`` defaults to
+    min(cluster CPUs, P) whole-CPU actors.  ``checkpoint_every`` trades
     durability for speed (a crash replays at most that many supersteps
     from the last checkpoint); the final state is always written.
     """
@@ -260,13 +405,15 @@ class ActorSuperstepEngine(SuperstepEngine):
         num_partitions: int = 16,
         max_steps: int = 100,
         checkpoint_every: int = 1,
-        actor_cpus: float | None = None,
+        num_workers: int | None = None,
+        worker_threads: int | None = None,
     ):
         if num_partitions < 2:
             raise ValueError("actor backend needs num_partitions >= 2")
         super().__init__(workdir, program, num_partitions, max_steps)
         self.checkpoint_every = checkpoint_every
-        self.actor_cpus = actor_cpus
+        self.num_workers = num_workers
+        self.worker_threads = worker_threads
 
     def run(self, resume: bool = False) -> "ray.data.Dataset":
         manifest = load_manifest(self.workdir)
@@ -279,6 +426,10 @@ class ActorSuperstepEngine(SuperstepEngine):
                     f"refusing to resume: manifest config {manifest.config} "
                     f"(algo {manifest.algo}) != requested {want} ({self.program.name})"
                 )
+            # checkpoint writes are async: anchor on the newest step whose
+            # state dir is complete on disk and truncate any manifest
+            # entries that outran their files
+            self._anchor_resume(manifest)
         P = manifest.num_partitions
         program = self.program
         n_vertices = manifest.steps[0]["n_vertices"]
@@ -291,16 +442,20 @@ class ActorSuperstepEngine(SuperstepEngine):
             save_manifest(self.workdir, manifest)
             return self.final_state(step)
 
-        cpus = ray.cluster_resources().get("CPU", P)
-        frac = self.actor_cpus if self.actor_cpus is not None else max(
-            0.01, round(min(1.0, cpus / P), 2)
-        )
+        cpus = int(ray.cluster_resources().get("CPU", P))
+        W = self.num_workers or int(os.environ.get("NWR_NUM_WORKERS", "0")) or max(1, min(cpus, P))
+        # default single-threaded workers: measured on this box, intra-
+        # worker threads don't pay (GIL on the small per-part ops +
+        # shared memory bus); whole-CPU workers keep the parallelism
+        # accounting honest
+        threads = self.worker_threads or int(os.environ.get("NWR_WORKER_THREADS", "0")) or 1
         static_ctx = {"n": n_vertices}
         workers = [
-            PartitionWorker.options(num_cpus=frac).remote(
-                self.workdir, p, P, program, step, static_ctx
+            ShardWorker.options(num_cpus=threads).remote(
+                self.workdir, list(range(w, P, W)), P, program, step, static_ctx,
+                threads,
             )
-            for p in range(P)
+            for w in range(W)
         ]
         # Pipelined superstep waves: wave k = advance(k) on every worker
         # (gather step k -> state k+1, then scatter for k+1).  Per-actor
@@ -309,10 +464,10 @@ class ActorSuperstepEngine(SuperstepEngine):
         # driver barrier; the driver consumes metrics `depth` waves
         # behind and stops submitting once converged (the ≤depth
         # speculative waves beyond convergence are discarded — their
-        # checkpoints are just unused files).  Sparse checkpointing
-        # (checkpoint_every > 1) forces depth 1 so the final state can
-        # be flushed from actor memory.
-        depth = 4 if self.checkpoint_every == 1 else 1
+        # checkpoints are just unused files).  The exact converged state
+        # is flushed from the workers' rolling state history even when
+        # speculative waves ran past it.
+        depth = int(os.environ.get("NWR_PIPELINE_DEPTH", "8"))
         try:
             last_ckpt = step
             bundles = [w.scatter.remote(step) for w in workers]
@@ -332,7 +487,7 @@ class ActorSuperstepEngine(SuperstepEngine):
                         os.makedirs(state_dir(self.workdir, k + 1), exist_ok=True)
                         last_ckpt = k + 1
                     rets = [
-                        w.advance.options(num_returns=2).remote(k, do_ckpt, *bundles)
+                        w.advance.options(num_returns=2).remote(k, do_ckpt, list(bundles))
                         for w in workers
                     ]
                     bundles = [r[0] for r in rets]
@@ -356,7 +511,7 @@ class ActorSuperstepEngine(SuperstepEngine):
                     "checkpointed": bool(do_ckpt),
                 }
                 for col in mdf.columns:
-                    if col in ("part", "n_msgs"):
+                    if col == "n_msgs":
                         continue
                     if col.startswith("max_"):
                         step_metrics[col] = float(mdf[col].max())
@@ -378,13 +533,31 @@ class ActorSuperstepEngine(SuperstepEngine):
 
             final_step = manifest.steps[-1]["step"]
             if not manifest.steps[-1].get("checkpointed", True):
-                # only reachable at depth 1 (sparse checkpointing), where
-                # actor state is exactly final_step
                 os.makedirs(state_dir(self.workdir, final_step), exist_ok=True)
-                ray.get([w.checkpoint_now.remote(final_step) for w in workers])
+                ray.get([w.checkpoint_at.remote(final_step) for w in workers])
                 manifest.steps[-1]["checkpointed"] = True
+            else:
+                # drain async checkpoint writers before workers die
+                ray.get([w.flush.remote() for w in workers])
             save_manifest(self.workdir, manifest)
         finally:
             for w in workers:
                 ray.kill(w)
         return self.final_state(manifest.steps[-1]["step"])
+
+    def _anchor_resume(self, manifest) -> None:
+        P = manifest.num_partitions
+        for i in range(len(manifest.steps) - 1, -1, -1):
+            s = manifest.steps[i]
+            if s.get("kind") != "init" and not s.get("checkpointed"):
+                continue
+            d = state_dir(self.workdir, s["step"])
+            if os.path.isdir(d) and (
+                sum(1 for f in os.listdir(d) if f.endswith(".parquet")) >= P
+            ):
+                if i < len(manifest.steps) - 1:
+                    del manifest.steps[i + 1:]
+                    manifest.status = "running"
+                    save_manifest(self.workdir, manifest)
+                return
+        raise RuntimeError(f"no complete checkpoint found in {self.workdir}")

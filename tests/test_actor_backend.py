@@ -108,3 +108,35 @@ def test_checkpoint_every_sparsifies_but_final_state_written(tmp_path):
         pagerank(edges_ds(pairs), str(tmp_path / "t"), num_partitions=4, backend="actors")
     )
     assert np.allclose(res["rank"], truth["rank"], atol=1e-9)
+
+
+@pytest.mark.parametrize("algo_fn,col", [
+    (pagerank, "rank"), (connected_components, "label"), (label_propagation, "label"),
+])
+def test_fewer_workers_than_partitions(algo_fn, col, tmp_path):
+    """W < P: shard workers own several source partitions; duplicate
+    destination ids inside a bundle slice must still accumulate
+    (regression for the fancy-indexing += bug)."""
+    pairs = GRAPHS["g_random"]
+    truth = fdf(algo_fn(edges_ds(pairs), str(tmp_path / "t"), num_partitions=6,
+                        backend="dataset"))
+    wd = str(tmp_path / "w")
+    from neo4j_webgraph_ray.pipelines.algorithms import (
+        ConnectedComponentsProgram, LabelPropagationProgram, PageRankProgram,
+    )
+    prog = {
+        pagerank: PageRankProgram(),
+        connected_components: ConnectedComponentsProgram(),
+        label_propagation: LabelPropagationProgram(),
+    }[algo_fn]
+    if algo_fn is label_propagation:
+        eng = ActorSuperstepEngine(wd, prog, num_partitions=6, max_steps=20,
+                                   num_workers=2)
+    else:
+        eng = ActorSuperstepEngine(wd, prog, num_partitions=6, num_workers=2)
+    eng.prepare(edges_ds(pairs))
+    got = fdf(eng.run())
+    if col == "rank":
+        assert np.allclose(truth[col], got[col], atol=1e-9)
+    else:
+        assert (truth[col] == got[col]).all()

@@ -156,3 +156,22 @@ def test_vertex_id_stable_and_collision_free():
     kinds = ["conv"] * 1000 + ["tool"] * 1000
     keys = [f"k{i}" for i in range(1000)] * 2
     validate_no_collisions(kinds, keys)
+
+
+def test_derive_edge_ids_same_edge_set():
+    """Lean id-only derivation yields the same deduped edge set as the
+    full derivation."""
+    from neo4j_webgraph_ray.sources.transcripts import transcripts_from_events
+    from neo4j_webgraph_ray.stages.core import exact_distinct
+    from neo4j_webgraph_ray.stages.derive import derive_edge_ids, derive_edges
+
+    sf = "/root/testdata/sf0.001"
+    full = derive_edges(transcripts_from_events(sf), num_buckets=8).to_pandas()
+    lean = exact_distinct(
+        derive_edge_ids(transcripts_from_events(sf), num_buckets=8),
+        ["src", "dst"],
+        num_buckets=8,
+    ).to_pandas()
+    a = set(zip(full["src"], full["dst"]))
+    b = set(zip(lean["src"], lean["dst"]))
+    assert a == b

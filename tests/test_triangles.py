@@ -28,3 +28,16 @@ def test_triangle_known_values():
 def test_triangle_denser_random():
     pairs = seeded_graph(n=30, m=180, seed=11)
     assert triangle_count(edges_ds(pairs), num_buckets=5) == triangles_oracle(pairs)
+
+
+def test_distributed_path_matches_local(monkeypatch):
+    """Force the partitioned wedge/co-group path and compare with the
+    local fast path + oracle."""
+    import neo4j_webgraph_ray.pipelines.triangles as tri
+
+    pairs = seeded_graph(n=40, m=200, seed=3)
+    expected = triangles_oracle(pairs)
+    monkeypatch.setattr(tri, "LOCAL_TRIANGLE_EDGE_LIMIT", 0)
+    assert tri.triangle_count(edges_ds(pairs), num_buckets=4) == expected
+    monkeypatch.undo()
+    assert tri.triangle_count(edges_ds(pairs), num_buckets=4) == expected
