@@ -107,7 +107,13 @@ def write_rejects(rejects: ray.data.Dataset, out_dir: str) -> int:
         pa.Table.from_pandas(df, preserve_index=False),
         os.path.join(out_dir, "rejects.parquet"),
     )
-    summary = df.groupby("error_type").size().to_dict() if len(df) else {}
+    # summarize by whichever error column this reject table carries
+    err_col = next(
+        (c for c in ("error_type", "enrich_error") if c in df.columns), None
+    )
+    summary = df.groupby(err_col).size().to_dict() if err_col and len(df) else {}
     with open(os.path.join(out_dir, "_summary.json"), "w") as f:
-        json.dump({str(k): int(v) for k, v in summary.items()}, f)
+        json.dump(
+            {"total": len(df), **{str(k): int(v) for k, v in summary.items()}}, f
+        )
     return len(df)

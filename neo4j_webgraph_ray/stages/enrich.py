@@ -227,11 +227,15 @@ def enrich(
     cfg: dict[str, Any] | None = None,
     concurrency: int | tuple[int, int] = 2,
     batch_size: int = 4096,
-    num_cpus: float = 1.0,
+    num_cpus: float = 0.5,
 ) -> ray.data.Dataset:
     """Run an enrichment stage as an actor pool over the Dataset.
     Output rows carry the enriched columns plus ``enrich_error``
-    (null = ok); use :func:`split_rejects` for the side channel."""
+    (null = ok); use :func:`split_rejects` for the side channel.
+
+    ``num_cpus`` defaults to 0.5: enrichment clients are IO-bound, and a
+    pool that reserves every CPU starves the upstream read / downstream
+    write stages (the pipeline then deadlocks on a small cluster)."""
     return ds.map_batches(
         EnrichmentActor,
         fn_constructor_args=(stage, cfg),

@@ -118,3 +118,39 @@ def test_cli_end_to_end(tmp_path, cmd):
         assert out["status"] == "converged" and out["state_rows"] > 0
     else:
         assert out["n_triangles"] >= 0
+
+
+def test_cli_build_graph_and_enrich(tmp_path):
+    """build-graph writes resumable edges/vertices/rejects; enrich runs
+    the stub stage over a keyed table."""
+    from neo4j_webgraph_ray.sources.transcripts import generate_synthetic_transcripts
+
+    tdir = str(tmp_path / "tr")
+    generate_synthetic_transcripts(tdir, n_convs=40, seed=2)
+    out = str(tmp_path / "graph")
+    argv = [sys.executable, "-m", "neo4j_webgraph_ray", "--num-cpus", "4",
+            "build-graph", "--input", tdir, "--out", out, "--num-partitions", "4"]
+    proc = subprocess.run(argv, capture_output=True, text=True, timeout=300,
+                          cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["edges"]["total_rows"] > 0 and res["vertices"]["total_rows"] > 0
+    assert os.path.exists(os.path.join(out, "edges", "_manifest.json"))
+    assert os.path.exists(os.path.join(out, "rejects", "_summary.json"))
+
+    # enrich the vertices output by key
+    eout = str(tmp_path / "enriched")
+    argv = [sys.executable, "-m", "neo4j_webgraph_ray", "--num-cpus", "4",
+            "enrich", "--input", os.path.join(out, "vertices"), "--out", eout,
+            "--num-partitions", "4", "--key-column", "key"]
+    proc = subprocess.run(argv, capture_output=True, text=True, timeout=300,
+                          cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["enriched"]["total_rows"] > 0
+    import pandas as pd
+    back = pd.concat(
+        [pd.read_parquet(os.path.join(eout, "enriched", f))
+         for f in os.listdir(os.path.join(eout, "enriched")) if f.endswith(".parquet")]
+    )
+    assert "social_count" in back.columns and back["social_count"].notna().any()
