@@ -110,6 +110,7 @@ def run_bench() -> dict:
     n_edges = manifest.steps[0]["n_edges"]
     n_vertices = manifest.steps[0]["n_vertices"]
     mean_wall = sum(s["wall_sec"] for s in sup_steps) / max(1, len(sup_steps))
+    mean_msgs = sum(s["n_msgs"] for s in sup_steps) / max(1, len(sup_steps))
     out.update(
         {
             "value": round(t_prepare + t_pr, 3),
@@ -119,6 +120,12 @@ def run_bench() -> dict:
             "status": manifest.status,
             "edges_per_sec_per_superstep": round(n_edges / mean_wall, 1),
             "mean_superstep_sec": round(mean_wall, 4),
+            # hub-skew evidence: scatter pre-aggregates messages by
+            # destination inside each source partition, so a Zipf-hub
+            # tool receives at most P partial rows per superstep instead
+            # of one row per in-edge
+            "mean_messages_per_superstep": round(mean_msgs, 1),
+            "combiner_reduction_factor": round(n_edges / max(1.0, mean_msgs), 1),
         }
     )
 

@@ -54,12 +54,16 @@ def _edges_for_algo(args):
 
 
 def cmd_build_graph(args) -> dict:
-    from neo4j_webgraph_ray.pipelines.graph_tables import build_graph
     from neo4j_webgraph_ray.sources.io import write_partitioned, write_rejects
     from neo4j_webgraph_ray.stages.filters import clean_transcripts
 
+    from neo4j_webgraph_ray.pipelines.graph_tables import build_vertices
+    from neo4j_webgraph_ray.stages.derive import derive_edges
+
     clean, rejects = clean_transcripts(_load_transcripts(args.input))
-    edges, vertices = build_graph(clean, num_buckets=args.num_partitions)
+    # one derivation execution serves both sinks
+    edges = derive_edges(clean, num_buckets=args.num_partitions).materialize()
+    vertices = build_vertices(clean, edges, num_buckets=args.num_partitions)
     stats_e = write_partitioned(
         edges, f"{args.out}/edges", ["src", "dst"], args.num_partitions,
         resume=args.resume,

@@ -32,7 +32,6 @@ from neo4j_webgraph_ray.pipelines.algorithms import (
     label_propagation,
     pagerank,
 )
-from neo4j_webgraph_ray.pipelines.graph_tables import build_graph
 from neo4j_webgraph_ray.pipelines.triangles import triangle_count
 from neo4j_webgraph_ray.sources.transcripts import (
     TRANSCRIPTS_FROM_EVENTS_SQL,
@@ -105,9 +104,15 @@ def graph(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     pinning them in the object store for reuse across queries is the
     broadcast-small-side pattern, not a full-input materialization.
     """
+    from neo4j_webgraph_ray.pipelines.graph_tables import build_vertices
+    from neo4j_webgraph_ray.stages.derive import derive_edges
+
     transcripts = transcripts_from_events(sf_dir)
-    edges, vertices = build_graph(transcripts)
-    return edges.materialize(), vertices.materialize()
+    # materialize edges BEFORE the vertex build so the edge derivation
+    # pipeline executes once, not once per consumer
+    edges = derive_edges(transcripts).materialize()
+    vertices = build_vertices(transcripts, edges).materialize()
+    return edges, vertices
 
 
 # --- queries ---------------------------------------------------------------

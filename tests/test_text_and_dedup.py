@@ -148,3 +148,48 @@ def test_simhash_neardup():
     # candidate filter — every returned pair must be a true pair
     assert pairs <= brute
     assert {(a, b) for a, b in brute if bin(sigs[a] ^ sigs[b]).count("1") <= 3} <= pairs
+
+
+def test_minhash_vs_bruteforce_on_testdata(sf_smoke):
+    """On the 500-doc testdata: exact-verify gives 100% precision; LSH
+    recall must be complete for clearly-similar pairs (the rows-only
+    driver check can't see quality — this brute-force oracle does)."""
+    import itertools as it
+
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_smoke}/documents.parquet'"
+    ).df()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    tau = 0.5
+    sh = {d: set(np.unique(_shingle_hashes(t, 3, False))) for d, t in texts.items()}
+
+    def jac(a, b):
+        u = len(sh[a] | sh[b])
+        return len(sh[a] & sh[b]) / u if u else 0.0
+
+    brute = {
+        (a, b): jac(a, b)
+        for a, b in it.combinations(sorted(texts), 2)
+        if jac(a, b) >= tau
+    }
+    got = minhash_neardup_pairs(docs_ds_from(docs), tau=tau).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    assert got_pairs <= set(brute)  # precision 1.0 (exact verify)
+    strong = {p for p, j in brute.items() if j >= 0.7}
+    assert strong <= got_pairs  # full recall on clear duplicates
+    for _, row in got.iterrows():
+        assert row["jaccard"] == pytest.approx(brute[(row["a"], row["b"])])
+
+
+def docs_ds_from(df):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(), type=pa.int64()),
+            "text": pa.array(df["text"].astype(str)),
+        }
+    )
+    return ray.data.from_arrow(t)
