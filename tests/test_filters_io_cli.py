@@ -154,3 +154,19 @@ def test_cli_build_graph_and_enrich(tmp_path):
          for f in os.listdir(os.path.join(eout, "enriched")) if f.endswith(".parquet")]
     )
     assert "social_count" in back.columns and back["social_count"].notna().any()
+
+
+def test_cli_rejects_invalid_args():
+    """Config/CLI validation analog (reference AppTest): bad invocations
+    exit non-zero without starting a run."""
+    for argv in (
+        ["bogus-command", "--input", "/tmp/x"],
+        ["pagerank", "--input", "/tmp/x"],  # missing --workdir
+        [],
+    ):
+        proc = subprocess.run(
+            [sys.executable, "-m", "neo4j_webgraph_ray", *argv],
+            capture_output=True, text=True, timeout=60,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert proc.returncode != 0

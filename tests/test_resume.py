@@ -94,3 +94,48 @@ def test_manifest_metrics_recorded(tmp_path):
     assert m.lineage and any("supersteps" in ln for ln in m.lineage)
     for s in m.steps[1:]:
         assert "n_msgs" in s and "max_delta" in s and "edges_per_sec" in s
+
+
+def test_actor_resume_anchors_on_complete_checkpoint(tmp_path):
+    """Async checkpoint writes can leave the manifest one step ahead of
+    disk after a crash; resume must anchor on the newest COMPLETE state
+    dir and truncate the manifest, then still converge identically."""
+    import shutil
+
+    from neo4j_webgraph_ray.state.superstep_actors import ActorSuperstepEngine
+
+    pairs = GRAPHS["g_random"]
+    truth = None
+    wd = str(tmp_path / "wd")
+    eng = SuperstepEngine(wd, PageRankProgram(), num_partitions=4)
+    eng.prepare(_edges_of(pairs))
+    truth = eng.run().to_pandas().sort_values("id").reset_index(drop=True)
+
+    wd2 = str(tmp_path / "wd2")
+    e2 = ActorSuperstepEngine(wd2, PageRankProgram(), num_partitions=4, max_steps=5)
+    e2.prepare(_edges_of(pairs))
+    e2.run()
+    # simulate torn write: last checkpointed step loses one part file
+    m = load_manifest(wd2)
+    last = m.steps[-1]["step"]
+    from neo4j_webgraph_ray.state.checkpoint import state_dir
+
+    os.remove(os.path.join(state_dir(wd2, last), "part=2.parquet"))
+    resumed = (
+        ActorSuperstepEngine(wd2, PageRankProgram(), num_partitions=4, max_steps=100)
+        .run(resume=True)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    m2 = load_manifest(wd2)
+    assert m2.status == "converged"
+    import numpy as np
+
+    assert np.allclose(truth["rank"], resumed["rank"], atol=1e-9)
+
+
+def _edges_of(pairs):
+    from tests.test_algorithms import edges_ds
+
+    return edges_ds(pairs)
