@@ -197,7 +197,12 @@ def lsh_candidate_pairs(
             xs.append(ids[iu])
             ys.append(ids[ju])
         if dropped:
-            print(f"[lsh] degenerate bucket: dropped {dropped} members beyond {max_bucket}")
+            import sys
+
+            print(
+                f"[lsh] degenerate bucket: dropped {dropped} members beyond {max_bucket}",
+                file=sys.stderr,
+            )
         if not xs:
             return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
         return pd.DataFrame(

@@ -169,14 +169,23 @@ def derive_edges(
 
 def conv_tool_edge_ids_batch(batch: pa.Table) -> pa.Table:
     """conv→tool edges as pure int64 (src, dst) — no key/provenance
-    columns, ~10× less shuffle volume than the full edge table."""
+    columns, ~10× less shuffle volume than the full edge table.
+    Batch-local exact dedup (repeat tool calls within a conversation
+    collapse here; the global dedup downstream sees far fewer rows)."""
     t = batch.filter(pc.is_valid(batch["tool"]))
     conv = t["conv_id"].to_numpy(zero_copy_only=False).astype(object)
     tool = t["tool"].to_numpy(zero_copy_only=False).astype(object)
+    pairs = np.stack(
+        [vertex_id(KIND_CONV, conv), vertex_id(KIND_TOOL, tool)], axis=1
+    )
+    if len(pairs):
+        pairs = np.unique(pairs, axis=0)
     return pa.table(
         {
-            "src": pa.array(vertex_id(KIND_CONV, conv), type=pa.int64()),
-            "dst": pa.array(vertex_id(KIND_TOOL, tool), type=pa.int64()),
+            "src": pa.array(pairs[:, 0] if len(pairs) else np.empty(0, np.int64),
+                            type=pa.int64()),
+            "dst": pa.array(pairs[:, 1] if len(pairs) else np.empty(0, np.int64),
+                            type=pa.int64()),
         }
     )
 
@@ -223,7 +232,12 @@ def derive_edge_ids(
             same = np.zeros(0, dtype=bool)
         else:
             same = cid[:-1] == cid[1:]
-        return pd.DataFrame({"src": rid[:-1][same], "dst": rid[1:][same]})
+        # local exact dedup: the role domain is tiny, so millions of
+        # adjacency rows collapse to a handful of distinct pairs before
+        # anything crosses the next shuffle
+        return pd.DataFrame(
+            {"src": rid[:-1][same], "dst": rid[1:][same]}
+        ).drop_duplicates()
 
     staged = transcripts.map_batches(
         local, batch_format="pyarrow", zero_copy_batch=True
