@@ -35,12 +35,19 @@ VERTEX_COLUMNS = ["id", "kind", "key", "content", "in_deg", "out_deg"]
 
 def _conv_candidates(batch: pa.Table) -> pd.DataFrame:
     n = batch.num_rows
+    content = batch["text"].to_numpy(zero_copy_only=False).astype(object)
+    order = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.float64)
+    # content_order must be null wherever content is null, or the
+    # partial-combine min would anchor on a placeholder row and make the
+    # merge batch-boundary-dependent (M9 must be algebraic)
+    null_content = np.array([c is None for c in content])
+    order = np.where(null_content, np.nan, order)
     return pd.DataFrame(
         {
             "kind": np.full(n, KIND_CONV, dtype=object),
             "key": batch["conv_id"].to_numpy(zero_copy_only=False).astype(object),
-            "content": batch["text"].to_numpy(zero_copy_only=False).astype(object),
-            "content_order": batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.float64),
+            "content": content,
+            "content_order": order,
             "out_c": np.zeros(n, dtype=np.int64),
             "in_c": np.zeros(n, dtype=np.int64),
         }

@@ -199,7 +199,10 @@ def triangle_count(edges: ray.data.Dataset, num_buckets: int = 64) -> int:
         if not src_l:
             return 0
         return triangle_count_local(np.concatenate(src_l), np.concatenate(dst_l))
-    oriented = oriented_edges(edges, num_buckets)
+    # oriented feeds both the wedge generator and the edge side of the
+    # final co-group: pin it so the 4-shuffle orientation pipeline
+    # executes once
+    oriented = oriented_edges(edges, num_buckets).materialize()
 
     # 4. wedge candidates: ordered neighbor pairs per lo-vertex, ordered
     # by (deg, id) so each candidate can match at most one oriented edge

@@ -136,7 +136,10 @@ def generate_synthetic_transcripts(
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = os.path.join(out_dir, "_GEN_MANIFEST")
-    stamp = f"v1 n_convs={n_convs} seed={seed} n_tools={n_tools} a={zipf_alpha} mt={max_turns}"
+    stamp = (
+        f"v1 n_convs={n_convs} seed={seed} n_tools={n_tools} a={zipf_alpha} "
+        f"mt={max_turns} rpf={rows_per_file}"
+    )
     if os.path.exists(manifest):
         with open(manifest) as f:
             if f.read() == stamp and any(

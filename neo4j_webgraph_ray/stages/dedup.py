@@ -112,6 +112,13 @@ class MinHasher:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    self.id_col: pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.list_(pa.int64(), len(self.a))),
+                }
+            )
         texts = batch[self.text_col].to_numpy(zero_copy_only=False)
         sigs = np.stack(
             [
@@ -160,6 +167,11 @@ def lsh_candidate_pairs(
 
     def band_rows(batch: pa.Table) -> pd.DataFrame:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pd.DataFrame(
+                {"band": np.empty(0, np.int32), "bh": np.empty(0, np.int64),
+                 id_col: np.empty(0, np.int64)}
+            )
         sig = np.stack(batch["sig"].to_numpy(zero_copy_only=False)).view(np.uint64)
         num_perm = sig.shape[1]
         r = num_perm // bands
@@ -231,6 +243,9 @@ def verify_jaccard(
     (``ray.put`` once, read per task) — the documented scale path for a
     candidate set that outgrows one node is a two-sided co-group join
     of pairs against the docs table on each endpoint."""
+    # pairs is consumed twice (id collection + verify): pin it so the
+    # expensive LSH pipeline upstream executes exactly once
+    pairs = pairs.materialize()
     need = set()
     for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
         need.update(b["a"].to_pylist())

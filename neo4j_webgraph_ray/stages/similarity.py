@@ -20,7 +20,10 @@ import ray.data
 
 
 def _matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
-    return np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+    vecs = batch[vec_col].to_numpy(zero_copy_only=False)
+    if len(vecs) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.stack(vecs).astype(np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -66,6 +69,12 @@ def ann_topk_bruteforce(
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         q_ids, q = ray.get(qref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
         m = _normalize(_matrix(batch, vec_col))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         cos = np.round(q @ m.T, 6)  # (Q, n)
@@ -73,7 +82,10 @@ def ann_topk_bruteforce(
         kk = min(k + (0 if include_self else 1), cos.shape[1])
         for qi in range(len(q_ids)):
             row = cos[qi]
-            top = np.argpartition(-row, kk - 1)[:kk]
+            # per-batch cut honors the SAME (cos desc, id asc) tie-break
+            # as the final merge — an argpartition cut could drop the
+            # smallest-id member of a tie straddling the k boundary
+            top = np.lexsort((ids, -row))[:kk]
             out_q.append(np.full(len(top), q_ids[qi], dtype=np.int64))
             out_n.append(ids[top])
             out_c.append(row[top])
@@ -116,6 +128,11 @@ def embedding_neardup_pairs(
     ref = ray.put((ids_all, mat_all))
 
     def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
         all_ids, all_m = ray.get(ref)
         m = _normalize(_matrix(batch, vec_col))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -192,12 +209,20 @@ def ann_topk_lsh(
     def bucketize(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if batch.num_rows == 0:
+            return batch.append_column("bucket", pa.array([], pa.int64()))
         m = _normalize(_matrix(batch, vec_col))
         buckets = lsh.bucket(m)
         t = batch.append_column("bucket", pa.array(buckets))
         return t.filter(pc.is_in(t["bucket"], value_set=wanted_arr))
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
         q_ids, q, probes = ray.get(qref)
         m = _normalize(_matrix(batch, vec_col))
         ids = batch[id_col].to_numpy(zero_copy_only=False)

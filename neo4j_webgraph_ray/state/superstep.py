@@ -258,8 +258,15 @@ class SuperstepEngine:
         input pipeline executes exactly once end-to-end."""
         if dedup and self.program.undirected:
             raise ValueError("dedup-in-prepare is only supported for directed programs")
+        import shutil
+
         P = self.num_partitions
         workdir = self.workdir
+        # a fresh prepare owns the workdir: stale partition/state files
+        # from a previous run (different input or partition count) must
+        # not silently merge into the new graph
+        for sub in ("edges", "state", "vertices"):
+            shutil.rmtree(os.path.join(workdir, sub), ignore_errors=True)
         os.makedirs(edges_dir(workdir), exist_ok=True)
         os.makedirs(state_dir(workdir, 0), exist_ok=True)
         undirected = self.program.undirected
@@ -430,6 +437,9 @@ class SuperstepEngine:
                     f"refusing to resume: manifest config {manifest.config} "
                     f"(algo {manifest.algo}) != requested {want} ({self.program.name})"
                 )
+            # a crash can leave the manifest ahead of the (async) state
+            # writes: anchor on the newest step fully present on disk
+            self._anchor_resume(manifest)
         P = manifest.num_partitions
         program = self.program
         n_vertices = manifest.steps[0]["n_vertices"]
@@ -508,3 +518,25 @@ class SuperstepEngine:
             manifest = load_manifest(self.workdir)
             step = manifest.steps[-1]["step"]
         return ray.data.read_parquet(state_dir(self.workdir, step))
+
+    def _anchor_resume(self, manifest: Manifest) -> None:
+        """Anchor resume on the newest step whose state dir is complete
+        on disk; truncate manifest entries that outran their files (an
+        interrupted async checkpoint can leave the manifest one step
+        ahead).  Steps without a 'checkpointed' flag (Dataset backend)
+        are durably written, hence candidates."""
+        P = manifest.num_partitions
+        for i in range(len(manifest.steps) - 1, -1, -1):
+            s = manifest.steps[i]
+            if s.get("kind") != "init" and not s.get("checkpointed", True):
+                continue
+            d = state_dir(self.workdir, s["step"])
+            if os.path.isdir(d) and (
+                sum(1 for f in os.listdir(d) if f.endswith(".parquet")) >= P
+            ):
+                if i < len(manifest.steps) - 1:
+                    del manifest.steps[i + 1:]
+                    manifest.status = "running"
+                    save_manifest(self.workdir, manifest)
+                return
+        raise RuntimeError(f"no complete checkpoint found in {self.workdir}")

@@ -443,12 +443,16 @@ class ActorSuperstepEngine(SuperstepEngine):
             return self.final_state(step)
 
         cpus = int(ray.cluster_resources().get("CPU", P))
-        W = self.num_workers or int(os.environ.get("NWR_NUM_WORKERS", "0")) or max(1, min(cpus, P))
         # default single-threaded workers: measured on this box, intra-
         # worker threads don't pay (GIL on the small per-part ops +
         # shared memory bus); whole-CPU workers keep the parallelism
         # accounting honest
         threads = self.worker_threads or int(os.environ.get("NWR_WORKER_THREADS", "0")) or 1
+        # worker count must leave room for num_cpus=threads per actor or
+        # part of the pool never schedules and the first wave hangs
+        W = self.num_workers or int(os.environ.get("NWR_NUM_WORKERS", "0")) or max(
+            1, min(cpus // threads, P)
+        )
         static_ctx = {"n": n_vertices}
         workers = [
             ShardWorker.options(num_cpus=threads).remote(
@@ -544,20 +548,3 @@ class ActorSuperstepEngine(SuperstepEngine):
             for w in workers:
                 ray.kill(w)
         return self.final_state(manifest.steps[-1]["step"])
-
-    def _anchor_resume(self, manifest) -> None:
-        P = manifest.num_partitions
-        for i in range(len(manifest.steps) - 1, -1, -1):
-            s = manifest.steps[i]
-            if s.get("kind") != "init" and not s.get("checkpointed"):
-                continue
-            d = state_dir(self.workdir, s["step"])
-            if os.path.isdir(d) and (
-                sum(1 for f in os.listdir(d) if f.endswith(".parquet")) >= P
-            ):
-                if i < len(manifest.steps) - 1:
-                    del manifest.steps[i + 1:]
-                    manifest.status = "running"
-                    save_manifest(self.workdir, manifest)
-                return
-        raise RuntimeError(f"no complete checkpoint found in {self.workdir}")

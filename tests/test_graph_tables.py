@@ -175,3 +175,18 @@ def test_derive_edge_ids_same_edge_set():
     a = set(zip(full["src"], full["dst"]))
     b = set(zip(lean["src"], lean["dst"]))
     assert a == b
+
+
+def test_content_merge_skips_null_text_across_partitions():
+    """M9 algebraic merge: null-content rows must not anchor the
+    content_order min — the earliest NON-NULL text wins regardless of
+    how rows split across blocks (review finding)."""
+    rows = [
+        ("a", 0, "user", None, None),       # placeholder turn, null text
+        ("a", 3, "user", "late text", None),
+        ("a", 1, "user", "real text", None),
+    ]
+    # num_buckets=1 and =4 must agree
+    for nb in (1, 4):
+        _, v = graph_of(rows, num_buckets=nb)
+        assert v.loc[("conv", "a"), "content"] == "real text", nb

@@ -139,3 +139,68 @@ def _edges_of(pairs):
     from tests.test_algorithms import edges_ds
 
     return edges_ds(pairs)
+
+
+def test_dataset_backend_resume_anchors_on_torn_checkpoint(tmp_path):
+    """The Dataset backend must anchor on the last complete checkpoint
+    too (shared protocol with the actor backend's async writes)."""
+    from neo4j_webgraph_ray.state.checkpoint import state_dir
+
+    pairs = GRAPHS["g_random"]
+    wd = str(tmp_path / "wd")
+    eng = SuperstepEngine(wd, PageRankProgram(), num_partitions=4, max_steps=5)
+    eng.prepare(_edges_of(pairs))
+    eng.run()
+    m = load_manifest(wd)
+    last = m.steps[-1]["step"]
+    os.remove(os.path.join(state_dir(wd, last), "part=1.parquet"))
+    out = (
+        SuperstepEngine(wd, PageRankProgram(), num_partitions=4, max_steps=100)
+        .run(resume=True)
+        .to_pandas()
+    )
+    truth = (
+        SuperstepEngine(str(tmp_path / "t"), PageRankProgram(), num_partitions=4)
+    )
+    truth.prepare(_edges_of(pairs))
+    tdf = truth.run().to_pandas()
+    import numpy as np
+
+    a = out.sort_values("id")["rank"].to_numpy()
+    b = tdf.sort_values("id")["rank"].to_numpy()
+    assert np.allclose(a, b, atol=1e-9)
+
+
+def test_cross_backend_resume_preserves_history(tmp_path):
+    """dataset→actors resume must anchor on the dataset backend's last
+    completed superstep, not restart from step 0 (review finding)."""
+    from neo4j_webgraph_ray.state.superstep_actors import ActorSuperstepEngine
+
+    pairs = GRAPHS["g_random"]
+    wd = str(tmp_path / "wd")
+    e1 = SuperstepEngine(wd, PageRankProgram(), num_partitions=4, max_steps=5)
+    e1.prepare(_edges_of(pairs))
+    e1.run()
+    steps_before = len(load_manifest(wd).steps)
+    assert steps_before == 6  # init + 5
+    ActorSuperstepEngine(wd, PageRankProgram(), num_partitions=4, max_steps=100).run(
+        resume=True
+    )
+    m = load_manifest(wd)
+    # history preserved: resumed run continued after step 5
+    assert [s["step"] for s in m.steps[:steps_before]] == list(range(steps_before))
+    assert len(m.steps) > steps_before and m.status == "converged"
+
+
+def test_prepare_clears_stale_workdir(tmp_path):
+    """Re-preparing a workdir with a different input must not merge the
+    old graph's partitions in (review finding)."""
+    wd = str(tmp_path / "wd")
+    big = GRAPHS["g_random"]
+    eng = SuperstepEngine(wd, PageRankProgram(), num_partitions=4)
+    eng.prepare(_edges_of(big))
+    small = GRAPHS["g_chain"]
+    eng2 = SuperstepEngine(wd, PageRankProgram(), num_partitions=4)
+    eng2.prepare(_edges_of(small))
+    out = eng2.run().to_pandas()
+    assert len(out) == 4  # only chain vertices, nothing from the old graph
