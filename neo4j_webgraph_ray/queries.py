@@ -252,6 +252,35 @@ def q_cross_kind_pattern(
     return out.sort_values(["conv_key", "tool_key"]).reset_index(drop=True)
 
 
+def q_transcript_sample(sf_dir: str, rate_denom: int = 20) -> ray.data.Dataset:
+    """Deterministic systematic sample of turns (SURVEY §2.6: sampling
+    is absent in the reference; the engine provides a seeded/systematic
+    variant for fixtures and downsampling pipelines).  Keyed on the
+    stable (conv_id, turn_idx) identity so the sample is identical
+    across engines and partitionings."""
+    ds = transcripts_from_events(sf_dir)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        turn = pc.cast(batch["turn_idx"], pa.int64())
+        key = pc.add(
+            pc.multiply(pc.utf8_length(batch["conv_id"]), pa.scalar(7, pa.int64())),
+            turn,
+        )
+        keep = pc.equal(pc.subtract(key, pc.multiply(
+            pc.divide(key, pa.scalar(rate_denom, pa.int64())),
+            pa.scalar(rate_denom, pa.int64()))), pa.scalar(0, pa.int64()))
+        return batch.filter(keep)
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SAMPLE_ORACLE_SQL = f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT * FROM transcripts
+WHERE (length(conv_id) * 7 + turn_idx) % 20 = 0
+"""
+
+
 # --- graph analytics (PageRank / CC / LPA / triangles) ---------------------
 
 
@@ -523,6 +552,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "null_tool_scan": q_null_tool_scan,
     "point_lookup": q_point_lookup,
     "cross_kind_pattern": q_cross_kind_pattern,
+    "transcript_sample": q_transcript_sample,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -542,6 +572,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "point_lookup": GRAPH_SQL_PRELUDE
     + 'SELECT kind, "key", content, in_deg, out_deg FROM vertices '
     "WHERE kind = 'conv' AND \"key\" IN ('c1', 'c7', 'c11')",
+    "transcript_sample": SAMPLE_ORACLE_SQL,
     "cross_kind_pattern": GRAPH_SQL_PRELUDE
     + """
     SELECT e.src_key AS conv_key, e.dst_key AS tool_key
