@@ -72,7 +72,7 @@ def cmd_build_graph(args) -> dict:
         vertices, f"{args.out}/vertices", ["id"], args.num_partitions,
         resume=args.resume,
     )
-    n_rejects = write_rejects(rejects, f"{args.out}/rejects")
+    n_rejects = write_rejects(rejects, f"{args.out}/rejects", resume=args.resume)
     return {"edges": stats_e, "vertices": stats_v, "rejects": n_rejects}
 
 
@@ -121,12 +121,15 @@ def cmd_enrich(args) -> dict:
     from neo4j_webgraph_ray.stages.enrich import enrich, split_rejects
 
     ds = _load_transcripts(args.input)
+    # materialize at the fan-out: split_rejects is consumed twice below
+    # (enriched sink + rejects sink); without pinning, the actor-pool
+    # enrichment — external calls, politeness throttle — runs twice.
     out = enrich(ds, args.stage, json.loads(args.stage_config),
-                 concurrency=args.concurrency)
+                 concurrency=args.concurrency).materialize()
     clean, rejects = split_rejects(out)
     stats = write_partitioned(clean, f"{args.out}/enriched", [args.key_column],
                               args.num_partitions, resume=args.resume)
-    n_rej = write_rejects(rejects, f"{args.out}/rejects")
+    n_rej = write_rejects(rejects, f"{args.out}/rejects", resume=args.resume)
     return {"enriched": stats, "rejects": n_rej}
 
 

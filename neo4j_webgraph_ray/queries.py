@@ -252,7 +252,12 @@ def q_cross_kind_pattern(
     return out.sort_values(["conv_key", "tool_key"]).reset_index(drop=True)
 
 
-def q_transcript_sample(sf_dir: str, rate_denom: int = 20) -> ray.data.Dataset:
+# shared with SAMPLE_ORACLE_SQL below so the engine and its oracle can
+# never silently diverge on the sampling rate (ADVICE r1)
+SAMPLE_RATE_DENOM = 20
+
+
+def q_transcript_sample(sf_dir: str, rate_denom: int = SAMPLE_RATE_DENOM) -> ray.data.Dataset:
     """Deterministic systematic sample of turns (SURVEY §2.6: sampling
     is absent in the reference; the engine provides a seeded/systematic
     variant for fixtures and downsampling pipelines).  Keyed on the
@@ -277,7 +282,7 @@ def q_transcript_sample(sf_dir: str, rate_denom: int = 20) -> ray.data.Dataset:
 SAMPLE_ORACLE_SQL = f"""
 WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
 SELECT * FROM transcripts
-WHERE (length(conv_id) * 7 + turn_idx) % 20 = 0
+WHERE (length(conv_id) * 7 + turn_idx) % {SAMPLE_RATE_DENOM} = 0
 """
 
 
@@ -448,7 +453,10 @@ def q_enrich_social(sf_dir: str) -> pd.DataFrame:
         batch_size=2048,
     )
     df = out.to_pandas()[["kind", "key", "social_count"]]
-    df["social_count"] = df["social_count"].astype("Int64")
+    # float64/NaN (not nullable Int64/pd.NA): the DuckDB oracle's nullable
+    # int column materializes as float64 in pandas, and the driver's
+    # value-hash distinguishes the two representations (VERDICT r1 #1).
+    df["social_count"] = df["social_count"].astype("float64")
     return df.sort_values(["kind", "key"]).reset_index(drop=True)
 
 

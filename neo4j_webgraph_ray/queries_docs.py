@@ -34,7 +34,10 @@ from neo4j_webgraph_ray.stages.similarity import (
 
 ANN_QUERY_IDS = [0, 3, 11, 42, 99]
 ANN_K = 10
-NEARDUP_TAU = 0.8
+# 0.45 makes the oracle discriminate on the synthetic testdata (max
+# pairwise cosine there is ~0.513; at the old 0.8 the check was a vacuous
+# 0 == 0 — VERDICT r1 #5); no pair sits near the rounding boundary.
+NEARDUP_TAU = 0.45
 
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
@@ -121,7 +124,9 @@ def q_ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
 
 
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
-    """Embedding near-duplicate pairs: cosine >= 0.8."""
+    """Embedding near-duplicate pairs: cosine >= NEARDUP_TAU.  The auto
+    gate picks the exact brute-force path at oracle scale; the
+    LSH-bucketed scale path is parity-tested against it in pytest."""
     return embedding_neardup_pairs(_emb(sf_dir), tau=NEARDUP_TAU)[["a", "b"]]
 
 

@@ -63,7 +63,30 @@ def write_partitioned(
     done: dict[str, int] = {}
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            done = json.load(f).get("partitions", {})
+            prev = json.load(f)
+        # refuse to resume under a changed layout: skipping "completed"
+        # buckets computed with a different partition count / key would
+        # silently merge stale and new data (mirrors SuperstepEngine.run's
+        # config check)
+        prev_np = prev.get("num_partitions")
+        prev_keys = prev.get("key_cols")
+        if (prev_np is not None and prev_np != num_partitions) or (
+            prev_keys is not None and prev_keys != key_cols
+        ):
+            raise ValueError(
+                f"resume layout mismatch at {out_dir}: manifest has "
+                f"num_partitions={prev_np} key_cols={prev_keys}, run asked "
+                f"for num_partitions={num_partitions} key_cols={key_cols}; "
+                "delete the output dir or rerun with the original layout"
+            )
+        done = prev.get("partitions", {})
+    elif not resume:
+        # fresh run owns its output dir: stale partitions from a previous
+        # (possibly differently-laid-out) run must not survive alongside
+        # the new ones
+        for n in os.listdir(out_dir):
+            if n.endswith(".parquet") or n == "_manifest.json":
+                os.remove(os.path.join(out_dir, n))
 
     done_set = frozenset(int(k) for k in done)
 
@@ -91,29 +114,60 @@ def write_partitioned(
         done[str(int(row["part"]))] = int(row["rows"])
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"partitions": done, "key_cols": key_cols}, f)
+        json.dump(
+            {"partitions": done, "key_cols": key_cols,
+             "num_partitions": num_partitions}, f,
+        )
     os.replace(tmp, manifest_path)
     return {"written_partitions": len(stats), "skipped_partitions": len(done) - len(stats),
             "total_rows": sum(done.values())}
 
 
-def write_rejects(rejects: ray.data.Dataset, out_dir: str) -> int:
-    """FailedUrls-analog sink: rejects Parquet + per-error-type summary
-    (the reference logs small reports and spills large ones to file —
-    here both live in ``rejects/`` and ``rejects/_summary.json``)."""
+def write_rejects(
+    rejects: ray.data.Dataset, out_dir: str, num_partitions: int = 16,
+    resume: bool = False,
+) -> int:
+    """FailedUrls-analog sink: partitioned rejects Parquet + per-error-type
+    summary (``FailedUrls.java:52-92`` logs small reports and spills large
+    ones to file; here both live in ``rejects/`` + ``rejects/_summary.json``).
+
+    Fully streaming: the rejects Dataset goes through the resumable
+    partitioned sink (never ``to_pandas`` on the driver — a systematic
+    bad-input pattern at scale produces a rejects table bigger than driver
+    memory), and the summary is aggregated by re-reading ONLY the error
+    column from the files just written (column-pruned; avoids re-executing
+    the upstream pipeline a second time)."""
     os.makedirs(out_dir, exist_ok=True)
-    df = rejects.to_pandas()
-    atomic_write_parquet(
-        pa.Table.from_pandas(df, preserve_index=False),
-        os.path.join(out_dir, "rejects.parquet"),
-    )
-    # summarize by whichever error column this reject table carries
+    try:
+        names = rejects.schema().names
+    except Exception:
+        names = []
     err_col = next(
-        (c for c in ("error_type", "enrich_error") if c in df.columns), None
+        (c for c in ("error_type", "enrich_error") if c in names),
+        names[0] if names else None,
     )
-    summary = df.groupby(err_col).size().to_dict() if err_col and len(df) else {}
-    with open(os.path.join(out_dir, "_summary.json"), "w") as f:
-        json.dump(
-            {"total": len(df), **{str(k): int(v) for k, v in summary.items()}}, f
+    total = 0
+    summary: dict[str, int] = {}
+    if err_col is not None:
+        stats = write_partitioned(
+            rejects, out_dir, [err_col], num_partitions, resume=resume
         )
-    return len(df)
+        total = int(stats["total_rows"])
+        files = [
+            os.path.join(out_dir, n)
+            for n in os.listdir(out_dir)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        ]
+        if files and total:
+            counts = (
+                ray.data.read_parquet(files, columns=[err_col])
+                .groupby(err_col)
+                .count()
+                .to_pandas()
+            )
+            summary = {
+                str(k): int(v) for k, v in zip(counts[err_col], counts["count()"])
+            }
+    with open(os.path.join(out_dir, "_summary.json"), "w") as f:
+        json.dump({"total": total, **summary}, f)
+    return total

@@ -236,16 +236,24 @@ def verify_jaccard(
     pairs: ray.data.Dataset, docs: ray.data.Dataset, tau: float,
     shingle_k: int = 3, char: bool = False,
     text_col: str = "text", id_col: str = "doc_id",
+    broadcast_limit: int = 100_000, num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Exact shingle-set Jaccard for each candidate pair; keep >= tau.
 
-    The candidate doc set is small after LSH, so texts are broadcast
-    (``ray.put`` once, read per task) — the documented scale path for a
-    candidate set that outgrows one node is a two-sided co-group join
-    of pairs against the docs table on each endpoint."""
-    # pairs is consumed twice (id collection + verify): pin it so the
-    # expensive LSH pipeline upstream executes exactly once
+    Size-gated: below ``broadcast_limit`` candidate endpoints the texts
+    are broadcast (``ray.put`` once, read per task).  Above it — a
+    boilerplate-heavy corpus can make the LSH candidate set outgrow one
+    node — the scale path is a two-sided co-group join: per-doc shingle
+    sets are computed in one pass over the docs table, shuffled by
+    doc_id against the pair endpoints, then regrouped by pair.  Nothing
+    is ever collected on the driver in that path."""
+    # pairs is consumed twice (count/id collection + verify): pin it so
+    # the expensive LSH pipeline upstream executes exactly once
     pairs = pairs.materialize()
+    if 2 * pairs.count() > broadcast_limit:
+        return _verify_jaccard_cogroup(
+            pairs, docs, tau, shingle_k, char, text_col, id_col, num_buckets
+        )
     need = set()
     for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
         need.update(b["a"].to_pylist())
@@ -298,10 +306,115 @@ def verify_jaccard(
     return pairs.map_batches(verify, batch_format="pyarrow")
 
 
+def _verify_jaccard_cogroup(
+    pairs: ray.data.Dataset, docs: ray.data.Dataset, tau: float,
+    shingle_k: int, char: bool, text_col: str, id_col: str,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """Distributed exact-verify: shuffle 1 co-groups (pair endpoints ⋈
+    per-doc shingle sets) on doc id; shuffle 2 regroups the now
+    shingle-carrying endpoint rows by pair and computes Jaccard."""
+    k, is_char = shingle_k, char
+
+    def pair_requests(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        did = np.concatenate([a, b])
+        return pa.table(
+            {
+                "did": pa.array(did, type=pa.int64()),
+                "pa_": pa.array(np.concatenate([a, a]), type=pa.int64()),
+                "pb_": pa.array(np.concatenate([b, b]), type=pa.int64()),
+                # shingle sets travel as raw uint64 bytes: plain binary
+                # survives both Arrow and pandas block shuffles (object
+                # ndarrays trip Ray's tensor-extension casting)
+                "sh": pa.array([None] * len(did), type=pa.binary()),
+            }
+        )
+
+    def doc_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        sh = [
+            np.unique(
+                _shingle_hashes(t if t is not None else "", k, is_char)
+            ).tobytes()
+            for t in texts
+        ]
+        return pa.table(
+            {
+                "did": pa.array(ids, type=pa.int64()),
+                "pa_": pa.array([None] * len(ids), type=pa.int64()),
+                "pb_": pa.array([None] * len(ids), type=pa.int64()),
+                "sh": pa.array(sh, type=pa.binary()),
+            }
+        )
+
+    reqs = pairs.map_batches(pair_requests, batch_format="pyarrow")
+    shs = docs.map_batches(doc_shingles, batch_format="pyarrow", zero_copy_batch=True)
+    both = reqs.union(shs)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        is_doc = df["pa_"].isna()
+        doc_sh = dict(zip(df.loc[is_doc, "did"], df.loc[is_doc, "sh"]))
+        req = df[~is_doc]
+        if not len(req):
+            return pd.DataFrame(
+                {"pa_": np.empty(0, np.int64), "pb_": np.empty(0, np.int64),
+                 "sh": np.empty(0, object)}
+            )
+        out = pd.DataFrame(
+            {
+                "pa_": req["pa_"].to_numpy().astype(np.int64),
+                "pb_": req["pb_"].to_numpy().astype(np.int64),
+                # a candidate id absent from the docs table verifies as
+                # an empty shingle set (matches the broadcast path)
+                "sh": [doc_sh.get(d, b"") for d in req["did"].to_numpy()],
+            }
+        )
+        return out
+
+    staged1 = both.map_batches(
+        lambda df: add_bucket_column(df, ["did"], num_buckets),
+        batch_format="pandas",
+    )
+    endpoint_rows = staged1.groupby(BUCKET_COL).map_groups(
+        attach, batch_format="pandas"
+    )
+
+    def per_pair(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        out_a, out_b, out_j = [], [], []
+        for (a, b), g in df.groupby(["pa_", "pb_"], sort=False):
+            shl = [np.frombuffer(s or b"", dtype=np.uint64) for s in g["sh"]]
+            if len(shl) < 2:  # endpoint lost (shouldn't happen) — skip
+                continue
+            sa, sb = shl[0], shl[1]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 0.0
+            if jac >= tau:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(jac)
+        return pd.DataFrame(
+            {"a": np.array(out_a, np.int64), "b": np.array(out_b, np.int64),
+             "jaccard": np.array(out_j, np.float64)}
+        )
+
+    staged2 = endpoint_rows.map_batches(
+        lambda df: add_bucket_column(df, ["pa_", "pb_"], num_buckets),
+        batch_format="pandas",
+    )
+    return staged2.groupby(BUCKET_COL).map_groups(per_pair, batch_format="pandas")
+
+
 def minhash_neardup_pairs(
     docs: ray.data.Dataset, tau: float = 0.7, num_perm: int = 64,
     bands: int = 16, shingle_k: int = 3, char: bool = False,
     text_col: str = "text", id_col: str = "doc_id",
+    verify_broadcast_limit: int = 100_000,
 ) -> ray.data.Dataset:
     """shingle → minhash → band → bucket groupby → verify: the full
     near-dup pipeline (word shingles; ``char=True`` gives the n-gram
@@ -314,6 +427,7 @@ def minhash_neardup_pairs(
     return verify_jaccard(
         cand, docs, tau, shingle_k=shingle_k, char=char,
         text_col=text_col, id_col=id_col,
+        broadcast_limit=verify_broadcast_limit,
     )
 
 

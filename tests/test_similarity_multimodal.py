@@ -102,6 +102,57 @@ def test_ann_lsh_recall():
     assert np.mean(recalls) >= 0.6, recalls
 
 
+def test_embedding_neardup_lsh_vs_bruteforce():
+    """Scale-path parity: the LSH-bucketed variant must report ONLY true
+    pairs (precision 1 — cosines are computed exactly within buckets)
+    and find the planted tight dups; recall vs brute force is bounded
+    below (seed-deterministic)."""
+    ds, _ = clustered_ds()
+    tau = 0.9
+    exact = embedding_neardup_pairs(ds, tau=tau, method="bruteforce")
+    approx = embedding_neardup_pairs(ds, tau=tau, method="lsh", n_planes=8)
+    exact_set = set(zip(exact["a"], exact["b"]))
+    approx_set = set(zip(approx["a"], approx["b"]))
+    assert len(exact_set) > 0  # fixture discriminates
+    assert approx_set <= exact_set  # no false positives, canonical a<b
+    assert len(approx_set) / len(exact_set) >= 0.8, (
+        len(approx_set), len(exact_set))
+    # cos values riding along must agree with the exact path
+    merged = approx.merge(exact, on=["a", "b"], suffixes=("_l", "_e"))
+    assert np.array_equal(merged["cos_l"].to_numpy(), merged["cos_e"].to_numpy())
+
+
+def test_embedding_neardup_lsh_tight_dups_full_recall():
+    """Near-identical vectors share sign patterns under the fixed seed:
+    the planted (0,1) and (5,7) dup pairs must always surface."""
+    ds, _ = emb_ds()
+    pairs = embedding_neardup_pairs(ds, tau=0.99, method="lsh", n_planes=8)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 1) in got and (5, 7) in got
+
+
+def test_ann_lsh_tied_cosines_deterministic():
+    """Exact-duplicate vectors produce tied cosines straddling the k
+    boundary; the per-batch cut must keep the smallest ids (same
+    lexsort tie-break as the brute-force path)."""
+    rng = np.random.default_rng(11)
+    dim = 16
+    base = rng.standard_normal(dim)
+    m = np.vstack([base] * 8 + list(rng.standard_normal((40, dim))))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.astype(np.float32).ravel()), dim
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    got = ann_topk_lsh(ds, [0], k=4, n_planes=6)
+    # rows 1..7 all tie at cos=1.0; k=4 must pick ids 1,2,3,4
+    assert got.sort_values("rank")["neighbor_id"].tolist() == [1, 2, 3, 4]
+
+
 def test_multimodal_decode_plumbing():
     items = ray.data.from_arrow(synthesize_binary_items(32))
     out = decode_features(items, resize_to=(8, 8), concurrency=2, batch_size=8).to_pandas()

@@ -150,6 +150,20 @@ def test_simhash_neardup():
     assert {(a, b) for a, b in brute if bin(sigs[a] ^ sigs[b]).count("1") <= 3} <= pairs
 
 
+def test_minhash_neardup_cogroup_path_matches_broadcast():
+    """Force the co-group verify fallback (broadcast_limit=0) — same
+    pairs and identical exact-Jaccard values as the broadcast path."""
+    tau = 0.5
+    via_broadcast = minhash_neardup_pairs(docs_ds(), tau=tau).to_pandas()
+    via_cogroup = minhash_neardup_pairs(
+        docs_ds(), tau=tau, verify_broadcast_limit=0
+    ).to_pandas()
+    a = via_broadcast.sort_values(["a", "b"]).reset_index(drop=True)
+    b = via_cogroup.sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) > 0
+
+
 def test_minhash_vs_bruteforce_on_testdata(sf_smoke):
     """On the 500-doc testdata: exact-verify gives 100% precision; LSH
     recall must be complete for clearly-similar pairs (the rows-only
