@@ -312,15 +312,24 @@ def _vertex_composites(sf_dir: str) -> dict[int, str]:
 
 
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
-    """Damped PageRank to 1e-6 convergence on the transcript graph
-    (superstep harness); output (vkey, rank).  No SQL oracle — iterative;
-    validated against the NumPy power-iteration oracle in tests."""
+    """Damped PageRank on the transcript graph (superstep harness);
+    output (vkey, rank) rounded to 6 dp.
+
+    Driven to tol=1e-12 so the engine's distributed summation and the
+    DuckDB oracle's fixed-iteration power iteration (both float64, same
+    graph) land within ~1e-11 of the same fixpoint — far inside the 6-dp
+    rounding — making the driver's value-hash comparison exact.  The
+    north rule's allclose(1e-6) parity vs the single-node NumPy oracle
+    is separately asserted in pytest."""
     edges, _ = graph(sf_dir)
-    state = pagerank(edges, _workdir(sf_dir, "pagerank"), num_partitions=8)
+    state = pagerank(
+        edges, _workdir(sf_dir, "pagerank"), num_partitions=8,
+        tol=1e-12, max_steps=300,
+    )
     df = state.to_pandas()
     comp = _vertex_composites(sf_dir)
     out = pd.DataFrame(
-        {"vkey": df["id"].map(comp), "rank": df["rank"].round(9)}
+        {"vkey": df["id"].map(comp), "rank": df["rank"].round(6)}
     )
     return out.sort_values("vkey").reset_index(drop=True)
 
@@ -358,17 +367,39 @@ def q_connected_components(sf_dir: str) -> pd.DataFrame:
 
 
 def q_label_propagation(sf_dir: str) -> pd.DataFrame:
-    """Synchronous LPA communities (vkey, community key).  No SQL oracle
-    — iterative; validated against the single-node oracle in tests."""
+    """Synchronous LPA communities (vkey, community key).
+
+    The engine tie-breaks on "min int64 label"; with hashed vertex ids
+    that order is opaque to an external oracle, so this query entry
+    remaps ids to the dense rank of the composite "kind:key" string —
+    then min-label order IS lexicographic vkey order, which the DuckDB
+    oracle reproduces with plain string comparison.  The production
+    path keeps hashed ids (the remap at scale is a one-off sort +
+    zip-with-index over the vertex table)."""
     edges, _ = graph(sf_dir)
-    state = label_propagation(
-        edges, _workdir(sf_dir, "lpa"), num_partitions=8
-    ).to_pandas()
     comp_map = _vertex_composites(sf_dir)
+    vkeys = sorted(comp_map.values())
+    rank_of = {v: i for i, v in enumerate(vkeys)}
+    id2rank = {i64: rank_of[v] for i64, v in comp_map.items()}
+    ref = ray.put(id2rank)
+
+    def remap(df: pd.DataFrame) -> pd.DataFrame:
+        mp = ray.get(ref)
+        return pd.DataFrame(
+            {
+                "src": df["src"].map(mp).astype("int64"),
+                "dst": df["dst"].map(mp).astype("int64"),
+            }
+        )
+
+    redges = edges.map_batches(remap, batch_format="pandas")
+    state = label_propagation(
+        redges, _workdir(sf_dir, "lpa"), num_partitions=8
+    ).to_pandas()
     out = pd.DataFrame(
         {
-            "vkey": state["id"].map(comp_map),
-            "community": state["label"].map(comp_map),
+            "vkey": state["id"].map(lambda i: vkeys[int(i)]),
+            "community": state["label"].map(lambda i: vkeys[int(i)]),
         }
     )
     return out.sort_values("vkey").reset_index(drop=True)
@@ -472,6 +503,88 @@ ORDER BY kind, "key"
 """
 )
 
+def _pagerank_oracle_sql(n_iter: int = 250, damping: float = 0.85) -> str:
+    """Fixed-iteration damped power iteration with dangling-mass
+    redistribution, unrolled as chained MATERIALIZED CTEs (DuckDB's
+    recursive CTEs mis-evaluate aggregates over the working table).
+    ``n_iter`` steps reach the fixpoint to ~1e-16; the engine runs to
+    tol=1e-12, so both land well inside the shared 6-dp rounding.
+    Mirrors PageRankProgram.gather_update exactly:
+    rank' = (1-d)/n + d*(sum_in + dangling/n)."""
+    d = damping
+    parts = [
+        "und AS MATERIALIZED (SELECT src_kind || ':' || src_key AS s, "
+        "dst_kind || ':' || dst_key AS d FROM edges)",
+        "od AS MATERIALIZED (SELECT s AS v, count(*) AS deg FROM und GROUP BY s)",
+        "verts AS MATERIALIZED (SELECT vv.v, coalesce(od.deg, 0) AS deg "
+        "FROM (SELECT s AS v FROM und UNION SELECT d FROM und) vv "
+        "LEFT JOIN od USING(v))",
+        "cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "r0 AS MATERIALIZED (SELECT v, deg, 1.0/cnt.n AS rank "
+        "FROM verts CROSS JOIN cnt)",
+    ]
+    for k in range(n_iter):
+        parts.append(
+            f"r{k + 1} AS MATERIALIZED (\n"
+            f"  SELECT p.v, p.deg,\n"
+            f"         (1-{d})/cnt.n + {d}*(coalesce(s.m, 0.0) + dang.dm/cnt.n) AS rank\n"
+            f"  FROM r{k} p\n"
+            f"  LEFT JOIN (SELECT und.d AS v, sum(p2.rank/p2.deg) AS m\n"
+            f"             FROM r{k} p2 JOIN und ON und.s = p2.v\n"
+            f"             WHERE p2.deg > 0 GROUP BY und.d) s ON s.v = p.v\n"
+            f"  CROSS JOIN (SELECT coalesce(sum(rank) FILTER (WHERE deg = 0), 0.0)"
+            f" AS dm FROM r{k}) dang\n"
+            f"  CROSS JOIN cnt)"
+        )
+    return (
+        GRAPH_SQL_PRELUDE
+        + ",\n"
+        + ",\n".join(parts)
+        + f'\nSELECT v AS vkey, round(rank, 6) AS "rank" FROM r{n_iter} ORDER BY vkey'
+    )
+
+
+def _lpa_oracle_sql(n_iter: int = 20) -> str:
+    """Synchronous label propagation unrolled for the engine's step cap
+    (label_propagation default max_steps=20; a converged run is a
+    fixpoint, so extra unrolled steps are no-ops and any converged step
+    count <= n_iter yields identical labels).  Neighbor multiset =
+    symmetrized directed edges WITHOUT dedup (UNION ALL both ways),
+    matching SuperstepEngine.prepare's undirected doubling; per vertex:
+    max neighbor-label weight, ties to the smaller label string."""
+    parts = [
+        "und AS MATERIALIZED (SELECT src_kind || ':' || src_key AS s, "
+        "dst_kind || ':' || dst_key AS d FROM edges)",
+        "sym AS MATERIALIZED (SELECT s, d FROM und UNION ALL SELECT d, s FROM und)",
+        "verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM sym)",
+        "lp0 AS MATERIALIZED (SELECT v, v AS lab FROM verts)",
+    ]
+    for k in range(n_iter):
+        parts.append(
+            f"lp{k + 1} AS MATERIALIZED (\n"
+            f"  SELECT p.v, coalesce(w.best, p.lab) AS lab\n"
+            f"  FROM lp{k} p\n"
+            f"  LEFT JOIN (\n"
+            f"    SELECT v, lab AS best FROM (\n"
+            f"      SELECT sym.d AS v, p2.lab AS lab,\n"
+            f"             row_number() OVER (PARTITION BY sym.d\n"
+            f"                 ORDER BY count(*) DESC, p2.lab) AS rn\n"
+            f"      FROM lp{k} p2 JOIN sym ON sym.s = p2.v\n"
+            f"      GROUP BY sym.d, p2.lab\n"
+            f"    ) WHERE rn = 1\n"
+            f"  ) w ON w.v = p.v)"
+        )
+    return (
+        GRAPH_SQL_PRELUDE
+        + ",\n"
+        + ",\n".join(parts)
+        + f"\nSELECT v AS vkey, lab AS community FROM lp{n_iter} ORDER BY vkey"
+    )
+
+
+PAGERANK_ORACLE_SQL = _pagerank_oracle_sql()
+LPA_ORACLE_SQL = _lpa_oracle_sql()
+
 _RECURSIVE_PRELUDE = GRAPH_SQL_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)
 
 CC_ORACLE_SQL = (
@@ -540,8 +653,8 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
 }
 
 GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
-    # pagerank / label_propagation: iterative, non-SQL-expressible —
-    # rows-only driver check; NumPy oracles cover them in pytest.
+    "pagerank": PAGERANK_ORACLE_SQL,
+    "label_propagation": LPA_ORACLE_SQL,
     "connected_components": CC_ORACLE_SQL,
     "triangle_count": TRIANGLE_ORACLE_SQL,
     "tool_cooccurrence": TOOL_COOC_SQL,
