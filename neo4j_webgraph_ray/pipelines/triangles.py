@@ -25,7 +25,12 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from neo4j_webgraph_ray.stages.core import BUCKET_COL, add_bucket_column, bucketed_groupby
+from neo4j_webgraph_ray.stages.core import (
+    BUCKET_COL,
+    add_bucket_column,
+    bucketed_groupby,
+    pair_indices_within_groups,
+)
 
 
 def _cogroup(ds: ray.data.Dataset, keys, combine, num_buckets: int) -> ray.data.Dataset:
@@ -210,20 +215,16 @@ def triangle_count(edges: ray.data.Dataset, num_buckets: int = 64) -> int:
         df = df.drop(columns=[BUCKET_COL]).sort_values(
             ["lo", "hi_deg", "hi"], kind="stable"
         )
-        xs: list[np.ndarray] = []
-        ys: list[np.ndarray] = []
-        for _, g in df.groupby("lo", sort=False):
-            h = g["hi"].to_numpy()
-            if len(h) < 2:
-                continue
-            iu, ju = np.triu_indices(len(h), k=1)
-            xs.append(h[iu])
-            ys.append(h[ju])
-        if not xs:
+        h = df["hi"].to_numpy()
+        ai, bi = pair_indices_within_groups(df["lo"].to_numpy())
+        if not len(ai):
             return pd.DataFrame(
                 {"x": np.empty(0, np.int64), "y": np.empty(0, np.int64)}
             )
-        return pd.DataFrame({"x": np.concatenate(xs), "y": np.concatenate(ys)})
+        # within-group order is (hi_deg, hi) ascending, so (x, y) keeps
+        # the (deg, id) orientation each candidate needs to match at
+        # most one oriented edge
+        return pd.DataFrame({"x": h[ai], "y": h[bi]})
 
     staged = oriented.map_batches(
         lambda df: add_bucket_column(df, ["lo"], num_buckets), batch_format="pandas"

@@ -37,7 +37,12 @@ from neo4j_webgraph_ray.sources.transcripts import (
     TRANSCRIPTS_FROM_EVENTS_SQL,
     transcripts_from_events,
 )
-from neo4j_webgraph_ray.stages.core import BUCKET_COL, add_bucket_column, exact_distinct
+from neo4j_webgraph_ray.stages.core import (
+    BUCKET_COL,
+    add_bucket_column,
+    exact_distinct,
+    pair_indices_within_groups,
+)
 
 # ---------------------------------------------------------------------------
 # Shared SQL prelude: transcripts -> edges -> vertices, mirroring
@@ -431,19 +436,11 @@ def q_tool_cooccurrence(sf_dir: str) -> ray.data.Dataset:
         df = df.drop(columns=[BUCKET_COL]).drop_duplicates().sort_values(
             ["conv_id", "tool"], kind="stable"
         )
-        xs, ys = [], []
-        for _, g in df.groupby("conv_id", sort=False):
-            tools = g["tool"].to_numpy()
-            if len(tools) < 2:
-                continue
-            iu, ju = np.triu_indices(len(tools), k=1)
-            xs.append(tools[iu])
-            ys.append(tools[ju])
-        if not xs:
+        tools = df["tool"].to_numpy()
+        ai, bi = pair_indices_within_groups(df["conv_id"].to_numpy())
+        if not len(ai):
             return pd.DataFrame({"tool_a": [], "tool_b": []}, dtype=object)
-        return pd.DataFrame(
-            {"tool_a": np.concatenate(xs), "tool_b": np.concatenate(ys)}
-        )
+        return pd.DataFrame({"tool_a": tools[ai], "tool_b": tools[bi]})
 
     staged = ct.map_batches(
         lambda df: add_bucket_column(df, ["conv_id"], 16), batch_format="pandas"

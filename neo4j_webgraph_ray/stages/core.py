@@ -55,6 +55,33 @@ def add_bucket_column(
     return out
 
 
+def pair_indices_within_groups(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered within-group position pairs (i < j, input order) for
+    runs of equal keys in a key-sorted array.
+
+    Vectorized offsets-based expansion: ONE ``triu_indices`` broadcast
+    per *distinct group size* instead of a Python loop per group — with
+    millions of small groups per bucket the per-group loop overhead
+    dominates the numpy bodies (VERDICT r1 #8).  Callers index whatever
+    value arrays they need with the returned positions."""
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    counts = np.diff(np.r_[starts, n])
+    ais, bis = [], []
+    for s in np.unique(counts):
+        if s < 2:
+            continue
+        gs = starts[counts == s]  # all groups of this size at once
+        iu, ju = np.triu_indices(int(s), k=1)
+        ais.append((gs[:, None] + iu[None, :]).ravel())
+        bis.append((gs[:, None] + ju[None, :]).ravel())
+    if not ais:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(ais), np.concatenate(bis)
+
+
 def bucketed_groupby(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -24,7 +24,12 @@ import pyarrow as pa
 import ray.data
 
 from neo4j_webgraph_ray.ids import hash64
-from neo4j_webgraph_ray.stages.core import BUCKET_COL, add_bucket_column, bucketed_groupby
+from neo4j_webgraph_ray.stages.core import (
+    BUCKET_COL,
+    add_bucket_column,
+    bucketed_groupby,
+    pair_indices_within_groups,
+)
 
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
@@ -495,26 +500,25 @@ def simhash_neardup_pairs(
     rows = sigs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=[BUCKET_COL])
-        xs, ys = [], []
-        for _, g in df.groupby(["band", "bh"], sort=False):
-            g = g.drop_duplicates(id_col).sort_values(id_col)
-            if len(g) < 2:
-                continue
-            ids = g[id_col].to_numpy()
-            hs = g["simhash"].to_numpy().view(np.uint64)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            ham = np.array(
-                [bin(int(hs[i] ^ hs[j])).count("1") for i, j in zip(iu, ju)]
-            )
-            keep = ham <= max_hamming
-            xs.append(ids[iu[keep]])
-            ys.append(ids[ju[keep]])
-        if not xs:
+        df = (
+            df.drop(columns=[BUCKET_COL])
+            .drop_duplicates(["band", "bh", id_col])
+            .sort_values(["band", "bh", id_col], kind="stable")
+        )
+        # one int64 key per (band, 16-bit band value) group
+        gkey = (df["band"].to_numpy().astype(np.int64) << 16) | df[
+            "bh"
+        ].to_numpy().astype(np.int64)
+        ai, bi = pair_indices_within_groups(gkey)
+        if not len(ai):
             return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
-        return pd.DataFrame(
-            {"a": np.concatenate(xs), "b": np.concatenate(ys)}
-        ).drop_duplicates()
+        ids = df[id_col].to_numpy()
+        hs = df["simhash"].to_numpy().view(np.uint64)
+        # vectorized popcount: unpack the xor'd uint64s bytewise
+        xor = (hs[ai] ^ hs[bi])[:, None]
+        ham = np.unpackbits(xor.view(np.uint8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": ids[ai[keep]], "b": ids[bi[keep]]}).drop_duplicates()
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         return add_bucket_column(df, ["band", "bh"], num_buckets)
