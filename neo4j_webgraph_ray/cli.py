@@ -20,6 +20,50 @@ import sys
 import time
 
 
+def _load_config_file(path: str) -> dict:
+    """Layered config source (S6): JSON or ``key=value`` properties, the
+    ``config.properties``-under-CLI-flags layering of the reference
+    (``importer/ApplicationConfiguration.java:89-183``).  Keys use the
+    CLI flag spelling (dashes or dots map to underscores)."""
+    with open(path) as f:
+        text = f.read()
+    try:
+        loaded = json.loads(text)
+        if not isinstance(loaded, dict):
+            raise ValueError(f"config file {path} must hold a JSON object")
+        return {str(k).replace("-", "_").replace(".", "_"): v for k, v in loaded.items()}
+    except json.JSONDecodeError:
+        out: dict = {}
+        for line in text.splitlines():
+            line = line.strip()
+            if not line or line.startswith(("#", "!")):
+                continue
+            k, sep, v = line.partition("=")
+            if not sep:
+                raise ValueError(f"bad properties line in {path}: {line!r}")
+            out[k.strip().replace("-", "_").replace(".", "_")] = v.strip()
+        return out
+
+
+def _apply_config_defaults(parsers: list[argparse.ArgumentParser], cfg: dict) -> None:
+    """Set file-config values as parser defaults so explicit CLI flags
+    still win (flag > file > built-in default); a ``required`` arg
+    satisfied by the file stops being required."""
+    for p in parsers:
+        for action in p._actions:
+            if action.dest not in cfg:
+                continue
+            raw = cfg[action.dest]
+            if isinstance(action, (argparse._StoreTrueAction, argparse._StoreFalseAction)):
+                val = str(raw).strip().lower() in ("1", "true", "yes", "on")
+            elif action.type is not None and isinstance(raw, str):
+                val = action.type(raw)
+            else:
+                val = raw
+            p.set_defaults(**{action.dest: val})
+            action.required = False
+
+
 def _ray_session(num_cpus: int | None):
     import ray
 
@@ -64,13 +108,14 @@ def cmd_build_graph(args) -> dict:
     # one derivation execution serves both sinks
     edges = derive_edges(clean, num_buckets=args.num_partitions).materialize()
     vertices = build_vertices(clean, edges, num_buckets=args.num_partitions)
+    run_meta = {"entry": "cli", "command": "build-graph", "root_input": args.input}
     stats_e = write_partitioned(
         edges, f"{args.out}/edges", ["src", "dst"], args.num_partitions,
-        resume=args.resume,
+        resume=args.resume, run_metadata=run_meta,
     )
     stats_v = write_partitioned(
         vertices, f"{args.out}/vertices", ["id"], args.num_partitions,
-        resume=args.resume,
+        resume=args.resume, run_metadata=run_meta,
     )
     n_rejects = write_rejects(rejects, f"{args.out}/rejects", resume=args.resume)
     return {"edges": stats_e, "vertices": stats_v, "rejects": n_rejects}
@@ -88,6 +133,9 @@ def _run_algo(args, fn_name: str) -> dict:
         resume=args.resume,
         backend=args.backend,
         checkpoint_every=args.checkpoint_every,
+        # ROOT_PAGE_REFERENCE analog: which entry point produced this
+        # workdir, from which root input
+        run_metadata={"entry": "cli", "command": fn_name, "root_input": args.input},
     )
     if fn_name == "pagerank":
         kwargs.update(damping=args.damping, tol=args.tol)
@@ -136,9 +184,14 @@ def cmd_enrich(args) -> dict:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="neo4j_webgraph_ray")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--config", default=None,
+                   help="JSON or key=value properties file layered UNDER "
+                        "explicit CLI flags (flag > file > default)")
     sub = p.add_subparsers(dest="cmd", required=True)
+    all_parsers: list[argparse.ArgumentParser] = [p]
 
     def common(sp, workdir=False):
+        all_parsers.append(sp)
         sp.add_argument("--input", required=True)
         sp.add_argument("--num-partitions", type=int, default=16)
         sp.add_argument("--resume", action="store_true")
@@ -169,6 +222,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--stage-config", default="{}")
     sp.add_argument("--key-column", default="key")
     sp.add_argument("--concurrency", type=int, default=4)
+
+    # pre-scan for --config so its values become defaults BEFORE the
+    # real parse — explicit flags then override them naturally
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", default=None)
+    pre_args, _ = pre.parse_known_args(argv)
+    if pre_args.config:
+        _apply_config_defaults(all_parsers, _load_config_file(pre_args.config))
 
     args = p.parse_args(argv)
     _ray_session(args.num_cpus)

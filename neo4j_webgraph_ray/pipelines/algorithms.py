@@ -197,15 +197,19 @@ def _make_engine(
     max_steps: int,
     backend: str,
     checkpoint_every: int = 1,
+    run_metadata: dict | None = None,
 ) -> SuperstepEngine:
     if backend == "actors":
         from neo4j_webgraph_ray.state.superstep_actors import ActorSuperstepEngine
 
         return ActorSuperstepEngine(
-            workdir, program, num_partitions, max_steps, checkpoint_every
+            workdir, program, num_partitions, max_steps, checkpoint_every,
+            run_metadata=run_metadata,
         )
     if backend == "dataset":
-        return SuperstepEngine(workdir, program, num_partitions, max_steps)
+        return SuperstepEngine(
+            workdir, program, num_partitions, max_steps, run_metadata=run_metadata
+        )
     raise ValueError(f"unknown backend {backend!r}")
 
 
@@ -219,11 +223,12 @@ def pagerank(
     resume: bool = False,
     backend: str = "actors",
     checkpoint_every: int = 1,
+    run_metadata: dict | None = None,
 ) -> ray.data.Dataset:
     """Per-vertex PageRank scores: Dataset(id, out_deg, rank)."""
     engine = _make_engine(
         workdir, PageRankProgram(damping, tol), num_partitions, max_steps,
-        backend, checkpoint_every,
+        backend, checkpoint_every, run_metadata,
     )
     if not resume:
         engine.prepare(edges)
@@ -238,11 +243,12 @@ def connected_components(
     resume: bool = False,
     backend: str = "actors",
     checkpoint_every: int = 1,
+    run_metadata: dict | None = None,
 ) -> ray.data.Dataset:
     """Weakly connected components: Dataset(id, label=min id in comp)."""
     engine = _make_engine(
         workdir, ConnectedComponentsProgram(), num_partitions, max_steps,
-        backend, checkpoint_every,
+        backend, checkpoint_every, run_metadata,
     )
     if not resume:
         engine.prepare(edges)
@@ -257,11 +263,12 @@ def label_propagation(
     resume: bool = False,
     backend: str = "actors",
     checkpoint_every: int = 1,
+    run_metadata: dict | None = None,
 ) -> ray.data.Dataset:
     """Synchronous LPA communities: Dataset(id, label)."""
     engine = _make_engine(
         workdir, LabelPropagationProgram(), num_partitions, max_steps,
-        backend, checkpoint_every,
+        backend, checkpoint_every, run_metadata,
     )
     if not resume:
         engine.prepare(edges)

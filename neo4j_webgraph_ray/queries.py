@@ -488,6 +488,43 @@ def q_enrich_social(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["kind", "key"]).reset_index(drop=True)
 
 
+def q_enrich_multi(sf_dir: str) -> pd.DataFrame:
+    """Multi-output enrichment: ONE stage writing two columns from two
+    clients (FacebookAndTwitterEventHandler analog,
+    ``customhandlers/FacebookAndTwitterEventHandler.java:46-91``).  Each
+    service has its own deterministic failure rule, so rows can be
+    half-enriched — the per-column nulls are part of the oracle check."""
+    from neo4j_webgraph_ray.stages.enrich import StubMultiSocialStage, enrich
+
+    _, vertices = graph(sf_dir)
+    out = enrich(
+        vertices.select_columns(["kind", "key"]),
+        StubMultiSocialStage,
+        concurrency=2,
+        batch_size=2048,
+    )
+    df = out.to_pandas()[["kind", "key", "facebook_count", "twitter_count"]]
+    for c in ("facebook_count", "twitter_count"):
+        df[c] = df[c].astype("float64")  # oracle's nullable-int representation
+    return df.sort_values(["kind", "key"]).reset_index(drop=True)
+
+
+ENRICH_MULTI_ORACLE_SQL = (
+    GRAPH_SQL_PRELUDE
+    + """
+SELECT kind, "key",
+       CASE WHEN ascii(substr("key", length("key"), 1)) % 9 = 0 THEN NULL
+            ELSE 7 * length("key") + ascii(substr("key", 1, 1)) % 10
+       END AS facebook_count,
+       CASE WHEN ascii(substr("key", length("key"), 1)) % 11 = 0 THEN NULL
+            ELSE 3 * length("key") + ascii(substr("key", length("key"), 1)) % 7
+       END AS twitter_count
+FROM vertices
+ORDER BY kind, "key"
+"""
+)
+
+
 ENRICH_ORACLE_SQL = (
     GRAPH_SQL_PRELUDE
     + """
@@ -647,6 +684,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "tool_cooccurrence": q_tool_cooccurrence,
     "tool_cooccurrence_triangles": q_tool_cooccurrence_triangles,
     "enrich_social": q_enrich_social,
+    "enrich_multi": q_enrich_multi,
 }
 
 GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
@@ -657,6 +695,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "tool_cooccurrence": TOOL_COOC_SQL,
     "tool_cooccurrence_triangles": TOOL_COOC_TRIANGLES_SQL,
     "enrich_social": ENRICH_ORACLE_SQL,
+    "enrich_multi": ENRICH_MULTI_ORACLE_SQL,
 }
 
 RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {

@@ -50,6 +50,7 @@ def write_partitioned(
     key_cols: list[str],
     num_partitions: int = 64,
     resume: bool = True,
+    run_metadata: dict | None = None,
 ) -> dict:
     """Hash-partitioned resumable Parquet sink.
 
@@ -116,7 +117,8 @@ def write_partitioned(
     with open(tmp, "w") as f:
         json.dump(
             {"partitions": done, "key_cols": key_cols,
-             "num_partitions": num_partitions}, f,
+             "num_partitions": num_partitions,
+             "run_metadata": run_metadata or {}}, f,
         )
     os.replace(tmp, manifest_path)
     return {"written_partitions": len(stats), "skipped_partitions": len(done) - len(stats),

@@ -335,3 +335,78 @@ class StubSocialCountStage(EnrichStage):
 
     def metrics(self) -> dict[str, int]:
         return self.client.metrics()
+
+
+def stub_twitter_count(key: str) -> int:
+    """Second deterministic service — SQL: 3*length + ascii(last) % 7."""
+    return 3 * len(key) + ord(key[-1]) % 7
+
+
+class StubMultiSocialStage(EnrichStage):
+    """ONE handler writing TWO properties from two clients — the
+    ``customhandlers/FacebookAndTwitterEventHandler.java:46-91`` shape
+    (facebookClient + twitterClient in one observer).  Each service has
+    its own deterministic permanent-failure rule, so a row can carry one
+    enriched column and one null: the multi-column output protocol is
+    exercised for real, not as two stacked single-output stages."""
+
+    name = "stub_multi_social"
+    output_columns = {"facebook_count": pa.int64(), "twitter_count": pa.int64()}
+
+    def configure(self, cfg: dict[str, Any]) -> None:
+        self.key_col = cfg.get("key_column", "key")
+        common = dict(
+            min_interval_sec=float(cfg.get("min_interval_sec", 0.0)),
+            max_retries=int(cfg.get("max_retries", 10)),
+            retry_sleep_sec=float(cfg.get("retry_sleep_sec", 0.0)),
+            max_cache_entries=int(cfg.get("max_cache_entries", 1000)),
+        )
+        self.fb_client = ThrottledRetryingClient(self._fetch_fb, **common)
+        self.tw_client = ThrottledRetryingClient(self._fetch_tw, **common)
+
+    def _fetch_fb(self, key: str) -> int:
+        if stub_fails_permanently(key):  # ascii(last) % 9 == 0
+            raise EnrichmentFailed(f"facebook permanent failure for {key!r}")
+        return stub_social_count(key)
+
+    def _fetch_tw(self, key: str) -> int:
+        if ord(key[-1]) % 11 == 0:
+            raise EnrichmentFailed(f"twitter permanent failure for {key!r}")
+        return stub_twitter_count(key)
+
+    def should_ignore(self, batch: pa.Table) -> np.ndarray:
+        cols = batch.column_names
+        if "facebook_count" not in cols or "twitter_count" not in cols:
+            return np.zeros(batch.num_rows, dtype=bool)
+        import pyarrow.compute as pc
+
+        both = pc.and_(
+            pc.is_valid(batch["facebook_count"]),
+            pc.is_valid(batch["twitter_count"]),
+        )
+        return both.to_numpy(zero_copy_only=False)
+
+    def update(self, batch: pa.Table):
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        fb = np.full(len(keys), None, dtype=object)
+        tw = np.full(len(keys), None, dtype=object)
+        errs: list[str | None] = []
+        for i, k in enumerate(keys):
+            msgs = []
+            try:
+                fb[i] = self.fb_client.get(str(k))
+            except EnrichmentFailed as e:
+                msgs.append(str(e))
+            try:
+                tw[i] = self.tw_client.get(str(k))
+            except EnrichmentFailed as e:
+                msgs.append(str(e))
+            errs.append("; ".join(msgs) if msgs else None)
+        return {"facebook_count": fb, "twitter_count": tw}, errs
+
+    def metrics(self) -> dict[str, int]:
+        fb = self.fb_client.metrics()
+        tw = self.tw_client.metrics()
+        return {f"fb_{k}": v for k, v in fb.items()} | {
+            f"tw_{k}": v for k, v in tw.items()
+        }

@@ -28,6 +28,11 @@ class Manifest:
     lineage: list[str] = field(default_factory=list)
     steps: list[dict[str, Any]] = field(default_factory=list)
     status: str = "running"
+    # run-metadata scalar block: the entry-point / root-input record the
+    # reference keeps as ROOT_PAGE_REFERENCE run metadata
+    # (``importer/AbstractObservableGraphImporter.java:90-92``) — which
+    # run produced this workdir, from what input, via which surface
+    run_metadata: dict[str, Any] = field(default_factory=dict)
 
     def to_dict(self) -> dict[str, Any]:
         return {
@@ -38,6 +43,7 @@ class Manifest:
             "lineage": self.lineage,
             "steps": self.steps,
             "status": self.status,
+            "run_metadata": self.run_metadata,
         }
 
     @classmethod
@@ -50,6 +56,7 @@ class Manifest:
             lineage=d.get("lineage", []),
             steps=d.get("steps", []),
             status=d.get("status", "running"),
+            run_metadata=d.get("run_metadata", {}),
         )
 
 

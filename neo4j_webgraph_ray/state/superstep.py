@@ -232,11 +232,13 @@ class SuperstepEngine:
         program: VertexProgram,
         num_partitions: int = 16,
         max_steps: int = 100,
+        run_metadata: dict[str, Any] | None = None,
     ):
         self.workdir = workdir
         self.program = program
         self.num_partitions = num_partitions
         self.max_steps = max_steps
+        self.run_metadata = dict(run_metadata or {})
         self.ctx: dict[str, Any] = {}
 
     # -- prepare ----------------------------------------------------------
@@ -398,6 +400,7 @@ class SuperstepEngine:
             num_partitions=P,
             config=program.config(),
             input_fingerprint=fingerprint,
+            run_metadata=self.run_metadata,
             lineage=[
                 "dedup_edges(src,dst)",
                 f"partition(src % {P})" + (" [undirected-doubled]" if undirected else ""),

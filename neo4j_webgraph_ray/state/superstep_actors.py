@@ -407,10 +407,13 @@ class ActorSuperstepEngine(SuperstepEngine):
         checkpoint_every: int = 1,
         num_workers: int | None = None,
         worker_threads: int | None = None,
+        run_metadata: dict | None = None,
     ):
         if num_partitions < 2:
             raise ValueError("actor backend needs num_partitions >= 2")
-        super().__init__(workdir, program, num_partitions, max_steps)
+        super().__init__(
+            workdir, program, num_partitions, max_steps, run_metadata=run_metadata
+        )
         self.checkpoint_every = checkpoint_every
         self.num_workers = num_workers
         self.worker_threads = worker_threads

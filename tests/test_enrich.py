@@ -115,6 +115,46 @@ def test_resolve_stage_by_dotted_path():
     assert isinstance(stage, StubSocialCountStage)
 
 
+def test_multi_output_stage_partial_failures():
+    """One handler, two properties, independent failure rules — a row
+    can be half-enriched (FacebookAndTwitterEventHandler analog)."""
+    from neo4j_webgraph_ray.stages.enrich import (
+        StubMultiSocialStage,
+        stub_twitter_count,
+    )
+
+    # ord("l")=108: fb fails (108%9==0), tw ok (108%11=9)
+    # ord("x")=120: fb ok (120%9=3), tw ok (120%11=10)
+    # ord("y")=121: fb ok (121%9=4), tw fails (121%11==0)
+    keys = ["hello-l", "x", "y"]
+    out = enrich(vertex_ds(keys), StubMultiSocialStage, concurrency=1).to_pandas()
+    out = out.set_index("key")
+    assert pd.isna(out.loc["hello-l", "facebook_count"])
+    assert out.loc["hello-l", "twitter_count"] == stub_twitter_count("hello-l")
+    assert out.loc["x", "facebook_count"] == stub_social_count("x")
+    assert out.loc["x", "twitter_count"] == stub_twitter_count("x")
+    assert pd.isna(out.loc["y", "twitter_count"])
+    assert out.loc["y", "facebook_count"] == stub_social_count("y")
+    assert "facebook" in out.loc["hello-l", ERROR_COL]
+    assert "twitter" in out.loc["y", ERROR_COL]
+    assert out.loc["x", ERROR_COL] is None
+
+
+def test_stage_composition_two_enrichments():
+    """Two stages chained over one Dataset: the second stage sees (and
+    preserves) the first's output columns — the category-index /
+    multi-observer extension point exercised end-to-end."""
+    from neo4j_webgraph_ray.stages.enrich import StubMultiSocialStage
+
+    ds = vertex_ds(["alpha", "beta", "x"])
+    step1 = enrich(ds, StubSocialCountStage, concurrency=1)
+    step2 = enrich(step1, StubMultiSocialStage, concurrency=1)
+    out = step2.to_pandas().set_index("key")
+    for k in ("alpha", "beta", "x"):
+        assert out.loc[k, "social_count"] == stub_social_count(k)
+        assert out.loc[k, "facebook_count"] == stub_social_count(k)
+
+
 def test_politeness_throttle():
     import time
 

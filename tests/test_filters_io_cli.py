@@ -156,6 +156,38 @@ def test_cli_build_graph_and_enrich(tmp_path):
     assert "social_count" in back.columns and back["social_count"].notna().any()
 
 
+def test_cli_config_file_layering(tmp_path):
+    """S6 parity: a properties file supplies --input/--workdir/--tol,
+    an explicit flag overrides the file, and the run-metadata block
+    lands in the workdir manifest."""
+    from neo4j_webgraph_ray.sources.transcripts import generate_synthetic_transcripts
+
+    tdir = str(tmp_path / "tr")
+    generate_synthetic_transcripts(tdir, n_convs=40, seed=3)
+    wd = str(tmp_path / "wd")
+    cfgp = tmp_path / "run.properties"
+    cfgp.write_text(
+        "# layered config (reference config.properties analog)\n"
+        f"input={tdir}\n"
+        f"workdir={tmp_path / 'ignored-wd'}\n"
+        "num-partitions=4\n"
+        "tol=1e-4\n"
+    )
+    # explicit --workdir beats the file's workdir; input/tol come from file
+    argv = [sys.executable, "-m", "neo4j_webgraph_ray", "--num-cpus", "4",
+            "--config", str(cfgp), "pagerank", "--workdir", wd]
+    proc = subprocess.run(argv, capture_output=True, text=True, timeout=300,
+                          cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["status"] == "converged" and out["workdir"] == wd
+    assert not os.path.exists(str(tmp_path / "ignored-wd"))
+    manifest = json.load(open(os.path.join(wd, "manifest.json")))
+    assert manifest["config"]["tol"] == 1e-4  # file value reached the engine
+    assert manifest["run_metadata"]["command"] == "pagerank"
+    assert manifest["run_metadata"]["root_input"] == tdir
+
+
 def test_cli_rejects_invalid_args():
     """Config/CLI validation analog (reference AppTest): bad invocations
     exit non-zero without starting a run."""
