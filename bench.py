@@ -145,6 +145,12 @@ def run_bench() -> dict:
             "label_propagation",
             "triangle_count",
             "tool_cooccurrence",
+            # LLM-training-data family over the documents/embeddings tables
+            "dedup_exact_docs",
+            "minhash_neardup",
+            "simhash_neardup",
+            "ann_topk",
+            "embedding_neardup",
         ]:
             t0 = time.perf_counter()
             res = Q[name](sf_dir)

@@ -104,10 +104,15 @@ def cmd_build_graph(args) -> dict:
     from neo4j_webgraph_ray.pipelines.graph_tables import build_vertices
     from neo4j_webgraph_ray.stages.derive import derive_edges
 
+    from neo4j_webgraph_ray.pipelines.graph_tables import kind_index
+
     clean, rejects = clean_transcripts(_load_transcripts(args.input))
-    # one derivation execution serves both sinks
+    # one derivation execution serves both sinks; vertices fan out to
+    # the vertex sink AND the auxiliary category index, so pin them too
     edges = derive_edges(clean, num_buckets=args.num_partitions).materialize()
-    vertices = build_vertices(clean, edges, num_buckets=args.num_partitions)
+    vertices = build_vertices(
+        clean, edges, num_buckets=args.num_partitions
+    ).materialize()
     run_meta = {"entry": "cli", "command": "build-graph", "root_input": args.input}
     stats_e = write_partitioned(
         edges, f"{args.out}/edges", ["src", "dst"], args.num_partitions,
@@ -117,8 +122,14 @@ def cmd_build_graph(args) -> dict:
         vertices, f"{args.out}/vertices", ["id"], args.num_partitions,
         resume=args.resume, run_metadata=run_meta,
     )
+    # category-index extension hook: auxiliary per-kind index dataset
+    stats_k = write_partitioned(
+        kind_index(vertices), f"{args.out}/kind_index", ["kind"], 4,
+        resume=args.resume, run_metadata=run_meta,
+    )
     n_rejects = write_rejects(rejects, f"{args.out}/rejects", resume=args.resume)
-    return {"edges": stats_e, "vertices": stats_v, "rejects": n_rejects}
+    return {"edges": stats_e, "vertices": stats_v, "kind_index": stats_k,
+            "rejects": n_rejects}
 
 
 def _run_algo(args, fn_name: str) -> dict:

@@ -128,6 +128,30 @@ def build_vertices(
     return combined.map_batches(_finalize_vertices, batch_format="pandas")
 
 
+def kind_index(vertices: ray.data.Dataset, num_buckets: int = 16) -> ray.data.Dataset:
+    """Auxiliary category index emitted beside the graph tables — the
+    ``GraphImporter.getCategoryIndex`` extension hook
+    (``importer/GraphImporter.java:20``,
+    ``TransactionalGraphImporter.java:230-232``): per vertex kind, the
+    member count and key range.  A stage producing a second Dataset from
+    the same build, queryable and sink-able independently."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("kind", as_index=False, sort=False).agg(
+            n=("key", "size"), min_key=("key", "min"), max_key=("key", "max")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("kind", as_index=False, sort=False).agg(
+            n=("n", "sum"), min_key=("min_key", "min"), max_key=("max_key", "max")
+        )
+
+    projected = vertices.map_batches(
+        lambda df: local(df[["kind", "key"]]), batch_format="pandas"
+    )
+    return bucketed_groupby(projected, ["kind"], combine, num_buckets=num_buckets)
+
+
 def build_graph(
     transcripts: ray.data.Dataset, num_buckets: int = 64
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:

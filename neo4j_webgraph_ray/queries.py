@@ -329,7 +329,7 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
     edges, _ = graph(sf_dir)
     state = pagerank(
         edges, _workdir(sf_dir, "pagerank"), num_partitions=8,
-        tol=1e-12, max_steps=300,
+        tol=1e-12, max_steps=300, checkpoint_every=8,
     )
     df = state.to_pandas()
     comp = _vertex_composites(sf_dir)
@@ -346,7 +346,7 @@ def q_connected_components(sf_dir: str) -> pd.DataFrame:
     component."""
     edges, _ = graph(sf_dir)
     state = connected_components(
-        edges, _workdir(sf_dir, "cc"), num_partitions=8
+        edges, _workdir(sf_dir, "cc"), num_partitions=8, checkpoint_every=8
     ).to_pandas()
     comp_map = _vertex_composites(sf_dir)
     df = pd.DataFrame(
@@ -399,7 +399,7 @@ def q_label_propagation(sf_dir: str) -> pd.DataFrame:
 
     redges = edges.map_batches(remap, batch_format="pandas")
     state = label_propagation(
-        redges, _workdir(sf_dir, "lpa"), num_partitions=8
+        redges, _workdir(sf_dir, "lpa"), num_partitions=8, checkpoint_every=8
     ).to_pandas()
     out = pd.DataFrame(
         {
@@ -486,6 +486,27 @@ def q_enrich_social(sf_dir: str) -> pd.DataFrame:
     # value-hash distinguishes the two representations (VERDICT r1 #1).
     df["social_count"] = df["social_count"].astype("float64")
     return df.sort_values(["kind", "key"]).reset_index(drop=True)
+
+
+def q_kind_index(sf_dir: str) -> pd.DataFrame:
+    """Auxiliary category index (GraphImporter.getCategoryIndex hook):
+    per-kind member count and key range, emitted as a second Dataset
+    beside the graph tables."""
+    from neo4j_webgraph_ray.pipelines.graph_tables import kind_index
+
+    _, vertices = graph(sf_dir)
+    out = kind_index(vertices).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("kind").reset_index(drop=True)
+
+
+KIND_INDEX_ORACLE_SQL = (
+    GRAPH_SQL_PRELUDE
+    + """
+SELECT kind, count(*) AS n, min("key") AS min_key, max("key") AS max_key
+FROM vertices GROUP BY kind ORDER BY kind
+"""
+)
 
 
 def q_enrich_multi(sf_dir: str) -> pd.DataFrame:
@@ -685,6 +706,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "tool_cooccurrence_triangles": q_tool_cooccurrence_triangles,
     "enrich_social": q_enrich_social,
     "enrich_multi": q_enrich_multi,
+    "kind_index": q_kind_index,
 }
 
 GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
@@ -696,6 +718,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "tool_cooccurrence_triangles": TOOL_COOC_TRIANGLES_SQL,
     "enrich_social": ENRICH_ORACLE_SQL,
     "enrich_multi": ENRICH_MULTI_ORACLE_SQL,
+    "kind_index": KIND_INDEX_ORACLE_SQL,
 }
 
 RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {

@@ -202,7 +202,16 @@ def derive_edge_ids(
     e.g. fused into ``SuperstepEngine.prepare(dedup=True)``); the
     duplicate-turn witness rule differs (min role-id instead of min
     role-string) — irrelevant for inputs with unique (conv_id,
-    turn_idx), which the clean stage guarantees."""
+    turn_idx), which the clean stage guarantees.
+
+    Collision note (see also ids.py): turn dedup and adjacency key on
+    ``hash64(conv_id)``, so a 64-bit collision between two conv_ids
+    would silently merge their turn sequences and fabricate adjacency
+    edges in THIS lean path only (the string-keyed ``derive_edges``
+    path is immune).  Expected collisions ~n²/2^65: negligible below
+    ~10^8 conversations and accepted as documented risk beyond; make
+    divergence detectable by comparing edge counts against the exact
+    path on a sample if the input approaches that scale."""
     ct = transcripts.map_batches(
         conv_tool_edge_ids_batch, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -137,6 +137,9 @@ def test_cli_build_graph_and_enrich(tmp_path):
     assert res["edges"]["total_rows"] > 0 and res["vertices"]["total_rows"] > 0
     assert os.path.exists(os.path.join(out, "edges", "_manifest.json"))
     assert os.path.exists(os.path.join(out, "rejects", "_summary.json"))
+    # auxiliary category index emitted beside the graph tables
+    assert res["kind_index"]["total_rows"] >= 2
+    assert os.path.exists(os.path.join(out, "kind_index", "_manifest.json"))
 
     # enrich the vertices output by key
     eout = str(tmp_path / "enriched")
