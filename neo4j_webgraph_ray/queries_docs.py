@@ -28,6 +28,7 @@ from neo4j_webgraph_ray.stages.dedup import (
 )
 from neo4j_webgraph_ray.stages.similarity import (
     ann_topk_bruteforce,
+    ann_topk_ivf,
     ann_topk_lsh,
     embedding_neardup_pairs,
 )
@@ -123,6 +124,15 @@ def q_ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
     return ann_topk_lsh(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, n_planes=8)
 
 
+def q_ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed approximate top-k (coarse k-means quantizer; scan
+    fraction n_probe/n_centroids; recall vs brute force in pytest —
+    rows-only driver check)."""
+    return ann_topk_ivf(
+        _emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, n_centroids=32, n_probe=8
+    )
+
+
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     """Embedding near-duplicate pairs: cosine >= NEARDUP_TAU.  The auto
     gate picks the exact brute-force path at oracle scale; the
@@ -201,6 +211,7 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "simhash_neardup": q_simhash_neardup,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_neardup": q_embedding_neardup,
 }
 

@@ -200,19 +200,27 @@ def lsh_candidate_pairs(
     rows = sigs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=[BUCKET_COL])
-        xs, ys = [], []
-        dropped = 0
-        for _, g in df.groupby(["band", "bh"], sort=False):
-            ids = np.unique(g[id_col].to_numpy())
-            if len(ids) < 2:
-                continue
-            if len(ids) > max_bucket:
-                dropped += len(ids) - max_bucket
-                ids = ids[:max_bucket]
-            iu, ju = np.triu_indices(len(ids), k=1)
-            xs.append(ids[iu])
-            ys.append(ids[ju])
+        df = (
+            df.drop(columns=[BUCKET_COL])
+            .drop_duplicates(["band", "bh", id_col])
+            .sort_values(["band", "bh", id_col], kind="stable")
+        )
+        band = df["band"].to_numpy()
+        bh = df["bh"].to_numpy()
+        ids = df[id_col].to_numpy()
+        n = len(ids)
+        if n == 0:
+            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+        # dense group ids for the (band, band-hash) runs — the composite
+        # key doesn't pack into 64 bits, the run boundaries do
+        boundary = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+        gid = np.cumsum(boundary) - 1
+        starts = np.flatnonzero(boundary)
+        # bound degenerate boilerplate buckets to their first max_bucket
+        # members, with a logged drop — no silent truncation
+        rank = np.arange(n) - starts[gid]
+        keep = rank < max_bucket
+        dropped = int(n - keep.sum())
         if dropped:
             import sys
 
@@ -220,11 +228,11 @@ def lsh_candidate_pairs(
                 f"[lsh] degenerate bucket: dropped {dropped} members beyond {max_bucket}",
                 file=sys.stderr,
             )
-        if not xs:
+            gid, ids = gid[keep], ids[keep]
+        ai, bi = pair_indices_within_groups(gid)
+        if not len(ai):
             return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
-        return pd.DataFrame(
-            {"a": np.concatenate(xs), "b": np.concatenate(ys)}
-        ).drop_duplicates()
+        return pd.DataFrame({"a": ids[ai], "b": ids[bi]}).drop_duplicates()
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         return add_bucket_column(df, ["band", "bh"], num_buckets)

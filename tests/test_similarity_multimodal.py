@@ -102,6 +102,23 @@ def test_ann_lsh_recall():
     assert np.mean(recalls) >= 0.6, recalls
 
 
+def test_ann_ivf_recall():
+    """IVF coarse-quantizer path: high recall on clustered data (the
+    regime inverted lists are for), exact lexsort tie-break cut."""
+    from neo4j_webgraph_ray.stages.similarity import ann_topk_ivf
+
+    ds, m = clustered_ds()
+    m64 = m.astype(np.float32).astype(np.float64)
+    qids = [0, 25, 111, 342]
+    oracle = brute_topk(m64, qids, 10)
+    got = ann_topk_ivf(ds, qids, k=10, n_centroids=32, n_probe=6)
+    recalls = []
+    for q in qids:
+        mine = set(got[got["query_id"] == q]["neighbor_id"])
+        recalls.append(len(mine & set(oracle[q])) / 10)
+    assert np.mean(recalls) >= 0.8, recalls
+
+
 def test_embedding_neardup_lsh_vs_bruteforce():
     """Scale-path parity: the LSH-bucketed variant must report ONLY true
     pairs (precision 1 — cosines are computed exactly within buckets)
