@@ -47,6 +47,12 @@ def _docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _doc_buckets(sf_dir: str) -> int:
+    from neo4j_webgraph_ray.sources.transcripts import auto_buckets
+
+    return auto_buckets(os.path.join(sf_dir, "documents.parquet"), lo=8)
+
+
 def _emb(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -95,20 +101,26 @@ def q_dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
 def q_minhash_neardup(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-duplicate pairs (word 3-shingles, Jaccard >=
     0.5): shingle → minhash → band → bucket groupby → exact verify."""
-    out = minhash_neardup_pairs(_docs(sf_dir), tau=0.5).to_pandas()
+    out = minhash_neardup_pairs(
+        _docs(sf_dir), tau=0.5, num_buckets=_doc_buckets(sf_dir)
+    ).to_pandas()
     return out[["a", "b"]].sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_ngram_jaccard_neardup(sf_dir: str) -> pd.DataFrame:
     """Character-3-gram Jaccard near-dup pairs (>= 0.6) via the same
     LSH pipeline with char shingles."""
-    out = minhash_neardup_pairs(_docs(sf_dir), tau=0.6, char=True).to_pandas()
+    out = minhash_neardup_pairs(
+        _docs(sf_dir), tau=0.6, char=True, num_buckets=_doc_buckets(sf_dir)
+    ).to_pandas()
     return out[["a", "b"]].sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_simhash_neardup(sf_dir: str) -> pd.DataFrame:
     """SimHash near-dup pairs (Hamming <= 3, 4×16-bit band blocking)."""
-    out = simhash_neardup_pairs(_docs(sf_dir), max_hamming=3).to_pandas()
+    out = simhash_neardup_pairs(
+        _docs(sf_dir), max_hamming=3, num_buckets=_doc_buckets(sf_dir)
+    ).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 

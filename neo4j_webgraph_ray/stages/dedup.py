@@ -427,7 +427,7 @@ def minhash_neardup_pairs(
     docs: ray.data.Dataset, tau: float = 0.7, num_perm: int = 64,
     bands: int = 16, shingle_k: int = 3, char: bool = False,
     text_col: str = "text", id_col: str = "doc_id",
-    verify_broadcast_limit: int = 100_000,
+    verify_broadcast_limit: int = 100_000, num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """shingle → minhash → band → bucket groupby → verify: the full
     near-dup pipeline (word shingles; ``char=True`` gives the n-gram
@@ -436,11 +436,13 @@ def minhash_neardup_pairs(
         docs, num_perm=num_perm, shingle_k=shingle_k, char=char,
         text_col=text_col, id_col=id_col,
     )
-    cand = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
+    cand = lsh_candidate_pairs(
+        sigs, bands=bands, id_col=id_col, num_buckets=num_buckets
+    )
     return verify_jaccard(
         cand, docs, tau, shingle_k=shingle_k, char=char,
         text_col=text_col, id_col=id_col,
-        broadcast_limit=verify_broadcast_limit,
+        broadcast_limit=verify_broadcast_limit, num_buckets=num_buckets,
     )
 
 
