@@ -41,16 +41,19 @@ ANN_K = 10
 NEARDUP_TAU = 0.45
 
 
-def _docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-
-
 def _doc_buckets(sf_dir: str) -> int:
     from neo4j_webgraph_ray.sources.transcripts import auto_buckets
 
     return auto_buckets(os.path.join(sf_dir, "documents.parquet"), lo=8)
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    path = os.path.join(sf_dir, "documents.parquet")
+    small = os.path.exists(path) and os.path.getsize(path) < (512 << 20)
+    return ray.data.read_parquet(
+        path, columns=["doc_id", "text"],
+        override_num_blocks=_doc_buckets(sf_dir) if small else None,
+    )
 
 
 def _emb(sf_dir: str) -> ray.data.Dataset:

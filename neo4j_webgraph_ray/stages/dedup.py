@@ -148,8 +148,10 @@ class MinHasher:
 def minhash_signatures(
     docs: ray.data.Dataset, num_perm: int = 64, shingle_k: int = 3,
     char: bool = False, text_col: str = "text", id_col: str = "doc_id",
-    concurrency: int = 4,
+    concurrency: int | tuple[int, int] = (1, 8),
 ) -> ray.data.Dataset:
+    # autoscaling pool (min 1): small inputs pay one actor's startup,
+    # large inputs grow to the cap
     return docs.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(
