@@ -212,44 +212,105 @@ def derive_edge_ids(
     ~10^8 conversations and accepted as documented risk beyond; make
     divergence detectable by comparing edge counts against the exact
     path on a sample if the input approaches that scale."""
-    ct = transcripts.map_batches(
-        conv_tool_edge_ids_batch, batch_format="pyarrow", zero_copy_batch=True
-    )
-
     def local(batch: pa.Table) -> pa.Table:
+        """ONE pass over the input: conv→tool edges and role adjacency
+        both resolved batch-locally; only undecidable rows shuffle.
+
+        - conv→tool: computed and deduped in-batch, emitted as resolved
+          pair rows routed by src hash (same (src, dst) always lands in
+          one bucket, so the per-bucket dedup is global — prepare's own
+          dedup then sees an already-distinct stream).
+        - role adjacency: after a local (cid, turn, rid) sort +
+          in-batch duplicate-turn dedup (min-rid witness), consecutive
+          rows with the same conv and turn delta 1 are REAL edges (turn
+          uniqueness per conv is guaranteed by the clean stage) — they
+          collapse to a handful of distinct pairs per batch.  Only
+          *boundary* turns (missing their predecessor or successor in
+          the batch) cross the shuffle: ~2 rows per conversation for
+          contiguous layouts instead of every turn.  Both endpoints of
+          any cross-batch adjacency are boundary rows by construction,
+          so the per-bucket pass recovers exactly the missing pairs.
+
+        Fusing both derivations into one map means the input is read
+        and string-hashed ONCE (the previous two-branch union executed
+        the read twice)."""
         conv = batch["conv_id"].to_numpy(zero_copy_only=False).astype(object)
         role = batch["role"].to_numpy(zero_copy_only=False).astype(object)
         cid = hash64(conv)
         rid = vertex_id(KIND_ROLE, role)
+        t = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # conv→tool pairs, deduped in-batch
+        tool_valid = pc.is_valid(batch["tool"]).to_numpy(zero_copy_only=False)
+        if tool_valid.any():
+            tl = batch["tool"].to_numpy(zero_copy_only=False)[tool_valid].astype(object)
+            ct_pairs = np.unique(
+                np.stack(
+                    [vertex_id(KIND_CONV, conv[tool_valid]), vertex_id(KIND_TOOL, tl)],
+                    axis=1,
+                ),
+                axis=0,
+            )
+        else:
+            ct_pairs = np.empty((0, 2), dtype=np.int64)
+        # role adjacency
+        order = np.lexsort((rid, t, cid))
+        cid, t, rid = cid[order], t[order], rid[order]
+        if len(cid):
+            dup = np.r_[False, (cid[1:] == cid[:-1]) & (t[1:] == t[:-1])]
+            cid, t, rid = cid[~dup], t[~dup], rid[~dup]
+        adj = (cid[1:] == cid[:-1]) & (t[1:] == t[:-1] + 1)
+        ra_pairs = (
+            np.unique(np.stack([rid[:-1][adj], rid[1:][adj]], axis=1), axis=0)
+            if adj.any()
+            else np.empty((0, 2), dtype=np.int64)
+        )
+        has_succ = np.r_[adj, False]
+        has_pred = np.r_[False, adj]
+        bnd = ~(has_succ & has_pred)
+        pair = np.concatenate([ct_pairs, ra_pairs])
+        n_b, n_p = int(bnd.sum()), len(pair)
         return pa.table(
             {
-                "cid": pa.array(cid, type=pa.int64()),
-                "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
-                "rid": pa.array(rid, type=pa.int64()),
+                "cid": pa.array(
+                    np.r_[cid[bnd], np.zeros(n_p, dtype=np.int64)], type=pa.int64()
+                ),
+                "turn_idx": pa.array(
+                    np.r_[t[bnd], np.full(n_p, -1, dtype=np.int64)].astype(np.int32)
+                ),
+                "rid": pa.array(
+                    np.r_[rid[bnd], pair[:, 0]], type=pa.int64()
+                ),
+                "rid2": pa.array(
+                    np.r_[np.full(n_b, -1, dtype=np.int64), pair[:, 1]],
+                    type=pa.int64(),
+                ),
                 BUCKET_COL: pa.array(
-                    (cid.view(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+                    (
+                        np.r_[cid[bnd], pair[:, 0]].view(np.uint64)
+                        % np.uint64(num_buckets)
+                    ).astype(np.int32)
                 ),
             }
         )
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["cid", "turn_idx", "rid"], kind="stable")
-        df = df.drop_duplicates(["cid", "turn_idx"], keep="first")
-        cid = df["cid"].to_numpy()
-        rid = df["rid"].to_numpy()
-        if len(df) < 2:
-            same = np.zeros(0, dtype=bool)
+        is_pair = df["rid2"].to_numpy() != -1
+        resolved = pd.DataFrame(
+            {"src": df["rid"].to_numpy()[is_pair], "dst": df["rid2"].to_numpy()[is_pair]}
+        )
+        b = df[~is_pair].sort_values(["cid", "turn_idx", "rid"], kind="stable")
+        b = b.drop_duplicates(["cid", "turn_idx"], keep="first")
+        cid = b["cid"].to_numpy()
+        t = b["turn_idx"].to_numpy()
+        rid = b["rid"].to_numpy()
+        if len(b) < 2:
+            adj = np.zeros(0, dtype=bool)
         else:
-            same = cid[:-1] == cid[1:]
-        # local exact dedup: the role domain is tiny, so millions of
-        # adjacency rows collapse to a handful of distinct pairs before
-        # anything crosses the next shuffle
-        return pd.DataFrame(
-            {"src": rid[:-1][same], "dst": rid[1:][same]}
-        ).drop_duplicates()
+            adj = (cid[1:] == cid[:-1]) & (t[1:] == t[:-1] + 1)
+        bridged = pd.DataFrame({"src": rid[:-1][adj], "dst": rid[1:][adj]})
+        return pd.concat([resolved, bridged], ignore_index=True).drop_duplicates()
 
     staged = transcripts.map_batches(
         local, batch_format="pyarrow", zero_copy_batch=True
     )
-    ra = staged.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
-    return ct.union(ra)
+    return staged.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")

@@ -177,6 +177,51 @@ def test_derive_edge_ids_same_edge_set():
     assert a == b
 
 
+def test_derive_edge_ids_cross_batch_boundaries():
+    """Batch-local adjacency resolution must recover pairs whose turns
+    land in different blocks — contiguous splits AND interleaved
+    (odd/even turns in different blocks) layouts."""
+    import pandas as pd
+    import ray.data
+
+    from neo4j_webgraph_ray.stages.core import exact_distinct
+    from neo4j_webgraph_ray.stages.derive import derive_edge_ids, derive_edges
+
+    roles = ["user", "assistant", "tool", "system"]
+
+    def tdf(rows):
+        return pd.DataFrame(
+            {
+                "conv_id": [r[0] for r in rows],
+                "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+                "role": [r[2] for r in rows],
+                "text": [f"{r[0]}:{r[1]}" for r in rows],
+                "tool": [None] * len(rows),
+                "ts": pd.Timestamp("2025-01-01"),
+            }
+        )
+
+    # conv x: turns 0-5; conv y: turns 0-3. Split: block A = x[0:3]+y even
+    # turns, block B = x[3:6]+y odd turns (interleaved!).
+    xa = [("x", i, roles[i % 4]) for i in range(3)]
+    xb = [("x", i, roles[i % 4]) for i in range(3, 6)]
+    ya = [("y", i, roles[(i + 1) % 4]) for i in (0, 2)]
+    yb = [("y", i, roles[(i + 1) % 4]) for i in (1, 3)]
+    split = ray.data.from_pandas([tdf(xa + ya), tdf(xb + yb)])
+    whole = ray.data.from_pandas(tdf(sorted(xa + xb + ya + yb, key=lambda r: (r[0], r[1]))))
+
+    def edge_set(ds):
+        out = exact_distinct(
+            derive_edge_ids(ds, num_buckets=4), ["src", "dst"], num_buckets=4
+        ).to_pandas()
+        return set(zip(out["src"], out["dst"]))
+
+    expected = derive_edges(whole, num_buckets=4).to_pandas()
+    exp = set(zip(expected["src"], expected["dst"]))
+    assert edge_set(split) == exp
+    assert edge_set(whole) == exp
+
+
 def test_content_merge_skips_null_text_across_partitions():
     """M9 algebraic merge: null-content rows must not anchor the
     content_order min — the earliest NON-NULL text wins regardless of
