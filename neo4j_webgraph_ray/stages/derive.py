@@ -158,10 +158,81 @@ def dedup_edges(edges: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Data
 def derive_edges(
     transcripts: ray.data.Dataset, num_buckets: int = 64
 ) -> ray.data.Dataset:
-    """Full deduplicated edge table: conv→tool ∪ role-adjacency."""
-    ct = derive_conv_tool_edges(transcripts)
-    ra = derive_role_adjacency_edges(transcripts, num_buckets=num_buckets)
-    return dedup_edges(ct.union(ra), num_buckets=num_buckets)
+    """Full deduplicated edge table: conv→tool ∪ role-adjacency.
+
+    Fused single pass over the input (the former two-branch union
+    consumed — read, adapted, hashed — the transcripts twice, and the
+    events adapter's own shuffle re-executed per branch):
+
+    - one map emits conv→tool edge rows (locally pre-deduped, routed by
+      ``src`` hash) and turn rows (locally turn-deduped, routed by
+      ``conv_id`` hash) into ONE bucketed exchange;
+    - the per-bucket pass finishes conv→tool dedup (same (src, dst)
+      always lands in one bucket, so the in-bucket merge IS the global
+      merge) and derives role adjacency per co-located conversation;
+    - only the tiny per-bucket role-pair partials (role domain²
+      distinct rows per bucket) need the second, global provenance-min
+      merge — the conv→tool stream never shuffles again.
+
+    The fused pass is pinned (``materialize``) before the split: the
+    deduplicated edge table is an aggregate far smaller than the input
+    (and every caller — graph()/build-graph — pins it anyway)."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        ct = conv_tool_edge_batch(
+            pa.Table.from_pandas(df, preserve_index=False)
+        ).to_pandas()
+        ct = _dedup_edges_combine(ct)
+        ct["role"] = None
+        ct["_t"] = np.int8(0)
+        ct[BUCKET_COL] = (
+            ct["src"].to_numpy().view(np.uint64) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        turns = _dedup_turns(df[["conv_id", "turn_idx", "role"]]).copy(deep=False)
+        for col, val in (
+            ("src", np.int64(0)), ("dst", np.int64(0)), ("src_kind", None),
+            ("src_key", None), ("dst_kind", None), ("dst_key", None),
+        ):
+            turns[col] = val
+        turns["_t"] = np.int8(1)
+        turns[BUCKET_COL] = (
+            hash64(turns["conv_id"].to_numpy().astype(object)).view(np.uint64)
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        cols = [*EDGE_COLUMNS, "role", "_t", BUCKET_COL]
+        return pd.concat([ct[cols], turns[cols]], ignore_index=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        is_turn = df["_t"].to_numpy() == 1
+        ct = _dedup_edges_combine(df.loc[~is_turn, EDGE_COLUMNS])
+        ct["_t"] = np.int8(0)
+        ra = role_adjacency_group(df.loc[is_turn, ["conv_id", "turn_idx", "role"]])
+        ra = _dedup_edges_combine(ra) if len(ra) else ra
+        ra["_t"] = np.int8(1)
+        return pd.concat([ct, ra], ignore_index=True)
+
+    staged = transcripts.map_batches(local, batch_format="pandas")
+    fused = staged.groupby(BUCKET_COL).map_groups(
+        per_bucket, batch_format="pandas"
+    ).materialize()
+
+    def take_family(which: int):
+        def fn(t: pa.Table) -> pa.Table:
+            kept = t.filter(pc.equal(t["_t"], which))
+            return kept.select(EDGE_COLUMNS)
+
+        return fn
+
+    # both branches normalized to Arrow blocks (a union of mixed pandas/
+    # arrow block types breaks downstream concat)
+    ct_final = fused.map_batches(take_family(0), batch_format="pyarrow")
+    ra_final = dedup_edges(
+        fused.map_batches(take_family(1), batch_format="pyarrow"), num_buckets=8
+    ).map_batches(
+        lambda df: pa.Table.from_pandas(df[EDGE_COLUMNS], preserve_index=False),
+        batch_format="pandas",
+    )
+    return ct_final.union(ra_final)
 
 
 # -- lean id-only derivation (algorithm/bench path) -------------------------
