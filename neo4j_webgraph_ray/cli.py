@@ -98,21 +98,15 @@ def _edges_for_algo(args):
 
 
 def cmd_build_graph(args) -> dict:
+    from neo4j_webgraph_ray.pipelines.graph_tables import build_graph_fused, kind_index
     from neo4j_webgraph_ray.sources.io import write_partitioned, write_rejects
     from neo4j_webgraph_ray.stages.filters import clean_transcripts
 
-    from neo4j_webgraph_ray.pipelines.graph_tables import build_vertices
-    from neo4j_webgraph_ray.stages.derive import derive_edges
-
-    from neo4j_webgraph_ray.pipelines.graph_tables import kind_index
-
     clean, rejects = clean_transcripts(_load_transcripts(args.input))
-    # one derivation execution serves both sinks; vertices fan out to
-    # the vertex sink AND the auxiliary category index, so pin them too
-    edges = derive_edges(clean, num_buckets=args.num_partitions).materialize()
-    vertices = build_vertices(
-        clean, edges, num_buckets=args.num_partitions
-    ).materialize()
+    # single-pass fused build (edges materialized inside); vertices fan
+    # out to the vertex sink AND the auxiliary category index, so pin
+    edges, vertices = build_graph_fused(clean, num_buckets=args.num_partitions)
+    vertices = vertices.materialize()
     run_meta = {"entry": "cli", "command": "build-graph", "root_input": args.input}
     stats_e = write_partitioned(
         edges, f"{args.out}/edges", ["src", "dst"], args.num_partitions,

@@ -128,6 +128,48 @@ def build_vertices(
     return combined.map_batches(_finalize_vertices, batch_format="pandas")
 
 
+def build_graph_fused(
+    transcripts: ray.data.Dataset, num_buckets: int = 64
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """(edges, vertices) with the transcripts consumed EXACTLY ONCE.
+
+    The fused stream (``derive.fused_graph_stream``) carries conv→tool
+    edges, role-adjacency partials AND per-conversation content rows
+    through one bucketed exchange; edges come out of families 0/1,
+    and the vertex build unions the already-combined family-2 content
+    rows with the edge-endpoint candidates — no second (or third) pass
+    over the input, no re-execution of the events adapter's shuffle.
+    Returns (edges materialized, vertices lazy); semantics are
+    byte-identical to ``derive_edges`` + ``build_vertices`` (asserted
+    by the oracle suite and the fused-vs-classic pytest)."""
+    from neo4j_webgraph_ray.stages.derive import edges_from_fused, fused_graph_stream
+
+    fused = fused_graph_stream(
+        transcripts, num_buckets, content_fns=(_conv_candidates, _vertex_combine)
+    )
+    edges = edges_from_fused(fused).materialize()
+
+    def conv_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cc = df[df["_t"] == 2].rename(
+            columns={"src_kind": "kind", "src_key": "key"}
+        ).copy(deep=False)
+        cc["content_order"] = pd.to_numeric(cc["content_order"])
+        cc["out_c"] = pd.to_numeric(cc["out_c"]).astype(np.int64)
+        cc["in_c"] = pd.to_numeric(cc["in_c"]).astype(np.int64)
+        return cc[["kind", "key", "content", "content_order", "out_c", "in_c"]]
+
+    candidates = fused.map_batches(conv_rows, batch_format="pandas").union(
+        edges.map_batches(
+            _endpoint_candidates, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    combined = bucketed_groupby(
+        candidates, ["kind", "key"], _vertex_combine, num_buckets=num_buckets
+    )
+    vertices = combined.map_batches(_finalize_vertices, batch_format="pandas")
+    return edges, vertices
+
+
 def kind_index(vertices: ray.data.Dataset, num_buckets: int = 16) -> ray.data.Dataset:
     """Auxiliary category index emitted beside the graph tables — the
     ``GraphImporter.getCategoryIndex`` extension hook

@@ -109,17 +109,15 @@ def graph(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     pinning them in the object store for reuse across queries is the
     broadcast-small-side pattern, not a full-input materialization.
     """
-    from neo4j_webgraph_ray.pipelines.graph_tables import build_vertices
+    from neo4j_webgraph_ray.pipelines.graph_tables import build_graph_fused
     from neo4j_webgraph_ray.sources.transcripts import auto_buckets
-    from neo4j_webgraph_ray.stages.derive import derive_edges
 
     B = auto_buckets(os.path.join(sf_dir, "events.parquet"))
     transcripts = transcripts_from_events(sf_dir, num_buckets=B)
-    # materialize edges BEFORE the vertex build so the edge derivation
-    # pipeline executes once, not once per consumer
-    edges = derive_edges(transcripts, num_buckets=B).materialize()
-    vertices = build_vertices(transcripts, edges, num_buckets=B).materialize()
-    return edges, vertices
+    # single-pass fused build: transcripts (and the events adapter's
+    # shuffle) execute exactly once for edges AND vertices
+    edges, vertices = build_graph_fused(transcripts, num_buckets=B)
+    return edges, vertices.materialize()
 
 
 # --- queries ---------------------------------------------------------------

@@ -155,66 +155,132 @@ def dedup_edges(edges: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Data
     )
 
 
-def derive_edges(
-    transcripts: ray.data.Dataset, num_buckets: int = 64
+_FUSED_COLUMNS = [*EDGE_COLUMNS, "content", "content_order", "out_c", "in_c", "_t"]
+
+
+def fused_graph_stream(
+    transcripts: ray.data.Dataset,
+    num_buckets: int = 64,
+    content_fns: tuple | None = None,
 ) -> ray.data.Dataset:
-    """Full deduplicated edge table: conv→tool ∪ role-adjacency.
+    """ONE pass over the transcripts producing every graph-build row
+    family through a single bucketed exchange (the former per-family
+    branches each re-executed the read and the events adapter's own
+    shuffle):
 
-    Fused single pass over the input (the former two-branch union
-    consumed — read, adapted, hashed — the transcripts twice, and the
-    events adapter's own shuffle re-executed per branch):
+    - family 0: conv→tool edges — locally pre-deduped, routed by
+      ``src`` hash, so the in-bucket merge IS the global merge;
+    - family 1: role-adjacency partials — turn rows locally
+      turn-deduped, routed by ``conv_id`` hash, paired per co-located
+      conversation; only these tiny partials (role domain² rows per
+      bucket) need a later global provenance-min merge;
+    - family 2 (when ``content_fns`` is given): per-conversation content
+      candidates — locally combined to one row per conv per batch,
+      routed by ``conv_id`` hash, so the in-bucket content merge is
+      global too.  ``content_fns = (candidates_fn, combine_fn)`` is
+      injected by graph_tables (avoids a module cycle).
 
-    - one map emits conv→tool edge rows (locally pre-deduped, routed by
-      ``src`` hash) and turn rows (locally turn-deduped, routed by
-      ``conv_id`` hash) into ONE bucketed exchange;
-    - the per-bucket pass finishes conv→tool dedup (same (src, dst)
-      always lands in one bucket, so the in-bucket merge IS the global
-      merge) and derives role adjacency per co-located conversation;
-    - only the tiny per-bucket role-pair partials (role domain²
-      distinct rows per bucket) need the second, global provenance-min
-      merge — the conv→tool stream never shuffles again.
+    The result is pinned (``materialize``): it is the deduplicated
+    aggregate — far smaller than the input — and is consumed by several
+    downstream family selectors."""
 
-    The fused pass is pinned (``materialize``) before the split: the
-    deduplicated edge table is an aggregate far smaller than the input
-    (and every caller — graph()/build-graph — pins it anyway)."""
+    def _normalize(frame: pd.DataFrame) -> pd.DataFrame:
+        """Fill missing fused-schema columns with TYPED defaults —
+        pd.concat of partial frames would coerce absent int64 id
+        columns to float64, silently corrupting hash ids above 2^53."""
+        n = len(frame)
+        defaults = {
+            "src": np.zeros(n, dtype=np.int64),
+            "dst": np.zeros(n, dtype=np.int64),
+            "src_kind": None, "src_key": None, "dst_kind": None,
+            "dst_key": None, "conv_id": None,
+            "turn_idx": np.zeros(n, dtype=np.int32),
+            "content": None,
+            "content_order": np.full(n, np.nan),
+            "out_c": np.zeros(n, dtype=np.int64),
+            "in_c": np.zeros(n, dtype=np.int64),
+        }
+        out = frame.copy(deep=False)
+        for col in _FUSED_COLUMNS:
+            if col not in out.columns:
+                out[col] = defaults.get(col)
+        cols = (
+            [*_FUSED_COLUMNS, BUCKET_COL]
+            if BUCKET_COL in out.columns
+            else list(_FUSED_COLUMNS)
+        )
+        return out[cols]
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         ct = conv_tool_edge_batch(
             pa.Table.from_pandas(df, preserve_index=False)
         ).to_pandas()
         ct = _dedup_edges_combine(ct)
-        ct["role"] = None
         ct["_t"] = np.int8(0)
         ct[BUCKET_COL] = (
             ct["src"].to_numpy().view(np.uint64) % np.uint64(num_buckets)
         ).astype(np.int32)
         turns = _dedup_turns(df[["conv_id", "turn_idx", "role"]]).copy(deep=False)
-        for col, val in (
-            ("src", np.int64(0)), ("dst", np.int64(0)), ("src_kind", None),
-            ("src_key", None), ("dst_kind", None), ("dst_key", None),
-        ):
-            turns[col] = val
+        turns = turns.rename(columns={"role": "src_key"})  # role rides src_key
         turns["_t"] = np.int8(1)
         turns[BUCKET_COL] = (
             hash64(turns["conv_id"].to_numpy().astype(object)).view(np.uint64)
             % np.uint64(num_buckets)
         ).astype(np.int32)
-        cols = [*EDGE_COLUMNS, "role", "_t", BUCKET_COL]
-        return pd.concat([ct[cols], turns[cols]], ignore_index=True)
+        frames = [_normalize(ct), _normalize(turns)]
+        if content_fns is not None:
+            candidates_fn, combine_fn = content_fns
+            cc = combine_fn(candidates_fn(pa.Table.from_pandas(df, preserve_index=False)))
+            cc = cc.rename(columns={"kind": "src_kind", "key": "src_key"})
+            cc["_t"] = np.int8(2)
+            cc[BUCKET_COL] = (
+                hash64(cc["src_key"].to_numpy().astype(object)).view(np.uint64)
+                % np.uint64(num_buckets)
+            ).astype(np.int32)
+            frames.append(_normalize(cc))
+        return pd.concat(frames, ignore_index=True)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        is_turn = df["_t"].to_numpy() == 1
-        ct = _dedup_edges_combine(df.loc[~is_turn, EDGE_COLUMNS])
+        fam = df["_t"].to_numpy()
+        ct = _dedup_edges_combine(df.loc[fam == 0, EDGE_COLUMNS])
         ct["_t"] = np.int8(0)
-        ra = role_adjacency_group(df.loc[is_turn, ["conv_id", "turn_idx", "role"]])
+        turns = df.loc[fam == 1, ["conv_id", "turn_idx", "src_key"]].rename(
+            columns={"src_key": "role"}
+        )
+        ra = role_adjacency_group(turns)
         ra = _dedup_edges_combine(ra) if len(ra) else ra
         ra["_t"] = np.int8(1)
-        return pd.concat([ct, ra], ignore_index=True)
+        frames = [_normalize(ct), _normalize(ra)]
+        if content_fns is not None:
+            candidates_fn, combine_fn = content_fns
+            cc = df.loc[fam == 2].rename(
+                columns={"src_kind": "kind", "src_key": "key"}
+            ).copy(deep=False)
+            # the exchange unions all families into one schema, which
+            # can object-ify the numeric candidate columns — re-coerce
+            cc["content_order"] = pd.to_numeric(cc["content_order"])
+            cc["out_c"] = pd.to_numeric(cc["out_c"]).astype(np.int64)
+            cc["in_c"] = pd.to_numeric(cc["in_c"]).astype(np.int64)
+            cc = combine_fn(
+                cc[["kind", "key", "content", "content_order", "out_c", "in_c"]]
+            )
+            cc = cc.rename(columns={"kind": "src_kind", "key": "src_key"})
+            cc["_t"] = np.int8(2)
+            frames.append(_normalize(cc))
+        return pd.concat(frames, ignore_index=True)
 
     staged = transcripts.map_batches(local, batch_format="pandas")
-    fused = staged.groupby(BUCKET_COL).map_groups(
+    return staged.groupby(BUCKET_COL).map_groups(
         per_bucket, batch_format="pandas"
     ).materialize()
+
+
+def edges_from_fused(
+    fused: ray.data.Dataset, num_buckets: int = 8
+) -> ray.data.Dataset:
+    """conv→tool (already global-deduped) ∪ globally-merged role
+    partials, normalized to Arrow blocks (a union of mixed pandas/arrow
+    block types breaks downstream concat)."""
 
     def take_family(which: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -223,16 +289,23 @@ def derive_edges(
 
         return fn
 
-    # both branches normalized to Arrow blocks (a union of mixed pandas/
-    # arrow block types breaks downstream concat)
     ct_final = fused.map_batches(take_family(0), batch_format="pyarrow")
     ra_final = dedup_edges(
-        fused.map_batches(take_family(1), batch_format="pyarrow"), num_buckets=8
+        fused.map_batches(take_family(1), batch_format="pyarrow"),
+        num_buckets=num_buckets,
     ).map_batches(
         lambda df: pa.Table.from_pandas(df[EDGE_COLUMNS], preserve_index=False),
         batch_format="pandas",
     )
     return ct_final.union(ra_final)
+
+
+def derive_edges(
+    transcripts: ray.data.Dataset, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Full deduplicated edge table: conv→tool ∪ role-adjacency, one
+    fused input pass (see :func:`fused_graph_stream`)."""
+    return edges_from_fused(fused_graph_stream(transcripts, num_buckets))
 
 
 # -- lean id-only derivation (algorithm/bench path) -------------------------

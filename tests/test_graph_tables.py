@@ -177,6 +177,34 @@ def test_derive_edge_ids_same_edge_set():
     assert a == b
 
 
+def test_build_graph_fused_matches_classic():
+    """The single-pass fused build must produce the identical edge and
+    vertex tables as the classic derive_edges + build_vertices path."""
+    from neo4j_webgraph_ray.pipelines.graph_tables import (
+        build_graph_fused,
+        build_vertices,
+    )
+    from neo4j_webgraph_ray.sources.transcripts import transcripts_from_events
+    from neo4j_webgraph_ray.stages.derive import derive_edges
+
+    sf = "/root/testdata/sf0.001"
+    e_f, v_f = build_graph_fused(transcripts_from_events(sf), num_buckets=8)
+    e_c = derive_edges(transcripts_from_events(sf), num_buckets=8)
+    v_c = build_vertices(transcripts_from_events(sf), e_c, num_buckets=8)
+
+    def norm(ds, cols):
+        df = ds.to_pandas()[cols]
+        return df.sort_values(cols).reset_index(drop=True).astype(str)
+
+    ecols = ["src", "dst", "src_kind", "src_key", "dst_kind", "dst_key",
+             "conv_id", "turn_idx"]
+    vcols = ["id", "kind", "key", "content", "in_deg", "out_deg"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(norm(e_f, ecols), norm(e_c, ecols))
+    pd.testing.assert_frame_equal(norm(v_f, vcols), norm(v_c, vcols))
+
+
 def test_derive_edge_ids_cross_batch_boundaries():
     """Batch-local adjacency resolution must recover pairs whose turns
     land in different blocks — contiguous splits AND interleaved
