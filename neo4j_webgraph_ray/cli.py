@@ -186,6 +186,40 @@ def cmd_enrich(args) -> dict:
     return {"enriched": stats, "rejects": n_rej}
 
 
+def cmd_dedup(args) -> dict:
+    """Training-data dedup from the job surface: exact / MinHash /
+    n-gram-Jaccard / SimHash over a documents table, written through the
+    resumable partitioned sink."""
+    from neo4j_webgraph_ray.sources.io import read_table_auto, write_partitioned
+    from neo4j_webgraph_ray.stages import dedup as dd
+
+    docs = read_table_auto(args.input, columns=[args.id_column, args.text_column])
+    kw = dict(text_col=args.text_column, id_col=args.id_column)
+    if args.method == "exact":
+        out = dd.exact_text_dedup(docs, num_buckets=args.num_partitions, **kw)
+        key_cols = [args.id_column]
+    elif args.method in ("minhash", "ngram"):
+        out = dd.minhash_neardup_pairs(
+            docs, tau=args.tau, char=(args.method == "ngram"),
+            num_buckets=args.num_partitions, **kw,
+        )
+        key_cols = ["a", "b"]
+    elif args.method == "simhash":
+        out = dd.simhash_neardup_pairs(
+            docs, max_hamming=args.max_hamming,
+            num_buckets=args.num_partitions, **kw,
+        )
+        key_cols = ["a", "b"]
+    else:  # pragma: no cover — argparse choices guard
+        raise SystemExit(2)
+    stats = write_partitioned(
+        out, args.out, key_cols, args.num_partitions, resume=args.resume,
+        run_metadata={"entry": "cli", "command": f"dedup:{args.method}",
+                      "root_input": args.input},
+    )
+    return {"method": args.method, **stats}
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="neo4j_webgraph_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -220,6 +254,16 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("triangles")
     common(sp)
 
+    sp = sub.add_parser("dedup")
+    common(sp)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--method", choices=["exact", "minhash", "ngram", "simhash"],
+                    default="exact")
+    sp.add_argument("--tau", type=float, default=0.7)
+    sp.add_argument("--max-hamming", type=int, default=3)
+    sp.add_argument("--id-column", default="doc_id")
+    sp.add_argument("--text-column", default="text")
+
     sp = sub.add_parser("enrich")
     common(sp)
     sp.add_argument("--out", required=True)
@@ -249,6 +293,8 @@ def main(argv: list[str] | None = None) -> int:
             out = _run_algo(args, "label_propagation")
         elif args.cmd == "triangles":
             out = cmd_triangles(args)
+        elif args.cmd == "dedup":
+            out = cmd_dedup(args)
         elif args.cmd == "enrich":
             out = cmd_enrich(args)
         else:  # pragma: no cover

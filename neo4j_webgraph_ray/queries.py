@@ -284,6 +284,44 @@ def q_transcript_sample(sf_dir: str, rate_denom: int = SAMPLE_RATE_DENOM) -> ray
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_turns_per_hour(sf_dir: str) -> ray.data.Dataset:
+    """Temporal aggregation (§2.8 temporal functions): turns bucketed by
+    hour of ``ts``, with per-hour tool-call counts — vectorized Arrow
+    ``floor_temporal`` + a bucketed count (local combine, tiny final
+    merge)."""
+    ds = transcripts_from_events(sf_dir)
+
+    def per_batch(batch: pa.Table) -> pd.DataFrame:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        tool_called = pc.cast(pc.is_valid(batch["tool"]), pa.int64())
+        df = pd.DataFrame(
+            {"hour": hour.to_numpy(zero_copy_only=False),
+             "tc": tool_called.to_numpy(zero_copy_only=False)}
+        )
+        return df.groupby("hour", as_index=False).agg(
+            n_turns=("tc", "size"), n_tool_calls=("tc", "sum")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("hour", as_index=False).agg(
+            n_turns=("n_turns", "sum"), n_tool_calls=("n_tool_calls", "sum")
+        )
+
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    parts = ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_groupby(parts, ["hour"], combine, num_buckets=8)
+
+
+TURNS_PER_HOUR_SQL = f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT date_trunc('hour', ts) AS hour,
+       count(*) AS n_turns,
+       count(tool) AS n_tool_calls
+FROM transcripts GROUP BY hour
+"""
+
+
 SAMPLE_ORACLE_SQL = f"""
 WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
 SELECT * FROM transcripts
@@ -733,6 +771,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "point_lookup": q_point_lookup,
     "cross_kind_pattern": q_cross_kind_pattern,
     "transcript_sample": q_transcript_sample,
+    "turns_per_hour": q_turns_per_hour,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -753,6 +792,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     + 'SELECT kind, "key", content, in_deg, out_deg FROM vertices '
     "WHERE kind = 'conv' AND \"key\" IN ('c1', 'c7', 'c11')",
     "transcript_sample": SAMPLE_ORACLE_SQL,
+    "turns_per_hour": TURNS_PER_HOUR_SQL,
     "cross_kind_pattern": GRAPH_SQL_PRELUDE
     + """
     SELECT e.src_key AS conv_key, e.dst_key AS tool_key

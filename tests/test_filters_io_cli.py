@@ -83,6 +83,65 @@ def test_write_partitioned_resume(tmp_path):
     assert sorted(read_table_auto(out).to_pandas()["k"]) == list(range(100))
 
 
+def test_write_partitioned_refuses_layout_mismatch(tmp_path):
+    """Resume under a changed partition count or key must fail loudly —
+    skipping 'completed' buckets from a different layout silently merges
+    stale and new data (ADVICE r1)."""
+    df = pd.DataFrame({"k": range(20), "v": range(20)})
+    out = str(tmp_path / "out")
+    write_partitioned(ray.data.from_pandas(df), out, ["k"], num_partitions=8)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        write_partitioned(ray.data.from_pandas(df), out, ["k"], num_partitions=4)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        write_partitioned(ray.data.from_pandas(df), out, ["v"], num_partitions=8)
+    # non-resume run owns the dir: clears and rewrites under the new layout
+    s = write_partitioned(
+        ray.data.from_pandas(df), out, ["k"], num_partitions=4, resume=False
+    )
+    assert s["written_partitions"] == 4
+    import json as _json
+
+    m = _json.load(open(os.path.join(out, "_manifest.json")))
+    assert m["num_partitions"] == 4
+
+
+def test_cli_dedup_exact_and_minhash(tmp_path):
+    """Job-surface dedup over a documents table: exact survivors and
+    MinHash near-dup pairs, both through the resumable sink."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([0, 1, 2, 3], dtype="int64"),
+            "text": [
+                "the quick brown fox jumps over the lazy dog today",
+                "the quick brown fox jumps over the lazy dog today",  # dup of 0
+                "the quick brown fox jumps over the lazy cat today",  # near dup
+                "completely different content about engines",
+            ],
+        }
+    )
+    ddir = str(tmp_path / "docs")
+    os.makedirs(ddir)
+    docs.to_parquet(os.path.join(ddir, "part-0.parquet"))
+    for method, checker in (
+        ("exact", lambda df: sorted(df["doc_id"]) == [0, 2, 3]),
+        ("minhash", lambda df: (1 in set(df["b"]))),
+    ):
+        out = str(tmp_path / f"out-{method}")
+        argv = [sys.executable, "-m", "neo4j_webgraph_ray", "--num-cpus", "4",
+                "dedup", "--input", ddir, "--out", out, "--method", method,
+                "--tau", "0.5", "--num-partitions", "2"]
+        proc = subprocess.run(argv, capture_output=True, text=True, timeout=300,
+                              cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        res = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert res["method"] == method
+        back = pd.concat(
+            [pd.read_parquet(os.path.join(out, f))
+             for f in os.listdir(out) if f.endswith(".parquet")]
+        )
+        assert checker(back), (method, back)
+
+
 def test_write_rejects_summary(tmp_path):
     _, rejects = clean_transcripts(raw_transcripts())
     n = write_rejects(rejects, str(tmp_path / "rej"))
