@@ -150,12 +150,13 @@ def build_graph_fused(
     edges = edges_from_fused(fused).materialize()
 
     def conv_rows(df: pd.DataFrame) -> pd.DataFrame:
-        cc = df[df["_t"] == 2].rename(
-            columns={"src_kind": "kind", "src_key": "key"}
-        ).copy(deep=False)
-        cc["content_order"] = pd.to_numeric(cc["content_order"])
-        cc["out_c"] = pd.to_numeric(cc["out_c"]).astype(np.int64)
-        cc["in_c"] = pd.to_numeric(cc["in_c"]).astype(np.int64)
+        from neo4j_webgraph_ray.stages.derive import coerce_candidate_cols
+
+        cc = coerce_candidate_cols(
+            df[df["_t"] == 2]
+            .rename(columns={"src_kind": "kind", "src_key": "key"})
+            .copy(deep=False)
+        )
         return cc[["kind", "key", "content", "content_order", "out_c", "in_c"]]
 
     candidates = fused.map_batches(conv_rows, batch_format="pandas").union(

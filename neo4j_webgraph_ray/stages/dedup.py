@@ -338,8 +338,20 @@ def _verify_jaccard_cogroup(
         return pa.table(
             {
                 "did": pa.array(did, type=pa.int64()),
+                # NO nulls in the id columns: a nullable int64 column
+                # materializes as float64 in pandas group frames, which
+                # silently rounds hash ids above 2^53.  Doc rows carry
+                # typed zeros and an explicit _t marker instead.
                 "pa_": pa.array(np.concatenate([a, a]), type=pa.int64()),
                 "pb_": pa.array(np.concatenate([b, b]), type=pa.int64()),
+                # which endpoint of the pair this request row stands for
+                # (0 = a, 1 = b): per_pair picks one shingle set per
+                # side, so duplicated candidate pairs or a == b can
+                # never pair a doc's shingles with themselves
+                "side": pa.array(
+                    np.r_[np.zeros(len(a), np.int8), np.ones(len(b), np.int8)]
+                ),
+                "_t": pa.array(np.zeros(len(did), dtype=np.int8)),
                 # shingle sets travel as raw uint64 bytes: plain binary
                 # survives both Arrow and pandas block shuffles (object
                 # ndarrays trip Ray's tensor-extension casting)
@@ -356,11 +368,14 @@ def _verify_jaccard_cogroup(
             ).tobytes()
             for t in texts
         ]
+        n = len(ids)
         return pa.table(
             {
                 "did": pa.array(ids, type=pa.int64()),
-                "pa_": pa.array([None] * len(ids), type=pa.int64()),
-                "pb_": pa.array([None] * len(ids), type=pa.int64()),
+                "pa_": pa.array(np.zeros(n, dtype=np.int64)),
+                "pb_": pa.array(np.zeros(n, dtype=np.int64)),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "_t": pa.array(np.ones(n, dtype=np.int8)),
                 "sh": pa.array(sh, type=pa.binary()),
             }
         )
@@ -371,24 +386,24 @@ def _verify_jaccard_cogroup(
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=[BUCKET_COL])
-        is_doc = df["pa_"].isna()
+        is_doc = df["_t"].to_numpy() == 1
         doc_sh = dict(zip(df.loc[is_doc, "did"], df.loc[is_doc, "sh"]))
         req = df[~is_doc]
         if not len(req):
             return pd.DataFrame(
                 {"pa_": np.empty(0, np.int64), "pb_": np.empty(0, np.int64),
-                 "sh": np.empty(0, object)}
+                 "side": np.empty(0, np.int8), "sh": np.empty(0, object)}
             )
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
-                "pa_": req["pa_"].to_numpy().astype(np.int64),
-                "pb_": req["pb_"].to_numpy().astype(np.int64),
+                "pa_": req["pa_"].to_numpy(),
+                "pb_": req["pb_"].to_numpy(),
+                "side": req["side"].to_numpy(),
                 # a candidate id absent from the docs table verifies as
                 # an empty shingle set (matches the broadcast path)
                 "sh": [doc_sh.get(d, b"") for d in req["did"].to_numpy()],
             }
         )
-        return out
 
     staged1 = both.map_batches(
         lambda df: add_bucket_column(df, ["did"], num_buckets),
@@ -402,10 +417,14 @@ def _verify_jaccard_cogroup(
         df = df.drop(columns=[BUCKET_COL])
         out_a, out_b, out_j = [], [], []
         for (a, b), g in df.groupby(["pa_", "pb_"], sort=False):
-            shl = [np.frombuffer(s or b"", dtype=np.uint64) for s in g["sh"]]
-            if len(shl) < 2:  # endpoint lost (shouldn't happen) — skip
+            side = g["side"].to_numpy()
+            sh_col = g["sh"].to_numpy()
+            a_rows = np.flatnonzero(side == 0)
+            b_rows = np.flatnonzero(side == 1)
+            if not len(a_rows) or not len(b_rows):  # endpoint lost — skip
                 continue
-            sa, sb = shl[0], shl[1]
+            sa = np.frombuffer(sh_col[a_rows[0]] or b"", dtype=np.uint64)
+            sb = np.frombuffer(sh_col[b_rows[0]] or b"", dtype=np.uint64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             jac = inter / union if union else 0.0

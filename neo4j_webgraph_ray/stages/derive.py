@@ -93,8 +93,12 @@ def role_adjacency_group(df: pd.DataFrame) -> pd.DataFrame:
     """Vectorized pairing over a bucket of whole conversations.
 
     Stable sort by (conv_id, turn_idx) then pair row i with row i+1
-    where both belong to the same conversation — the north rule's
-    "stable turn ordering" requirement; never relies on block order.
+    where both belong to the same conversation AND the turn indices are
+    consecutive (delta exactly 1) — the semantics the SQL oracle's
+    ``b.turn_idx = a.turn_idx + 1`` join and the lean
+    ``derive_edge_ids`` path implement; a gap in turn_idx (e.g. a
+    rejected malformed turn) asserts no adjacency.  Never relies on
+    block order.
     """
     df = _dedup_turns(df)
     conv = df["conv_id"].to_numpy().astype(object)
@@ -103,7 +107,7 @@ def role_adjacency_group(df: pd.DataFrame) -> pd.DataFrame:
     if len(df) < 2:
         same = np.zeros(0, dtype=bool)
     else:
-        same = conv[:-1] == conv[1:]
+        same = (conv[:-1] == conv[1:]) & (turn[1:] == turn[:-1] + 1)
     src_role = role[:-1][same]
     dst_role = role[1:][same]
     out_conv = conv[:-1][same]
@@ -156,6 +160,17 @@ def dedup_edges(edges: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Data
 
 
 _FUSED_COLUMNS = [*EDGE_COLUMNS, "content", "content_order", "out_c", "in_c", "_t"]
+
+
+def coerce_candidate_cols(df: pd.DataFrame) -> pd.DataFrame:
+    """Re-coerce the numeric vertex-candidate columns after the fused
+    exchange: the union of all row families into one schema can
+    object-ify them (single place for this invariant — used by the
+    in-exchange combine and by graph_tables' family-2 selector)."""
+    df["content_order"] = pd.to_numeric(df["content_order"])
+    df["out_c"] = pd.to_numeric(df["out_c"]).astype(np.int64)
+    df["in_c"] = pd.to_numeric(df["in_c"]).astype(np.int64)
+    return df
 
 
 def fused_graph_stream(
@@ -253,14 +268,11 @@ def fused_graph_stream(
         frames = [_normalize(ct), _normalize(ra)]
         if content_fns is not None:
             candidates_fn, combine_fn = content_fns
-            cc = df.loc[fam == 2].rename(
-                columns={"src_kind": "kind", "src_key": "key"}
-            ).copy(deep=False)
-            # the exchange unions all families into one schema, which
-            # can object-ify the numeric candidate columns — re-coerce
-            cc["content_order"] = pd.to_numeric(cc["content_order"])
-            cc["out_c"] = pd.to_numeric(cc["out_c"]).astype(np.int64)
-            cc["in_c"] = pd.to_numeric(cc["in_c"]).astype(np.int64)
+            cc = coerce_candidate_cols(
+                df.loc[fam == 2]
+                .rename(columns={"src_kind": "kind", "src_key": "key"})
+                .copy(deep=False)
+            )
             cc = combine_fn(
                 cc[["kind", "key", "content", "content_order", "out_c", "in_c"]]
             )

@@ -390,7 +390,6 @@ def ann_topk_ivf(
     nprobe = min(n_probe, centroids.shape[0])
     probe_lists = np.argsort(-qsim, axis=1)[:, :nprobe]
     wanted = np.unique(probe_lists)
-    wanted_arr = pa.array(wanted.tolist(), type=pa.int64())
     ref = ray.put((qids, qmat, probe_lists, centroids))
 
     def assign_and_score(batch: pa.Table) -> pa.Table:

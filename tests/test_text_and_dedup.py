@@ -164,6 +164,71 @@ def test_minhash_neardup_cogroup_path_matches_broadcast():
     assert len(a) > 0
 
 
+def test_cogroup_verify_large_ids_exact():
+    """Doc ids above 2^53 must survive the co-group path bit-exactly
+    (nullable int64 -> float64 round-trips corrupt hash-range ids —
+    the id columns are kept non-null with a marker instead)."""
+    base = 2**60
+    ids = [base + 1, base + 2, base + 3, base + 4]
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([
+                DOCS[0][1], DOCS[0][1],  # exact dups
+                DOCS[2][1], DOCS[3][1],
+            ]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    got = minhash_neardup_pairs(ds, tau=0.5, verify_broadcast_limit=0).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    assert (base + 1, base + 2) in pairs
+    for a, b in pairs:
+        assert a in ids and b in ids  # bit-exact ids, no float rounding
+
+
+def test_cogroup_verify_duplicated_pairs_no_false_positive():
+    """A duplicated candidate pair must not pair a doc's shingles with
+    themselves (false Jaccard 1.0): sides are tagged explicitly."""
+    from neo4j_webgraph_ray.stages.dedup import verify_jaccard
+
+    # docs 3 and 4 are clearly below tau=0.5
+    pairs = ray.data.from_arrow(
+        pa.table({"a": pa.array([3, 3], pa.int64()), "b": pa.array([4, 4], pa.int64())})
+    )
+    out = verify_jaccard(pairs, docs_ds(), tau=0.5, broadcast_limit=0).to_pandas()
+    assert len(out) == 0
+    # and a genuinely similar duplicated pair still verifies once per row-group
+    pairs2 = ray.data.from_arrow(
+        pa.table({"a": pa.array([0, 0], pa.int64()), "b": pa.array([1, 1], pa.int64())})
+    )
+    out2 = verify_jaccard(pairs2, docs_ds(), tau=0.5, broadcast_limit=0).to_pandas()
+    assert set(zip(out2["a"], out2["b"])) == {(0, 1)}
+    assert (out2["jaccard"] == 1.0).all()
+
+
+def test_role_adjacency_gap_semantics():
+    """A turn_idx gap asserts NO adjacency — both derivation paths and
+    the SQL oracle agree on delta-1 semantics."""
+    import pandas as pd
+
+    from neo4j_webgraph_ray.stages.derive import derive_edges
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["g", "g", "g"],
+            "turn_idx": pd.array([0, 2, 3], dtype="int32"),  # gap: no turn 1
+            "role": ["user", "assistant", "tool"],
+            "text": ["a", "b", "c"],
+            "tool": [None, None, None],
+            "ts": pd.Timestamp("2025-01-01"),
+        }
+    )
+    out = derive_edges(ray.data.from_pandas(df), num_buckets=4).to_pandas()
+    got = set(zip(out["src_key"], out["dst_key"]))
+    assert got == {("assistant", "tool")}  # only the contiguous 2->3 pair
+
+
 def test_minhash_vs_bruteforce_on_testdata(sf_smoke):
     """On the 500-doc testdata: exact-verify gives 100% precision; LSH
     recall must be complete for clearly-similar pairs (the rows-only
