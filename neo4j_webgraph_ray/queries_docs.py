@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -155,6 +156,43 @@ def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     return embedding_neardup_pairs(_emb(sf_dir), tau=NEARDUP_TAU)[["a", "b"]]
 
 
+def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal decode pipeline over payloads derived from the
+    documents table (text bytes as opaque binary, typed metadata),
+    through the actor-pool DecodeStage with the deterministic fake
+    codec — schema, batch sizing, and output layout are the real
+    plumbing; only the codec is a stand-in (no image libs in this
+    container).  Rows-only driver check; decode determinism and real-
+    codec gating are pytest-asserted."""
+    from neo4j_webgraph_ray.stages.multimodal import decode_features
+
+    def to_items(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        payloads = [
+            (t if t is not None else "").encode("utf-8") for t in texts
+        ]
+        n = len(ids)
+        # deterministic pseudo-dimensions from the doc id
+        return pa.table(
+            {
+                "item_id": pa.array(ids, type=pa.int64()),
+                "mime": pa.array(["image/fake"] * n),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "width": pa.array((8 + ids % 24).astype(np.int32)),
+                "height": pa.array((8 + ids % 16).astype(np.int32)),
+            }
+        )
+
+    items = _docs(sf_dir).map_batches(
+        to_items, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = decode_features(items, resize_to=(8, 8), concurrency=2).to_pandas()
+    out["mean_r"] = out["mean_color"].map(lambda c: float(np.asarray(c)[0]))
+    out = out[["item_id", "out_width", "out_height", "mean_r"]]
+    return out.sort_values("item_id").reset_index(drop=True)
+
+
 _STOP_RE = {lg: r"\b(" + "|".join(ws) + r")\b" for lg, ws in LANG_STOPWORDS.items()}
 
 QUALITY_SQL = f"""
@@ -228,6 +266,7 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_neardup": q_embedding_neardup,
+    "multimodal_features": q_multimodal_features,
 }
 
 DOC_ORACLES: dict[str, str] = {
