@@ -40,6 +40,7 @@ from neo4j_webgraph_ray.sources.transcripts import (
 from neo4j_webgraph_ray.stages.core import (
     BUCKET_COL,
     add_bucket_column,
+    bucketed_groupby,
     exact_distinct,
     pair_indices_within_groups,
 )
@@ -354,6 +355,61 @@ def _vertex_composites(sf_dir: str) -> dict[int, str]:
     return dict(zip(df["id"], df["kind"] + ":" + df["key"]))
 
 
+def attach_vkeys(
+    state: ray.data.Dataset,
+    vertices: ray.data.Dataset,
+    value_cols: list[str],
+    num_buckets: int = 16,
+    keep_unmatched_vertices: bool = False,
+) -> ray.data.Dataset:
+    """Distributed (id → "kind:key") attachment: a bucketed co-group
+    join of algorithm state against the vertex table on vertex id — the
+    vertex table is never collected into a driver-side dict (at 10^12
+    turns that dict IS the scale-killer; the query RESULT is per-vertex
+    and materializes by driver contract, the lookup need not).
+    Output columns: vkey + value_cols."""
+
+    def tag_state(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["id", *value_cols]].copy(deep=False)
+        out["vkey"] = None
+        out["_t"] = np.int8(0)
+        return out
+
+    def tag_vertices(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"id": df["id"].to_numpy()})
+        for c in value_cols:
+            out[c] = None
+        out["vkey"] = (df["kind"] + ":" + df["key"]).to_numpy()
+        out["_t"] = np.int8(1)
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        is_v = df["_t"].to_numpy() == 1
+        lookup = dict(zip(df.loc[is_v, "id"], df.loc[is_v, "vkey"]))
+        st = df[~is_v]
+        out = pd.DataFrame({"vkey": st["id"].map(lookup)})
+        for c in value_cols:
+            out[c] = st[c].to_numpy()
+        if keep_unmatched_vertices:
+            state_ids = set(st["id"])
+            lone = df[is_v & ~df["id"].isin(state_ids).to_numpy()]
+            if len(lone):
+                extra = pd.DataFrame({"vkey": lone["vkey"].to_numpy()})
+                for c in value_cols:
+                    extra[c] = None
+                out = pd.concat([out, extra], ignore_index=True)
+        return out
+
+    both = state.map_batches(tag_state, batch_format="pandas").union(
+        vertices.select_columns(["id", "kind", "key"]).map_batches(
+            tag_vertices, batch_format="pandas"
+        )
+    )
+    return bucketed_groupby(
+        both, ["id"], combine, num_buckets=num_buckets, local_combine=False
+    )
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """Damped PageRank on the transcript graph (superstep harness);
     output (vkey, rank) rounded to 6 dp.
@@ -364,17 +420,16 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
     rounding — making the driver's value-hash comparison exact.  The
     north rule's allclose(1e-6) parity vs the single-node NumPy oracle
     is separately asserted in pytest."""
-    edges, _ = graph(sf_dir)
+    edges, vertices = graph(sf_dir)
     state = pagerank(
         edges, _workdir(sf_dir, "pagerank"), num_partitions=8,
         tol=1e-12, max_steps=300, checkpoint_every=8,
     )
-    df = state.to_pandas()
-    comp = _vertex_composites(sf_dir)
-    out = pd.DataFrame(
-        {"vkey": df["id"].map(comp), "rank": df["rank"].round(6)}
-    )
-    return out.sort_values("vkey").reset_index(drop=True)
+    # readable keys via distributed co-group (no driver-side dict over
+    # the full vertex table); the result materializes by driver contract
+    out = attach_vkeys(state, vertices, ["rank"]).to_pandas()
+    out["rank"] = out["rank"].astype("float64").round(6)
+    return out[["vkey", "rank"]].sort_values("vkey").reset_index(drop=True)
 
 
 def q_connected_components(sf_dir: str) -> pd.DataFrame:
@@ -382,30 +437,21 @@ def q_connected_components(sf_dir: str) -> pd.DataFrame:
     min "kind:key" string in its component (SQL-checkable via a
     recursive min-label CTE).  Isolated vertices are their own
     component."""
-    edges, _ = graph(sf_dir)
+    edges, vertices = graph(sf_dir)
     state = connected_components(
         edges, _workdir(sf_dir, "cc"), num_partitions=8, checkpoint_every=8
+    )
+    # distributed vkey attachment; keep_unmatched emits isolated
+    # vertices (absent from superstep state) with a null label
+    df = attach_vkeys(
+        state, vertices, ["label"], keep_unmatched_vertices=True
     ).to_pandas()
-    comp_map = _vertex_composites(sf_dir)
-    df = pd.DataFrame(
-        {"vkey": state["id"].map(comp_map), "label": state["label"]}
-    )
-    # canonicalize: component representative = min composite string
-    rep = (
-        df.assign(c=df["vkey"])
-        .groupby("label")["c"]
-        .min()
-        .to_dict()
-    )
-    df["component"] = df["label"].map(rep)
+    # canonicalize ON THE CONTRACT-MATERIALIZED RESULT: component
+    # representative = min composite string per label; isolated
+    # vertices are their own component
+    rep = df.dropna(subset=["label"]).groupby("label")["vkey"].min().to_dict()
+    df["component"] = df["label"].map(rep).where(df["label"].notna(), df["vkey"])
     out = df[["vkey", "component"]]
-    # isolated vertices (no edges) are absent from superstep state
-    missing = sorted(set(comp_map.values()) - set(out["vkey"]))
-    if missing:
-        out = pd.concat(
-            [out, pd.DataFrame({"vkey": missing, "component": missing})],
-            ignore_index=True,
-        )
     return out.sort_values("vkey").reset_index(drop=True)
 
 
