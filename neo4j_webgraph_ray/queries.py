@@ -355,11 +355,18 @@ def _vertex_composites(sf_dir: str) -> dict[int, str]:
     return dict(zip(df["id"], df["kind"] + ":" + df["key"]))
 
 
+# sentinel for "vertex had no state row" (isolated vertex): keeps the
+# int64 value columns non-null through the shuffle — nullable int64
+# materializes as float64 in pandas frames and would silently round
+# hash-range values above 2^53 (same rule as dedup's co-group verify)
+UNMATCHED_SENTINEL = np.iinfo(np.int64).min
+
+
 def attach_vkeys(
     state: ray.data.Dataset,
     vertices: ray.data.Dataset,
     value_cols: list[str],
-    num_buckets: int = 16,
+    num_buckets: int = 64,
     keep_unmatched_vertices: bool = False,
 ) -> ray.data.Dataset:
     """Distributed (id → "kind:key") attachment: a bucketed co-group
@@ -367,36 +374,42 @@ def attach_vkeys(
     vertex table is never collected into a driver-side dict (at 10^12
     turns that dict IS the scale-killer; the query RESULT is per-vertex
     and materializes by driver contract, the lookup need not).
-    Output columns: vkey + value_cols."""
+
+    Output columns: vkey + value_cols.  With
+    ``keep_unmatched_vertices`` vertices without a state row are
+    emitted with their value columns set to :data:`UNMATCHED_SENTINEL`
+    (typed, never null — see the sentinel note above).  Value columns
+    are filled with typed zeros on the vertex side for the same reason;
+    the combine is a vectorized pandas merge, no per-row Python dict."""
 
     def tag_state(df: pd.DataFrame) -> pd.DataFrame:
         out = df[["id", *value_cols]].copy(deep=False)
-        out["vkey"] = None
+        out["vkey"] = ""
         out["_t"] = np.int8(0)
         return out
 
     def tag_vertices(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"id": df["id"].to_numpy()})
         for c in value_cols:
-            out[c] = None
+            out[c] = np.zeros(len(df), dtype=np.int64)
         out["vkey"] = (df["kind"] + ":" + df["key"]).to_numpy()
         out["_t"] = np.int8(1)
         return out
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         is_v = df["_t"].to_numpy() == 1
-        lookup = dict(zip(df.loc[is_v, "id"], df.loc[is_v, "vkey"]))
-        st = df[~is_v]
-        out = pd.DataFrame({"vkey": st["id"].map(lookup)})
-        for c in value_cols:
-            out[c] = st[c].to_numpy()
+        vside = df.loc[is_v, ["id", "vkey"]]
+        st = df.loc[~is_v, ["id", *value_cols]]
+        out = st.merge(vside, on="id", how="left")[["vkey", *value_cols]]
         if keep_unmatched_vertices:
-            state_ids = set(st["id"])
-            lone = df[is_v & ~df["id"].isin(state_ids).to_numpy()]
+            lone = vside.merge(
+                st[["id"]], on="id", how="left", indicator=True
+            )
+            lone = lone[lone["_merge"] == "left_only"]
             if len(lone):
                 extra = pd.DataFrame({"vkey": lone["vkey"].to_numpy()})
                 for c in value_cols:
-                    extra[c] = None
+                    extra[c] = np.full(len(lone), UNMATCHED_SENTINEL)
                 out = pd.concat([out, extra], ignore_index=True)
         return out
 
@@ -442,15 +455,16 @@ def q_connected_components(sf_dir: str) -> pd.DataFrame:
         edges, _workdir(sf_dir, "cc"), num_partitions=8, checkpoint_every=8
     )
     # distributed vkey attachment; keep_unmatched emits isolated
-    # vertices (absent from superstep state) with a null label
+    # vertices (absent from superstep state) with the typed sentinel
     df = attach_vkeys(
         state, vertices, ["label"], keep_unmatched_vertices=True
     ).to_pandas()
     # canonicalize ON THE CONTRACT-MATERIALIZED RESULT: component
     # representative = min composite string per label; isolated
-    # vertices are their own component
-    rep = df.dropna(subset=["label"]).groupby("label")["vkey"].min().to_dict()
-    df["component"] = df["label"].map(rep).where(df["label"].notna(), df["vkey"])
+    # vertices (sentinel label) are their own component
+    isolated = df["label"].to_numpy() == UNMATCHED_SENTINEL
+    rep = df[~isolated].groupby("label")["vkey"].min().to_dict()
+    df["component"] = np.where(isolated, df["vkey"], df["label"].map(rep))
     out = df[["vkey", "component"]]
     return out.sort_values("vkey").reset_index(drop=True)
 
@@ -462,8 +476,13 @@ def q_label_propagation(sf_dir: str) -> pd.DataFrame:
     that order is opaque to an external oracle, so this query entry
     remaps ids to the dense rank of the composite "kind:key" string —
     then min-label order IS lexicographic vkey order, which the DuckDB
-    oracle reproduces with plain string comparison.  The production
-    path keeps hashed ids (the remap at scale is a one-off sort +
+    oracle reproduces with plain string comparison.
+
+    The driver-side rank dict here is ORACLE-HARNESS machinery, not the
+    engine: the production path (`pipelines.algorithms.label_propagation`)
+    runs on hashed ids with no remap or broadcast, and at cluster scale
+    an external check would compare against a distributed reference run
+    instead (dense-rank assignment would be a one-off distributed sort +
     zip-with-index over the vertex table)."""
     edges, _ = graph(sf_dir)
     comp_map = _vertex_composites(sf_dir)

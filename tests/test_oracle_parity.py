@@ -52,3 +52,32 @@ def test_entry_smoke():
     df = to_pandas(res)
     assert len(df) >= 0
     assert list(df.columns)
+
+
+def test_attach_vkeys_large_ids_and_unmatched():
+    """The distributed vkey join must keep int64 ids above 2^53 exact
+    (typed columns, no nulls) and emit unmatched vertices with the
+    typed sentinel."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from neo4j_webgraph_ray.queries import UNMATCHED_SENTINEL, attach_vkeys
+
+    big = 2**61
+    state = ray.data.from_pandas(pd.DataFrame({
+        "id": np.array([big + 1, big + 2], dtype=np.int64),
+        "label": np.array([big + 7, big + 9], dtype=np.int64),
+    }))
+    vertices = ray.data.from_pandas(pd.DataFrame({
+        "id": np.array([big + 1, big + 2, big + 3], dtype=np.int64),
+        "kind": ["conv", "tool", "role"],
+        "key": ["a", "b", "c"],
+    }))
+    out = attach_vkeys(
+        state, vertices, ["label"], keep_unmatched_vertices=True
+    ).to_pandas().sort_values("vkey").reset_index(drop=True)
+    assert list(out["vkey"]) == ["conv:a", "role:c", "tool:b"]
+    got = dict(zip(out["vkey"], out["label"]))
+    assert got["conv:a"] == big + 7 and got["tool:b"] == big + 9  # bit-exact
+    assert got["role:c"] == UNMATCHED_SENTINEL
