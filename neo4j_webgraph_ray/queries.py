@@ -333,6 +333,13 @@ WHERE (length(conv_id) * 7 + turn_idx) % {SAMPLE_RATE_DENOM} = 0
 # --- graph analytics (PageRank / CC / LPA / triangles) ---------------------
 
 
+def _algo_parts(edges: ray.data.Dataset) -> int:
+    """Size-aware superstep partition count (edges are materialized, so
+    count() is metadata): at testdata scale per-partition task overhead
+    dominates; at real scale the count grows with the edge table."""
+    return int(np.clip(edges.count() // 100_000 + 4, 4, 64))
+
+
 def _workdir(sf_dir: str, algo: str) -> str:
     import hashlib
     import tempfile
@@ -435,7 +442,7 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
     is separately asserted in pytest."""
     edges, vertices = graph(sf_dir)
     state = pagerank(
-        edges, _workdir(sf_dir, "pagerank"), num_partitions=8,
+        edges, _workdir(sf_dir, "pagerank"), num_partitions=_algo_parts(edges),
         tol=1e-12, max_steps=300, checkpoint_every=8,
     )
     # readable keys via distributed co-group (no driver-side dict over
@@ -452,7 +459,8 @@ def q_connected_components(sf_dir: str) -> pd.DataFrame:
     component."""
     edges, vertices = graph(sf_dir)
     state = connected_components(
-        edges, _workdir(sf_dir, "cc"), num_partitions=8, checkpoint_every=8
+        edges, _workdir(sf_dir, "cc"), num_partitions=_algo_parts(edges),
+        checkpoint_every=8
     )
     # distributed vkey attachment; keep_unmatched emits isolated
     # vertices (absent from superstep state) with the typed sentinel
@@ -502,7 +510,8 @@ def q_label_propagation(sf_dir: str) -> pd.DataFrame:
 
     redges = edges.map_batches(remap, batch_format="pandas")
     state = label_propagation(
-        redges, _workdir(sf_dir, "lpa"), num_partitions=8, checkpoint_every=8
+        redges, _workdir(sf_dir, "lpa"), num_partitions=_algo_parts(edges),
+        checkpoint_every=8
     ).to_pandas()
     out = pd.DataFrame(
         {
