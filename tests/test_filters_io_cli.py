@@ -150,6 +150,21 @@ def test_write_rejects_summary(tmp_path):
     assert summary["empty_conv_id"] == 2
 
 
+def test_auto_buckets_size_scaling(tmp_path):
+    """Bucket heuristic: floor for tiny files, growing with size,
+    clamped at the ceiling; missing file falls back to the ceiling."""
+    from neo4j_webgraph_ray.sources.transcripts import auto_buckets
+
+    small = tmp_path / "small.bin"
+    small.write_bytes(b"x" * 1024)
+    assert auto_buckets(str(small)) == 16
+    assert auto_buckets(str(small), lo=8) == 8
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"x" * (200 << 20))
+    assert auto_buckets(str(big)) == 26  # 200MB // 8MB + 1
+    assert auto_buckets(str(tmp_path / "missing")) == 64  # ceiling fallback
+
+
 def test_read_table_auto_json(tmp_path):
     p = str(tmp_path / "t.json")
     pd.DataFrame({"a": [1, 2]}).to_json(p, orient="records", lines=True)
