@@ -74,36 +74,42 @@ def run_bench() -> dict:
     import shutil
 
     workdir = os.environ.get("NWR_WORKDIR") or f"/tmp/nwr_bench/pr-{n_convs}-{num_cpus}"
-    if os.path.exists(workdir):
-        shutil.rmtree(workdir)
     num_parts = int(os.environ.get("NWR_NUM_PARTS", "0")) or max(8, num_cpus // 2)
-
-    t0 = time.perf_counter()
-    transcripts = read_transcripts(gen_dir)
     from neo4j_webgraph_ray.stages.derive import derive_edge_ids
 
-    # lean raw int64 edge list; exact dedup folds into prepare's
-    # partition pass (src-ownership makes per-partition dedup global)
-    edges = derive_edge_ids(transcripts, num_buckets=max(64, num_cpus * 4))
-    engine = ActorSuperstepEngine(
-        workdir,
-        PageRankProgram(tol=1e-6),
-        num_partitions=num_parts,
-        max_steps=100,
-        checkpoint_every=int(os.environ.get("NWR_CHECKPOINT_EVERY", "1")),
+    # one untimed warm-up pass, then the measured pass (same protocol as
+    # --scaling): the recorded single-run artifact otherwise swings with
+    # cold page cache and ambient disk writeback (VERDICT r2 #1a).
+    warmups = 0 if os.environ.get("NWR_PREPARE_ONLY") else int(
+        os.environ.get("NWR_BENCH_WARMUPS", "1")
     )
-    engine.prepare(edges, dedup=True)
-    t_prepare = time.perf_counter() - t0
-    timings["headline_build_and_partition"] = round(t_prepare, 3)
+    for attempt in range(warmups + 1):
+        if os.path.exists(workdir):
+            shutil.rmtree(workdir)
+        t0 = time.perf_counter()
+        transcripts = read_transcripts(gen_dir)
+        # lean raw int64 edge list; exact dedup folds into prepare's
+        # partition pass (src-ownership makes per-partition dedup global)
+        edges = derive_edge_ids(transcripts, num_buckets=max(64, num_cpus * 4))
+        engine = ActorSuperstepEngine(
+            workdir,
+            PageRankProgram(tol=1e-6),
+            num_partitions=num_parts,
+            max_steps=100,
+            checkpoint_every=int(os.environ.get("NWR_CHECKPOINT_EVERY", "1")),
+        )
+        engine.prepare(edges, dedup=True)
+        t_prepare = time.perf_counter() - t0
+        timings["headline_build_and_partition"] = round(t_prepare, 3)
 
-    if os.environ.get("NWR_PREPARE_ONLY"):
-        out.update({"value": round(t_prepare, 3), "queries": timings})
-        return out
+        if os.environ.get("NWR_PREPARE_ONLY"):
+            out.update({"value": round(t_prepare, 3), "queries": timings})
+            return out
 
-    t0 = time.perf_counter()
-    engine.run()
-    t_pr = time.perf_counter() - t0
-    timings["headline_pagerank"] = round(t_pr, 3)
+        t0 = time.perf_counter()
+        engine.run()
+        t_pr = time.perf_counter() - t0
+        timings["headline_pagerank"] = round(t_pr, 3)
 
     manifest = load_manifest(workdir)
     sup_steps = [s for s in manifest.steps if s.get("kind") != "init"]
@@ -133,6 +139,16 @@ def run_bench() -> dict:
     if os.environ.get("NWR_BENCH_ONLY") != "headline":
         import __ray_entry__ as entrymod
 
+        # warm the shared graph-tables cache once and time it as its own
+        # entry, so the first query's timing measures the query, not the
+        # build it happens to trigger (the cache is the broadcast-small-
+        # side reuse pattern, not a benchmark artifact)
+        from neo4j_webgraph_ray.queries import graph as _graph_cache
+
+        t0 = time.perf_counter()
+        _graph_cache(sf_dir)
+        timings["graph_build_cache"] = round(time.perf_counter() - t0, 3)
+
         Q = entrymod.queries()
         for name in [
             "vertices",
@@ -148,9 +164,14 @@ def run_bench() -> dict:
             # LLM-training-data family over the documents/embeddings tables
             "dedup_exact_docs",
             "minhash_neardup",
+            "ngram_jaccard_neardup",
             "simhash_neardup",
             "ann_topk",
             "embedding_neardup",
+            # actor-pool plumbing stages (VERDICT r2 #8: regressions in
+            # the enrichment / multimodal actor paths must be visible)
+            "enrich_social",
+            "multimodal_features",
         ]:
             t0 = time.perf_counter()
             res = Q[name](sf_dir)

@@ -430,20 +430,32 @@ def attach_vkeys(
     )
 
 
+'''Engine and oracle run EXACTLY this many power-iteration steps (one
+shared constant so they can never diverge).  Parity note (ADVICE r2):
+two independently *converged* solvers only agree to the convergence
+gap (~5e-12), which makes a 6-dp value-hash probabilistically flaky at
+~1e-5 per vertex.  Two solvers computing the SAME k-th iterate differ
+only by float64 summation-order noise (~1e-15 relative), pushing the
+rounding-boundary flake probability to ~1e-10 per vertex — safe at any
+testdata scale.  100 steps also puts the iterate within d^100 ≈ 9e-8
+of the true fixpoint, so the ranks remain semantically converged.'''
+PAGERANK_FIXED_STEPS = 100
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """Damped PageRank on the transcript graph (superstep harness);
     output (vkey, rank) rounded to 6 dp.
 
-    Driven to tol=1e-12 so the engine's distributed summation and the
-    DuckDB oracle's fixed-iteration power iteration (both float64, same
-    graph) land within ~1e-11 of the same fixpoint — far inside the 6-dp
-    rounding — making the driver's value-hash comparison exact.  The
-    north rule's allclose(1e-6) parity vs the single-node NumPy oracle
-    is separately asserted in pytest."""
+    Runs exactly :data:`PAGERANK_FIXED_STEPS` synchronous supersteps
+    (tol=0 disables early convergence; an exact-0 delta is a fixpoint,
+    where stopping early is identity-preserving), matching the oracle's
+    unrolled iteration count step for step — see the constant's note.
+    The north rule's allclose(1e-6) parity vs the single-node NumPy
+    oracle is separately asserted in pytest."""
     edges, vertices = graph(sf_dir)
     state = pagerank(
         edges, _workdir(sf_dir, "pagerank"), num_partitions=_algo_parts(edges),
-        tol=1e-12, max_steps=300, checkpoint_every=8,
+        tol=0.0, max_steps=PAGERANK_FIXED_STEPS, checkpoint_every=25,
     )
     # readable keys via distributed co-group (no driver-side dict over
     # the full vertex table); the result materializes by driver contract
@@ -460,7 +472,7 @@ def q_connected_components(sf_dir: str) -> pd.DataFrame:
     edges, vertices = graph(sf_dir)
     state = connected_components(
         edges, _workdir(sf_dir, "cc"), num_partitions=_algo_parts(edges),
-        checkpoint_every=8
+        checkpoint_every=25
     )
     # distributed vkey attachment; keep_unmatched emits isolated
     # vertices (absent from superstep state) with the typed sentinel
@@ -670,14 +682,17 @@ ORDER BY kind, "key"
 """
 )
 
-def _pagerank_oracle_sql(n_iter: int = 250, damping: float = 0.85) -> str:
+def _pagerank_oracle_sql(
+    n_iter: int = PAGERANK_FIXED_STEPS, damping: float = 0.85
+) -> str:
     """Fixed-iteration damped power iteration with dangling-mass
     redistribution, unrolled as chained MATERIALIZED CTEs (DuckDB's
     recursive CTEs mis-evaluate aggregates over the working table).
-    ``n_iter`` steps reach the fixpoint to ~1e-16; the engine runs to
-    tol=1e-12, so both land well inside the shared 6-dp rounding.
-    Mirrors PageRankProgram.gather_update exactly:
-    rank' = (1-d)/n + d*(sum_in + dangling/n)."""
+    The engine runs EXACTLY the same number of steps (shared
+    :data:`PAGERANK_FIXED_STEPS`), so both sides compute the same k-th
+    iterate and differ only by fp summation order (~1e-15), far inside
+    the shared 6-dp rounding.  Mirrors PageRankProgram.gather_update
+    exactly: rank' = (1-d)/n + d*(sum_in + dangling/n)."""
     d = damping
     parts = [
         "und AS MATERIALIZED (SELECT src_kind || ':' || src_key AS s, "
