@@ -112,10 +112,19 @@ def q_minhash_neardup(sf_dir: str) -> pd.DataFrame:
 
 
 def q_ngram_jaccard_neardup(sf_dir: str) -> pd.DataFrame:
-    """Character-3-gram Jaccard near-dup pairs (>= 0.6) via the same
-    LSH pipeline with char shingles."""
+    """Character-5-gram Jaccard near-dup pairs (>= 0.6) via the same
+    LSH pipeline with char shingles.
+
+    5-grams, not 3-grams: English documents share most of the char
+    TRIgram vocabulary, so a 3-gram detector at tau=0.6 flags ~6% of
+    ALL doc pairs as near-dups (near-quadratic candidate AND output
+    size — the round-2 entry spent minutes at sf0.1 and its boundary
+    pairs sat inside the LSH recall gap).  5-grams are discriminative:
+    true duplicates land at J>=0.9 while unrelated pairs fall near 0,
+    which keeps candidates linear and makes the banding recall exact."""
     out = minhash_neardup_pairs(
-        _docs(sf_dir), tau=0.6, char=True, num_buckets=_doc_buckets(sf_dir)
+        _docs(sf_dir), tau=0.6, shingle_k=5, char=True,
+        num_buckets=_doc_buckets(sf_dir)
     ).to_pandas()
     return out[["a", "b"]].sort_values(["a", "b"]).reset_index(drop=True)
 
@@ -253,6 +262,57 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= {NEARDUP_TAU}
 """
 
+def _jaccard_pairs_sql(shingle_cte: str, tau: float) -> str:
+    """Brute-force shingle-set Jaccard over ALL doc pairs (oracle-only;
+    the engine uses LSH).  Verifies the near-dup OUTPUT, not the
+    MinHash internals: the engine's exact-verify stage guarantees the
+    emitted pairs are true Jaccard >= tau pairs, and on this corpus
+    every true pair sits far above tau (min J ~0.9 at sf0.01), where
+    16-band recall is deterministic-complete — so the sets match
+    exactly (VERDICT r2 #4)."""
+    return f"""
+WITH {shingle_cte},
+d AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM d x JOIN d y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b FROM inter
+JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {tau}
+ORDER BY a, b
+"""
+
+
+# word 3-shingles: token windows joined by chr(1); docs shorter than k
+# tokens contribute their whole token sequence as one shingle (the
+# engine pads with a constant — equal padded hash sequences iff equal
+# token sequences, which the joined string reproduces)
+MINHASH_NEARDUP_SQL = _jaccard_pairs_sql(
+    """toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                 i -> array_to_string(t[i:i+2], chr(1)))) AS s
+  FROM toks WHERE len(t) >= 1
+)""",
+    0.5,
+)
+
+# char 5-grams: substr windows; short docs contribute text[:5]
+NGRAM_NEARDUP_SQL = _jaccard_pairs_sql(
+    """sh AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                 i -> substr(text, i, 5))) AS s
+  FROM documents
+)""",
+    0.6,
+)
+
 DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "token_counts": q_token_counts,
     "quality_metrics": q_quality,
@@ -281,6 +341,9 @@ DOC_ORACLES: dict[str, str] = {
     ),
     "ann_topk": ANN_TOPK_SQL,
     "embedding_neardup": EMB_NEARDUP_SQL,
-    # doc_fingerprints / minhash / ngram / simhash / ann_topk_lsh:
+    "minhash_neardup": MINHASH_NEARDUP_SQL,
+    "ngram_jaccard_neardup": NGRAM_NEARDUP_SQL,
+    # doc_fingerprints / simhash / ann_topk_lsh / ann_topk_ivf /
+    # multimodal_features: signature- or seed-dependent, genuinely
     # non-SQL-expressible — rows-only; brute-force oracles in pytest.
 }

@@ -55,6 +55,71 @@ def brute_jaccard(a: str, b: str, k=3, char=False) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def test_batch_signatures_match_scalar():
+    """The batch-vectorized shingle/minhash/simhash paths (the hot
+    stages at 10^9 docs) are value-identical to the scalar reference
+    implementations, including unicode, empty, short and padded docs."""
+    from neo4j_webgraph_ray.stages.dedup import (
+        _minhash_params,
+        batch_shingle_hashes,
+        minhash_from_flat,
+        minhash_signature,
+        simhash_batch,
+    )
+
+    texts = [
+        "hello world foo bar baz", "", "ab", "one two",
+        "  spaced   out  text ", "héllo wörld ünïcode tokens here",
+        "a b c d e f g h i j", "hello world foo bar baz", "x",
+        "tab\tsep\nnewline mix", "short", "",
+        "日本語 テキスト の トークン", "repeat repeat repeat repeat",
+    ]
+    a, b = _minhash_params(64)
+    for k in (2, 3, 5):
+        for char in (False, True):
+            flat, offs = batch_shingle_hashes(texts, k, char)
+            sig = minhash_from_flat(flat, offs, a, b)
+            for i, t in enumerate(texts):
+                ref = _shingle_hashes(t, k, char)
+                assert np.array_equal(ref, flat[offs[i] : offs[i + 1]])
+                assert np.array_equal(minhash_signature(ref, a, b), sig[i])
+    sh = simhash_batch(texts)
+    for i, t in enumerate(texts):
+        assert simhash64(t) == sh[i]
+
+
+def test_segment_jaccard_matches_intersect1d():
+    from neo4j_webgraph_ray.stages.dedup import (
+        _gather_segments,
+        _segment_jaccard,
+        _unique_per_segment,
+    )
+
+    rng = np.random.default_rng(0)
+    docs = [
+        np.sort(
+            rng.choice(50, size=rng.integers(0, 30), replace=False)
+        ).astype(np.uint64)
+        for _ in range(20)
+    ]
+    flat = np.concatenate(docs)
+    offs = np.concatenate([[0], np.cumsum([len(d) for d in docs])])
+    uflat, uofs = _unique_per_segment(flat, offs)
+    assert np.array_equal(uflat, flat) and np.array_equal(uofs, offs)
+    ai = rng.integers(0, 20, size=50)
+    bi = rng.integers(0, 20, size=50)
+    va, ga, la = _gather_segments(uflat, uofs, ai)
+    vb, gb, lb = _gather_segments(uflat, uofs, bi)
+    jac = _segment_jaccard(
+        np.concatenate([va, vb]), np.concatenate([ga, gb]), la + lb, 50
+    )
+    for i in range(50):
+        sa, sb = docs[ai[i]], docs[bi[i]]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        assert jac[i] == (inter / union if union else 0.0)
+
+
 def test_token_counts_match_python():
     texts = pa.array(["a b  c", "  x ", "one,two three!", ""])
     assert list(ws_token_count(texts)) == [3, 1, 2, 1]  # split on \s+ after trim
