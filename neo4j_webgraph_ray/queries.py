@@ -218,44 +218,103 @@ def q_point_lookup(sf_dir: str, keys: tuple[str, ...] = ("c1", "c7", "c11")) -> 
 
 
 def q_cross_kind_pattern(
-    sf_dir: str, min_in_deg: int = 8, min_out_deg: int = 9
+    sf_dir: str, min_in_deg: int = 8, min_out_deg: int = 9,
+    broadcast_limit: int = 200_000,
 ) -> pd.DataFrame:
     """Q7: cross-domain high-degree pattern (``README.md:144-150``):
     conv vertices with out_deg >= t1 linking to tool vertices with
-    in_deg >= t2 — an edges⋈vertices semi-join done broadcast-side
-    (the qualifying vertex sets are small after filtering)."""
+    in_deg >= t2 — an edges⋈vertices semi-join.
+
+    Size-gated like verify_jaccard (VERDICT r2 #6): when the filtered
+    key sets are small they are broadcast (``ray.put`` once, read per
+    task); above ``broadcast_limit`` combined keys — a low threshold
+    on a huge graph — the scale path is two bucketed co-group
+    semi-joins, with nothing collected on the driver."""
     edges, vertices = graph(sf_dir)
-    hot_tools = set(
-        vertices.filter(expr=f"kind == 'tool' and in_deg >= {min_in_deg}")
-        .select_columns(["key"])
-        .to_pandas()["key"]
-    )
-    busy_convs = set(
-        vertices.filter(expr=f"kind == 'conv' and out_deg >= {min_out_deg}")
-        .select_columns(["key"])
-        .to_pandas()["key"]
-    )
-    hot_ref = ray.put(hot_tools)
-    busy_ref = ray.put(busy_convs)
+    hot = vertices.filter(
+        expr=f"kind == 'tool' and in_deg >= {min_in_deg}"
+    ).select_columns(["key"]).materialize()
+    busy = vertices.filter(
+        expr=f"kind == 'conv' and out_deg >= {min_out_deg}"
+    ).select_columns(["key"]).materialize()
 
-    def semi_join(batch: pa.Table) -> pa.Table:
-        hot = ray.get(hot_ref)
-        busy = ray.get(busy_ref)
-        df = batch.select(["src_kind", "src_key", "dst_kind", "dst_key"]).to_pandas()
-        m = (
-            (df["src_kind"] == "conv")
-            & (df["dst_kind"] == "tool")
-            & df["src_key"].isin(busy)
-            & df["dst_key"].isin(hot)
-        )
-        out = df.loc[m, ["src_key", "dst_key"]]
-        return pa.Table.from_pandas(
-            out.rename(columns={"src_key": "conv_key", "dst_key": "tool_key"}),
-            preserve_index=False,
-        )
+    if hot.count() + busy.count() <= broadcast_limit:
+        hot_ref = ray.put(set(hot.to_pandas()["key"]))
+        busy_ref = ray.put(set(busy.to_pandas()["key"]))
 
-    out = edges.map_batches(semi_join, batch_format="pyarrow").to_pandas()
+        def semi_join(batch: pa.Table) -> pa.Table:
+            hset = ray.get(hot_ref)
+            bset = ray.get(busy_ref)
+            df = batch.select(
+                ["src_kind", "src_key", "dst_kind", "dst_key"]
+            ).to_pandas()
+            m = (
+                (df["src_kind"] == "conv")
+                & (df["dst_kind"] == "tool")
+                & df["src_key"].isin(bset)
+                & df["dst_key"].isin(hset)
+            )
+            out = df.loc[m, ["src_key", "dst_key"]]
+            return pa.Table.from_pandas(
+                out.rename(columns={"src_key": "conv_key", "dst_key": "tool_key"}),
+                preserve_index=False,
+            )
+
+        out = edges.map_batches(semi_join, batch_format="pyarrow").to_pandas()
+    else:
+        out = _cross_kind_cogroup(edges, hot, busy).to_pandas()
     return out.sort_values(["conv_key", "tool_key"]).reset_index(drop=True)
+
+
+def _cross_kind_cogroup(
+    edges: ray.data.Dataset,
+    hot: ray.data.Dataset,
+    busy: ray.data.Dataset,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distributed Q7 scale path: conv→tool edges semi-joined against
+    the busy-conv key set (bucketed by conv key), then against the
+    hot-tool key set (bucketed by tool key).  Both union sides carry
+    the full (conv_key, tool_key, _t) schema with typed defaults."""
+
+    def conv_tool(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["src_kind", "src_key", "dst_kind", "dst_key"]).to_pandas()
+        m = (df["src_kind"] == "conv") & (df["dst_kind"] == "tool")
+        out = df.loc[m, ["src_key", "dst_key"]].rename(
+            columns={"src_key": "conv_key", "dst_key": "tool_key"}
+        )
+        out["_t"] = np.int8(0)
+        return out
+
+    def keys_frame(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        out = pd.DataFrame({"conv_key": "", "tool_key": "",
+                            "_t": np.full(len(df), 1, np.int8)})
+        out[col] = df["key"].to_numpy()
+        return out[["conv_key", "tool_key", "_t"]]
+
+    def semi(df: pd.DataFrame, on: str) -> pd.DataFrame:
+        is_k = df["_t"].to_numpy() == 1
+        keys = df.loc[is_k, [on]].drop_duplicates()
+        return df[~is_k].merge(keys, on=on, how="inner")[
+            ["conv_key", "tool_key", "_t"]
+        ]
+
+    ct = edges.map_batches(conv_tool, batch_format="pyarrow")
+    s1 = bucketed_groupby(
+        ct.union(busy.map_batches(
+            lambda df: keys_frame(df, "conv_key"), batch_format="pandas")),
+        ["conv_key"], lambda df: semi(df, "conv_key"),
+        num_buckets=num_buckets, local_combine=False,
+    )
+    s2 = bucketed_groupby(
+        s1.union(hot.map_batches(
+            lambda df: keys_frame(df, "tool_key"), batch_format="pandas")),
+        ["tool_key"], lambda df: semi(df, "tool_key"),
+        num_buckets=num_buckets, local_combine=False,
+    )
+    return s2.map_batches(
+        lambda df: df[["conv_key", "tool_key"]], batch_format="pandas"
+    )
 
 
 # shared with SAMPLE_ORACLE_SQL below so the engine and its oracle can
@@ -353,15 +412,6 @@ def _workdir(sf_dir: str, algo: str) -> str:
     return d
 
 
-@functools.lru_cache(maxsize=4)
-def _vertex_composites(sf_dir: str) -> dict[int, str]:
-    """id -> "kind:key" for the (small) vertex table — broadcast-side
-    lookup used to render analytics outputs with readable keys."""
-    _, vertices = graph(sf_dir)
-    df = vertices.select_columns(["id", "kind", "key"]).to_pandas()
-    return dict(zip(df["id"], df["kind"] + ":" + df["key"]))
-
-
 # sentinel for "vertex had no state row" (isolated vertex): keeps the
 # int64 value columns non-null through the shuffle — nullable int64
 # materializes as float64 in pandas frames and would silently round
@@ -427,6 +477,134 @@ def attach_vkeys(
     )
     return bucketed_groupby(
         both, ["id"], combine, num_buckets=num_buckets, local_combine=False
+    )
+
+
+def dense_rank_vkeys(
+    vertices: ray.data.Dataset, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Distributed dense rank of the composite "kind:key" string over
+    the vertex table: returns (id, rank, vkey) with rank = position in
+    global lexicographic vkey order (0-based, contiguous).
+
+    VERDICT r2 #1/#3: replaces the driver-side rank dict.  Exact
+    two-pass range partitioning — the driver only ever holds
+    ``num_buckets - 1`` boundary strings and ``num_buckets`` counts:
+
+    1. sample vkeys, cut into ordered range buckets (sample quality
+       affects only balance, never correctness);
+    2. count rows per bucket (tiny groupby), prefix-sum on the driver;
+    3. per bucket: local sort + offset → globally dense, ordered ranks.
+    """
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": df["id"].to_numpy(),
+                "vkey": (df["kind"] + ":" + df["key"]).to_numpy(),
+            }
+        )
+
+    keyed = vertices.select_columns(["id", "kind", "key"]).map_batches(
+        project, batch_format="pandas"
+    )
+    n = vertices.count()
+    sample_frac = min(1.0, 20_000 / max(1, n))
+    sample = np.sort(
+        keyed.random_sample(sample_frac, seed=7)
+        .select_columns(["vkey"])
+        .to_pandas()["vkey"]
+        .to_numpy()
+    )
+    # num_buckets-1 ordered cut points (deduped; fewer for tiny tables)
+    cuts = np.unique(
+        sample[np.linspace(0, max(0, len(sample) - 1), num_buckets + 1).astype(int)][1:-1]
+    ) if len(sample) else np.array([], dtype=object)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_rb"] = np.searchsorted(cuts, df["vkey"].to_numpy()).astype(np.int32)
+        return df
+
+    assigned = keyed.map_batches(assign, batch_format="pandas").materialize()
+    counts = (
+        assigned.groupby("_rb").count().to_pandas()
+    )  # <= num_buckets rows on the driver — bounded by construction
+    counts = counts.sort_values("_rb")
+    offsets = dict(
+        zip(
+            counts["_rb"].to_numpy(),
+            np.concatenate([[0], np.cumsum(counts["count()"].to_numpy())[:-1]]),
+        )
+    )
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vkey", kind="stable")
+        base = offsets[int(df["_rb"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "id": df["id"].to_numpy(),
+                "rank": base + np.arange(len(df), dtype=np.int64),
+                "vkey": df["vkey"].to_numpy(),
+            }
+        )
+
+    return (
+        assigned.groupby("_rb")
+        .map_groups(rank_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+
+def _lookup_join(
+    ds: ray.data.Dataset,
+    key_col: str,
+    lookup: ray.data.Dataset,
+    lookup_key: str,
+    lookup_val: str,
+    out_col: str,
+    carry_cols: list[str],
+    num_buckets: int = 64,
+    val_default=np.int64(0),
+    carry_defaults: dict | None = None,
+) -> ray.data.Dataset:
+    """Bucketed inner equi-join: attach ``lookup_val`` (renamed
+    ``out_col``) to each ``ds`` row by ``key_col``; emit carry_cols +
+    out_col.  Same side-tagged co-group shape as attach_vkeys — no
+    driver-side collection.  BOTH union sides carry the full column
+    set with typed defaults (``val_default`` for ``_v`` on the data
+    side, ``carry_defaults`` for carry columns on the lookup side): a
+    partial pandas concat must never coerce an absent int64 id column
+    to float64 (the hash-id rounding hazard)."""
+    cdef = carry_defaults or {}
+
+    def tag_lookup(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={lookup_key: "_k", lookup_val: "_v"})
+        for c in carry_cols:
+            out[c] = cdef.get(c, np.int64(0))
+        out["_t"] = np.int8(1)
+        return out[["_k", *carry_cols, "_v", "_t"]]
+
+    probe = lookup.select_columns([lookup_key, lookup_val]).map_batches(
+        tag_lookup, batch_format="pandas"
+    )
+
+    def tag_data(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key_col, *carry_cols]].rename(columns={key_col: "_k"})
+        out["_v"] = val_default
+        out["_t"] = np.int8(0)
+        return out[["_k", *carry_cols, "_v", "_t"]]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        is_l = df["_t"].to_numpy() == 1
+        lk = df.loc[is_l, ["_k", "_v"]]
+        dt = df.loc[~is_l, ["_k", *carry_cols]]
+        out = dt.merge(lk, on="_k", how="inner")
+        return out.rename(columns={"_v": out_col})[[*carry_cols, out_col]]
+
+    both = ds.map_batches(tag_data, batch_format="pandas").union(probe)
+    return bucketed_groupby(
+        both, ["_k"], combine, num_buckets=num_buckets, local_combine=False
     )
 
 
@@ -498,40 +676,41 @@ def q_label_propagation(sf_dir: str) -> pd.DataFrame:
     then min-label order IS lexicographic vkey order, which the DuckDB
     oracle reproduces with plain string comparison.
 
-    The driver-side rank dict here is ORACLE-HARNESS machinery, not the
-    engine: the production path (`pipelines.algorithms.label_propagation`)
-    runs on hashed ids with no remap or broadcast, and at cluster scale
-    an external check would compare against a distributed reference run
-    instead (dense-rank assignment would be a one-off distributed sort +
-    zip-with-index over the vertex table)."""
-    edges, _ = graph(sf_dir)
-    comp_map = _vertex_composites(sf_dir)
-    vkeys = sorted(comp_map.values())
-    rank_of = {v: i for i, v in enumerate(vkeys)}
-    id2rank = {i64: rank_of[v] for i64, v in comp_map.items()}
-    ref = ray.put(id2rank)
-
-    def remap(df: pd.DataFrame) -> pd.DataFrame:
-        mp = ray.get(ref)
-        return pd.DataFrame(
-            {
-                "src": df["src"].map(mp).astype("int64"),
-                "dst": df["dst"].map(mp).astype("int64"),
-            }
-        )
-
-    redges = edges.map_batches(remap, batch_format="pandas")
+    The remap is fully distributed (VERDICT r2 #3): ranks come from
+    :func:`dense_rank_vkeys` (two-pass exact range partitioning — the
+    driver holds only bucket boundaries and counts), edge endpoints and
+    the output labels are attached via bucketed co-group joins.  No
+    ``to_pandas``/dict over the vertex table anywhere in the path; the
+    final ``to_pandas`` materializes only the per-vertex RESULT, which
+    the driver contract requires."""
+    edges, vertices = graph(sf_dir)
+    ranks = dense_rank_vkeys(vertices)
+    # remap both endpoints rank-by-rank (two bucketed joins, no
+    # broadcast): (src,dst) -> (dst, src_r) -> (src_r, dst_r)
+    r1 = _lookup_join(
+        edges.select_columns(["src", "dst"]), "src", ranks, "id", "rank",
+        "src_r", carry_cols=["dst"],
+    )
+    r2 = _lookup_join(r1, "dst", ranks, "id", "rank", "dst_r",
+                      carry_cols=["src_r"])
+    redges = r2.map_batches(
+        lambda df: df.rename(columns={"src_r": "src", "dst_r": "dst"}),
+        batch_format="pandas",
+    )
     state = label_propagation(
         redges, _workdir(sf_dir, "lpa"), num_partitions=_algo_parts(edges),
         checkpoint_every=8
-    ).to_pandas()
-    out = pd.DataFrame(
-        {
-            "vkey": state["id"].map(lambda i: vkeys[int(i)]),
-            "community": state["label"].map(lambda i: vkeys[int(i)]),
-        }
     )
-    return out.sort_values("vkey").reset_index(drop=True)
+    # readable keys for vertex and community: two more rank->vkey joins
+    named = _lookup_join(
+        state, "id", ranks, "rank", "vkey", "vkey", carry_cols=["label"],
+        val_default="",
+    )
+    out = _lookup_join(
+        named, "label", ranks, "rank", "vkey", "community",
+        carry_cols=["vkey"], val_default="", carry_defaults={"vkey": ""},
+    ).to_pandas()
+    return out[["vkey", "community"]].sort_values("vkey").reset_index(drop=True)
 
 
 def q_triangle_count(sf_dir: str) -> pd.DataFrame:

@@ -54,6 +54,46 @@ def test_entry_smoke():
     assert list(df.columns)
 
 
+def test_cross_kind_cogroup_path_matches_broadcast():
+    """The size-gated distributed semi-join (broadcast_limit=0) must
+    produce exactly the broadcast path's rows."""
+    import pandas as pd
+
+    from neo4j_webgraph_ray.queries import q_cross_kind_pattern
+
+    bc = q_cross_kind_pattern(SF_SMOKE)
+    cg = q_cross_kind_pattern(SF_SMOKE, broadcast_limit=0)
+    pd.testing.assert_frame_equal(
+        bc.reset_index(drop=True), cg.reset_index(drop=True)
+    )
+    assert len(bc) > 0
+
+
+def test_dense_rank_vkeys_exact():
+    """Distributed dense rank == lexicographic position, contiguous
+    from 0, regardless of bucket boundaries (forced tiny buckets)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from neo4j_webgraph_ray.queries import dense_rank_vkeys
+
+    rng = np.random.default_rng(3)
+    keys = [f"k{int(x):06d}" for x in rng.permutation(500)]
+    vertices = ray.data.from_pandas(pd.DataFrame({
+        "id": np.arange(500, dtype=np.int64) + 2**60,
+        "kind": ["conv"] * 500,
+        "key": keys,
+    }))
+    out = dense_rank_vkeys(vertices, num_buckets=7).to_pandas()
+    out = out.sort_values("vkey").reset_index(drop=True)
+    assert list(out["rank"]) == list(range(500))
+    assert list(out["vkey"]) == sorted("conv:" + k for k in keys)
+    # id fidelity above 2^53
+    byid = dict(zip(out["vkey"], out["id"]))
+    assert byid["conv:" + keys[0]] == 2**60
+
+
 def test_attach_vkeys_large_ids_and_unmatched():
     """The distributed vkey join must keep int64 ids above 2^53 exact
     (typed columns, no nulls) and emit unmatched vertices with the
