@@ -48,11 +48,19 @@ def _load_config_file(path: str) -> dict:
 def _apply_config_defaults(parsers: list[argparse.ArgumentParser], cfg: dict) -> None:
     """Set file-config values as parser defaults so explicit CLI flags
     still win (flag > file > built-in default); a ``required`` arg
-    satisfied by the file stops being required."""
+    satisfied by the file stops being required.
+
+    This is the one place that touches argparse internals (``_actions``
+    is stable-but-private; there is no public API for enumerating
+    arguments).  Keys that match no argument on ANY subcommand warn
+    loudly (ADVICE r2): a typo'd config key must not be silently
+    ignored when the same typo as a CLI flag would error."""
+    applied: set[str] = set()
     for p in parsers:
         for action in p._actions:
             if action.dest not in cfg:
                 continue
+            applied.add(action.dest)
             raw = cfg[action.dest]
             if isinstance(action, (argparse._StoreTrueAction, argparse._StoreFalseAction)):
                 val = str(raw).strip().lower() in ("1", "true", "yes", "on")
@@ -62,6 +70,13 @@ def _apply_config_defaults(parsers: list[argparse.ArgumentParser], cfg: dict) ->
                 val = raw
             p.set_defaults(**{action.dest: val})
             action.required = False
+    unknown = sorted(set(cfg) - applied)
+    if unknown:
+        print(
+            f"warning: config keys matched no argument and were ignored: "
+            f"{', '.join(unknown)}",
+            file=sys.stderr,
+        )
 
 
 def _ray_session(num_cpus: int | None):

@@ -81,10 +81,15 @@ def write_partitioned(
                 "delete the output dir or rerun with the original layout"
             )
         done = prev.get("partitions", {})
-    elif not resume:
+    else:
         # fresh run owns its output dir: stale partitions from a previous
         # (possibly differently-laid-out) run must not survive alongside
-        # the new ones
+        # the new ones.  This branch ALSO covers resume=True with no
+        # manifest (ADVICE r2): the manifest is written once at the end,
+        # so part files without one belong to a run that crashed before
+        # completing ANY bookkeeping — their layout is unknowable and a
+        # smaller num_partitions rerun would silently merge stale parts
+        # >= N into directory-level reads.  Unowned dir -> clear it.
         for n in os.listdir(out_dir):
             if n.endswith(".parquet") or n == "_manifest.json":
                 os.remove(os.path.join(out_dir, n))
@@ -144,15 +149,17 @@ def write_rejects(
         names = rejects.schema().names
     except Exception:
         names = []
-    err_col = next(
-        (c for c in ("error_type", "enrich_error") if c in names),
-        names[0] if names else None,
-    )
+    err_col = next((c for c in ("error_type", "enrich_error") if c in names), None)
+    # no recognized error column (ADVICE r2): still partition (by the
+    # first column, purely for write distribution) but DON'T summarize
+    # by it — a high-cardinality column would put one _summary entry
+    # per distinct value
+    part_col = err_col or (names[0] if names else None)
     total = 0
     summary: dict[str, int] = {}
-    if err_col is not None:
+    if part_col is not None:
         stats = write_partitioned(
-            rejects, out_dir, [err_col], num_partitions, resume=resume
+            rejects, out_dir, [part_col], num_partitions, resume=resume
         )
         total = int(stats["total_rows"])
         files = [
@@ -160,7 +167,7 @@ def write_rejects(
             for n in os.listdir(out_dir)
             if n.endswith(".parquet") and not n.startswith(("_", "."))
         ]
-        if files and total:
+        if err_col is not None and files and total:
             counts = (
                 ray.data.read_parquet(files, columns=[err_col])
                 .groupby(err_col)

@@ -122,6 +122,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id", vec_col: str = "embedding",
     method: str = "auto", broadcast_limit: int = 200_000,
     n_planes: int = 8, num_buckets: int = 32, max_bucket: int = 20_000,
+    target_recall: float = 0.98, max_tables: int = 32,
 ) -> pd.DataFrame:
     """All pairs (a < b) with cosine >= tau.
 
@@ -130,13 +131,20 @@ def embedding_neardup_pairs(
     - ``bruteforce`` (exact, small inputs): broadcast the full normalized
       matrix once, each task compares its batch against it.  O(n·d)
       object-store residency — correct only below ``broadcast_limit``.
-    - ``lsh`` (scale path): hyperplane-bucket every vector, replicate
-      each to its base bucket plus all 1-bit-flip probe buckets
-      (coverage: any pair whose sign patterns differ in <= 2 planes
-      meets in some bucket), compare all-pairs only *within* buckets via
-      a bucketed groupby shuffle.  Replication factor n_planes+1; no
-      full-matrix broadcast, no driver-side collection.  Recall vs brute
-      force is seed-deterministic and asserted in pytest.
+    - ``lsh`` (scale path): OR-amplified multi-table hyperplane LSH —
+      ``L`` independent tables of ``b <= n_planes`` hyperplanes each,
+      with ``(b, L)`` derived from ``(tau, target_recall)`` by the
+      standard sign-LSH collision model (``p = 1 - arccos(tau)/pi``
+      per plane; a threshold pair collides in some table with prob
+      ``1-(1-p^b)^L``).  Each vector is replicated to its L table
+      buckets and all-pairs comparison happens only *within* buckets
+      via a bucketed groupby shuffle.  Replication factor L (e.g. 9
+      tables at tau=0.9, ~25 at tau=0.45 — low-tau ANN is inherently
+      expensive for sign LSH; the round-2 fixed 1-flip scheme only
+      covered Hamming<=2 splits and measured 0.36 recall at tau=0.45).
+      No full-matrix broadcast, no driver-side collection.  Recall vs
+      brute force is seed-deterministic and asserted in pytest at tau
+      and tau±0.02.
     """
     if method == "auto":
         method = "bruteforce" if embeddings.count() <= broadcast_limit else "lsh"
@@ -145,7 +153,8 @@ def embedding_neardup_pairs(
     if method != "lsh":
         raise ValueError(f"unknown method {method!r}")
     return _neardup_lsh(
-        embeddings, tau, id_col, vec_col, n_planes, num_buckets, max_bucket
+        embeddings, tau, id_col, vec_col, n_planes, num_buckets, max_bucket,
+        target_recall=target_recall, max_tables=max_tables,
     )
 
 
@@ -190,9 +199,30 @@ def _neardup_bruteforce(
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def lsh_tables_for(
+    tau: float, target_recall: float, n_planes: int, max_tables: int
+) -> tuple[int, int]:
+    """(b, L) for OR-amplified sign LSH: the largest per-table plane
+    count b <= n_planes whose table count L = ceil(ln(1-R)/ln(1-p^b))
+    fits ``max_tables`` (p = per-plane collision prob of a pair AT the
+    threshold; pairs above tau collide with higher probability).
+    Larger b → smaller buckets (less in-bucket work) but more tables;
+    this picks the most selective b the replication budget allows."""
+    p = 1.0 - np.arccos(np.clip(tau, -1.0, 0.999999)) / np.pi
+    for b in range(max(2, n_planes), 1, -1):
+        pb = p**b
+        if pb >= 1.0:
+            return b, 1
+        L = int(np.ceil(np.log(max(1e-12, 1.0 - target_recall)) / np.log(1.0 - pb)))
+        if L <= max_tables:
+            return b, max(1, L)
+    return 2, max_tables
+
+
 def _neardup_lsh(
     embeddings: ray.data.Dataset, tau: float, id_col: str, vec_col: str,
     n_planes: int, num_buckets: int, max_bucket: int,
+    target_recall: float = 0.98, max_tables: int = 32,
 ) -> pd.DataFrame:
     from neo4j_webgraph_ray.stages.core import (
         BUCKET_COL,
@@ -206,16 +236,16 @@ def _neardup_lsh(
     if first is None or first.num_rows == 0:
         return _EMPTY_PAIRS.copy()
     dim = len(first[vec_col][0].as_py())
-    lsh = HyperplaneLsh(dim, n_planes)
-    flips = np.concatenate(
-        [np.zeros(1, dtype=np.int64), (1 << np.arange(n_planes)).astype(np.int64)]
-    )
+    b, L = lsh_tables_for(tau, target_recall, n_planes, max_tables)
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((dim, L * b))
+    pack = (1 << np.arange(b)).astype(np.int64)
+    table_base = (np.arange(L, dtype=np.int64) << b)
 
     def replicate(batch: pa.Table) -> pa.Table:
-        """Emit each (id, vec) to its base bucket + every 1-flip bucket.
-        Two vectors within Hamming distance 2 of each other always share
-        at least one emitted bucket (each flips one of the differing
-        bits); distance <= 1 pairs meet via the base/1-flip copies."""
+        """Emit each (id, vec) to its bucket in every one of the L
+        tables; a threshold pair shares some table bucket with prob
+        >= target_recall by construction (OR amplification)."""
         if batch.num_rows == 0:
             return pa.table(
                 {id_col: pa.array([], pa.int64()),
@@ -224,10 +254,11 @@ def _neardup_lsh(
                  "lsh_bucket": pa.array([], pa.int64())}
             )
         m = _normalize(_matrix(batch, vec_col))
-        base = lsh.bucket(m)
-        n = len(base)
-        buckets = base[:, None] ^ flips[None, :]  # (n, n_planes+1)
-        idx = np.repeat(np.arange(n), len(flips))
+        n = len(m)
+        bits = (m @ planes) > 0  # (n, L*b)
+        pat = (bits.reshape(n, L, b) * pack).sum(axis=2)  # (n, L)
+        buckets = pat + table_base[None, :]  # disjoint id space per table
+        idx = np.repeat(np.arange(n), L)
         return pa.table(
             {
                 id_col: batch[id_col].take(pa.array(idx)),

@@ -105,6 +105,58 @@ def test_write_partitioned_refuses_layout_mismatch(tmp_path):
     assert m["num_partitions"] == 4
 
 
+def test_write_partitioned_resume_without_manifest_clears_dir(tmp_path):
+    """resume=True on a dir with part files but NO manifest (a run that
+    crashed before any bookkeeping): the dir is unowned — stale parts
+    are cleared, never silently merged under a new layout (ADVICE r2)."""
+    df = pd.DataFrame({"k": range(40), "v": range(40)})
+    out = str(tmp_path / "out")
+    write_partitioned(ray.data.from_pandas(df), out, ["k"], num_partitions=8)
+    os.remove(os.path.join(out, "_manifest.json"))  # simulate the crash
+    # rerun RESUMING under a SMALLER partition count: parts 4..7 from
+    # the dead run must not survive next to the new parts 0..3
+    s = write_partitioned(
+        ray.data.from_pandas(df), out, ["k"], num_partitions=4, resume=True
+    )
+    assert s["written_partitions"] == 4
+    parts = sorted(n for n in os.listdir(out) if n.endswith(".parquet"))
+    assert parts == [f"part={i}.parquet" for i in range(4)]
+    assert sorted(read_table_auto(out).to_pandas()["k"]) == list(range(40))
+
+
+def test_write_rejects_no_error_column_total_only(tmp_path):
+    """A rejects table with no recognized error column gets a
+    total-only summary — never one entry per distinct value of an
+    arbitrary high-cardinality column (ADVICE r2)."""
+    from neo4j_webgraph_ray.sources.io import write_rejects
+
+    df = pd.DataFrame({"conv_id": [f"c{i}" for i in range(30)],
+                       "detail": range(30)})
+    n = write_rejects(ray.data.from_pandas(df), str(tmp_path / "rej"))
+    assert n == 30
+    summary = json.load(open(tmp_path / "rej" / "_summary.json"))
+    assert summary == {"total": 30}
+
+
+def test_cli_warns_on_unknown_config_keys(tmp_path):
+    """A typo'd config key warns on stderr instead of being silently
+    ignored (ADVICE r2)."""
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({"num_partitons": 4}))  # typo'd key
+    ddir = tmp_path / "docs"
+    ddir.mkdir()
+    pd.DataFrame({"doc_id": pd.array([0, 1], dtype="int64"),
+                  "text": ["a b", "a b"]}).to_parquet(ddir / "p.parquet")
+    argv = [sys.executable, "-m", "neo4j_webgraph_ray", "--num-cpus", "2",
+            "--config", str(cfg), "dedup", "--input", str(ddir),
+            "--out", str(tmp_path / "o"), "--method", "exact"]
+    proc = subprocess.run(argv, capture_output=True, text=True, timeout=300,
+                          cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "num_partitons" in proc.stderr
+    assert "matched no argument" in proc.stderr
+
+
 def test_cli_dedup_exact_and_minhash(tmp_path):
     """Job-surface dedup over a documents table: exact survivors and
     MinHash near-dup pairs, both through the resumable sink."""

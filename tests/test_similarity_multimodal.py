@@ -148,6 +148,48 @@ def test_embedding_neardup_lsh_tight_dups_full_recall():
     assert (0, 1) in got and (5, 7) in got
 
 
+def test_embedding_neardup_lsh_recall_sweep_at_tau_boundary():
+    """VERDICT r2 #7: recall vs brute force on the real testdata
+    embeddings at NEARDUP_TAU and ±0.02.  The multi-table OR-amplified
+    scheme must hold its designed recall (the old 1-flip replication
+    measured 0.36 here); precision must be exact (pairs are verified
+    by exact within-bucket cosine)."""
+    import ray.data
+
+    from neo4j_webgraph_ray.queries_docs import NEARDUP_TAU
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    hits = tot = 0
+    for tau in (NEARDUP_TAU - 0.02, NEARDUP_TAU, NEARDUP_TAU + 0.02):
+        exact = embedding_neardup_pairs(ds, tau=tau, method="bruteforce")
+        approx = embedding_neardup_pairs(ds, tau=tau, method="lsh", n_planes=8)
+        es = set(zip(exact["a"], exact["b"]))
+        As = set(zip(approx["a"], approx["b"]))
+        assert As <= es, f"false positives at tau={tau}"
+        assert len(es) > 0  # the sweep discriminates at every tau
+        rec = len(As & es) / len(es)
+        assert rec >= 0.95, (tau, rec, len(es))
+        hits += len(As & es)
+        tot += len(es)
+    assert hits / tot >= 0.97, (hits, tot)
+
+
+def test_lsh_tables_for_model():
+    """Parameter selection follows the sign-LSH collision model: higher
+    tau → fewer tables; the table count satisfies the target recall."""
+    import numpy as np
+
+    from neo4j_webgraph_ray.stages.similarity import lsh_tables_for
+
+    b_low, L_low = lsh_tables_for(0.45, 0.98, 8, 32)
+    b_hi, L_hi = lsh_tables_for(0.9, 0.98, 8, 32)
+    assert L_hi < L_low  # high-tau pairs are easier
+    for tau, (b, L) in [(0.45, (b_low, L_low)), (0.9, (b_hi, L_hi))]:
+        p = 1 - np.arccos(tau) / np.pi
+        assert 1 - (1 - p**b) ** L >= 0.98
+        assert L <= 32
+
+
 def test_ann_lsh_tied_cosines_deterministic():
     """Exact-duplicate vectors produce tied cosines straddling the k
     boundary; the per-batch cut must keep the smallest ids (same
