@@ -96,7 +96,10 @@ def run_bench() -> dict:
             PageRankProgram(tol=1e-6),
             num_partitions=num_parts,
             max_steps=100,
-            checkpoint_every=int(os.environ.get("NWR_CHECKPOINT_EVERY", "1")),
+            # cadence 5 (same as the --scaling protocol): per-superstep
+            # durable checkpoints write 5x the data for no bench value,
+            # and their kernel writeback smears into the query timings
+            checkpoint_every=int(os.environ.get("NWR_CHECKPOINT_EVERY", "5")),
         )
         engine.prepare(edges, dedup=True)
         t_prepare = time.perf_counter() - t0
@@ -137,6 +140,10 @@ def run_bench() -> dict:
 
     # -- per-query timings over the testdata dir -------------------------
     if os.environ.get("NWR_BENCH_ONLY") != "headline":
+        # force the headline's checkpoint writeback to complete NOW so
+        # it lands in no query's timing (round 3: ambient writeback made
+        # individual query entries swing 4x run to run)
+        os.sync()
         import __ray_entry__ as entrymod
 
         # warm the shared graph-tables cache once and time it as its own

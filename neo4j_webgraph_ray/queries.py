@@ -394,9 +394,14 @@ WHERE (length(conv_id) * 7 + turn_idx) % {SAMPLE_RATE_DENOM} = 0
 
 def _algo_parts(edges: ray.data.Dataset) -> int:
     """Size-aware superstep partition count (edges are materialized, so
-    count() is metadata): at testdata scale per-partition task overhead
-    dominates; at real scale the count grows with the edge table."""
-    return int(np.clip(edges.count() // 100_000 + 4, 4, 64))
+    count() is metadata): at testdata scale per-partition actor-dispatch
+    overhead dominates a 100-superstep run, so graphs under ~50 K edges
+    run at the actor-backend minimum of 2 partitions; at real scale the
+    count grows with the edge table."""
+    n = edges.count()
+    if n < 50_000:
+        return 2  # actor backend minimum
+    return int(np.clip(n // 100_000 + 4, 4, 64))
 
 
 def _workdir(sf_dir: str, algo: str) -> str:
@@ -425,12 +430,17 @@ def attach_vkeys(
     value_cols: list[str],
     num_buckets: int = 64,
     keep_unmatched_vertices: bool = False,
+    broadcast_limit: int = 500_000,
 ) -> ray.data.Dataset:
-    """Distributed (id → "kind:key") attachment: a bucketed co-group
-    join of algorithm state against the vertex table on vertex id — the
-    vertex table is never collected into a driver-side dict (at 10^12
-    turns that dict IS the scale-killer; the query RESULT is per-vertex
-    and materializes by driver contract, the lookup need not).
+    """(id → "kind:key") attachment of algorithm state to the vertex
+    table, size-gated like every join on this surface: a vertex table
+    at or below ``broadcast_limit`` rows is broadcast once (``ray.put``
+    of a bounded dict — round 3 measured the co-group shuffle at ~2.7 s
+    of pure orchestration on a 1.5 K-vertex testdata graph); above the
+    limit it is a bucketed co-group join, with the vertex table never
+    collected on the driver (at 10^12 turns that dict IS the
+    scale-killer; the query RESULT is per-vertex and materializes by
+    driver contract, the lookup need not).
 
     Output columns: vkey + value_cols.  With
     ``keep_unmatched_vertices`` vertices without a state row are
@@ -438,6 +448,37 @@ def attach_vkeys(
     (typed, never null — see the sentinel note above).  Value columns
     are filled with typed zeros on the vertex side for the same reason;
     the combine is a vectorized pandas merge, no per-row Python dict."""
+    if vertices.count() <= broadcast_limit:
+        mp: dict = {}
+        for b in vertices.select_columns(["id", "kind", "key"]).iter_batches(
+            batch_size=65536, batch_format="pandas"
+        ):
+            mp.update(zip(b["id"], b["kind"] + ":" + b["key"]))
+        ref = ray.put(mp)
+        seen: set = set()
+
+        def attach_bc(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            out = df[value_cols].copy(deep=False)
+            out["vkey"] = df["id"].map(m).fillna("").to_numpy()
+            return out[["vkey", *value_cols]]
+
+        out = state.map_batches(attach_bc, batch_format="pandas")
+        if keep_unmatched_vertices:
+            # state ids are bounded by the vertex count, itself under
+            # the gate — collect them to emit sentinel rows for
+            # isolated vertices
+            for b in state.select_columns(["id"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            ):
+                seen.update(b["id"].to_pylist())
+            missing = [v for k, v in mp.items() if k not in seen]
+            if missing:
+                extra = pd.DataFrame({"vkey": missing})
+                for c in value_cols:
+                    extra[c] = np.full(len(missing), UNMATCHED_SENTINEL)
+                out = out.union(ray.data.from_pandas(extra[["vkey", *value_cols]]))
+        return out
 
     def tag_state(df: pd.DataFrame) -> pd.DataFrame:
         out = df[["id", *value_cols]].copy(deep=False)
@@ -567,16 +608,45 @@ def _lookup_join(
     num_buckets: int = 64,
     val_default=np.int64(0),
     carry_defaults: dict | None = None,
+    broadcast_limit: int = 500_000,
 ) -> ray.data.Dataset:
-    """Bucketed inner equi-join: attach ``lookup_val`` (renamed
-    ``out_col``) to each ``ds`` row by ``key_col``; emit carry_cols +
-    out_col.  Same side-tagged co-group shape as attach_vkeys — no
-    driver-side collection.  BOTH union sides carry the full column
-    set with typed defaults (``val_default`` for ``_v`` on the data
-    side, ``carry_defaults`` for carry columns on the lookup side): a
-    partial pandas concat must never coerce an absent int64 id column
+    """Inner equi-join: attach ``lookup_val`` (renamed ``out_col``) to
+    each ``ds`` row by ``key_col``; emit carry_cols + out_col.
+
+    Size-gated like the engine's other joins: a lookup table at or
+    below ``broadcast_limit`` rows is collected once into a broadcast
+    dict (bounded driver memory by the gate itself) and the join is a
+    plain vectorized ``map`` inside ``map_batches`` — chained joins
+    then fuse into ONE streaming execution instead of one shuffle
+    each.  Above the limit it is the side-tagged bucketed co-group of
+    attach_vkeys: BOTH union sides carry the full column set with
+    typed defaults (``val_default`` for ``_v`` on the data side,
+    ``carry_defaults`` for carry columns on the lookup side) so a
+    partial pandas concat can never coerce an absent int64 id column
     to float64 (the hash-id rounding hazard)."""
     cdef = carry_defaults or {}
+    if lookup.count() <= broadcast_limit:
+        mp: dict = {}
+        for b in lookup.select_columns([lookup_key, lookup_val]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            mp.update(zip(b[lookup_key].to_pylist(), b[lookup_val].to_pylist()))
+        ref = ray.put(mp)
+        int_val = isinstance(val_default, (int, np.integer))
+
+        def attach_bc(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            v = df[key_col].map(m)
+            keep = v.notna().to_numpy()  # inner-join semantics
+            out = df.loc[keep, carry_cols].copy(deep=False)
+            # .map on int values yields float64 the moment ANY key
+            # misses — restore the exact dtype after the inner filter
+            out[out_col] = (
+                v[keep].astype(np.int64) if int_val else v[keep]
+            ).to_numpy()
+            return out
+
+        return ds.map_batches(attach_bc, batch_format="pandas")
 
     def tag_lookup(df: pd.DataFrame) -> pd.DataFrame:
         out = df.rename(columns={lookup_key: "_k", lookup_val: "_v"})
@@ -684,31 +754,39 @@ def q_label_propagation(sf_dir: str) -> pd.DataFrame:
     final ``to_pandas`` materializes only the per-vertex RESULT, which
     the driver contract requires."""
     edges, vertices = graph(sf_dir)
-    ranks = dense_rank_vkeys(vertices)
+    # size-aware shuffle widths: at testdata scale 64-bucket co-groups
+    # are pure task-orchestration overhead (the auto_buckets lesson);
+    # at real scale both grow with the tables
+    jb = int(np.clip(edges.count() // 100_000 + 4, 4, 64))
+    rb = int(np.clip(vertices.count() // 100_000 + 4, 4, 64))
+    ranks = dense_rank_vkeys(vertices, num_buckets=rb)
     # remap both endpoints rank-by-rank (two bucketed joins, no
     # broadcast): (src,dst) -> (dst, src_r) -> (src_r, dst_r)
     r1 = _lookup_join(
         edges.select_columns(["src", "dst"]), "src", ranks, "id", "rank",
-        "src_r", carry_cols=["dst"],
+        "src_r", carry_cols=["dst"], num_buckets=jb,
     )
     r2 = _lookup_join(r1, "dst", ranks, "id", "rank", "dst_r",
-                      carry_cols=["src_r"])
+                      carry_cols=["src_r"], num_buckets=jb)
+    # pin: prepare() consumes its edge input more than once — a lazy
+    # redges would re-execute the whole remap per consumption
     redges = r2.map_batches(
         lambda df: df.rename(columns={"src_r": "src", "dst_r": "dst"}),
         batch_format="pandas",
-    )
+    ).materialize()
     state = label_propagation(
         redges, _workdir(sf_dir, "lpa"), num_partitions=_algo_parts(edges),
-        checkpoint_every=8
+        checkpoint_every=25
     )
     # readable keys for vertex and community: two more rank->vkey joins
     named = _lookup_join(
         state, "id", ranks, "rank", "vkey", "vkey", carry_cols=["label"],
-        val_default="",
+        val_default="", num_buckets=rb,
     )
     out = _lookup_join(
         named, "label", ranks, "rank", "vkey", "community",
         carry_cols=["vkey"], val_default="", carry_defaults={"vkey": ""},
+        num_buckets=rb,
     ).to_pandas()
     return out[["vkey", "community"]].sort_values("vkey").reset_index(drop=True)
 

@@ -113,11 +113,16 @@ def test_segment_jaccard_matches_intersect1d():
     jac = _segment_jaccard(
         np.concatenate([va, vb]), np.concatenate([ga, gb]), la + lb, 50
     )
+    from neo4j_webgraph_ray.stages.dedup import _sorted_pair_jaccard
+
+    jac2 = _sorted_pair_jaccard(va, ga, la, vb, gb, lb, 50)
     for i in range(50):
         sa, sb = docs[ai[i]], docs[bi[i]]
         inter = len(np.intersect1d(sa, sb, assume_unique=True))
         union = len(sa) + len(sb) - inter
-        assert jac[i] == (inter / union if union else 0.0)
+        ref = inter / union if union else 0.0
+        assert jac[i] == ref
+        assert jac2[i] == ref  # sorted-merge fast path, identical values
 
 
 def test_token_counts_match_python():
