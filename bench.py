@@ -172,6 +172,7 @@ def run_bench() -> dict:
             "dedup_exact_docs",
             "minhash_neardup",
             "ngram_jaccard_neardup",
+            "neardup_clusters",
             "simhash_neardup",
             "ann_topk",
             "embedding_neardup",
@@ -185,6 +186,7 @@ def run_bench() -> dict:
             if hasattr(res, "materialize"):
                 res = res.materialize()
             timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     out["queries"] = timings
     return out

@@ -165,6 +165,132 @@ def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     return embedding_neardup_pairs(_emb(sf_dir), tau=NEARDUP_TAU)[["a", "b"]]
 
 
+def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
+    """C4-style quality gate composed from the scoring metrics: keep
+    docs with >= 10 word tokens, average token length <= 12 and an
+    English stopword ratio in [0.05, 0.7] — the filter step a
+    training-data pipeline runs between scoring and dedup.  Pure
+    vectorized Arrow compute; emits the surviving doc ids with their
+    deciding metrics."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        q = quality_metrics(batch)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(q["n_word_tokens"], 10),
+                pc.less_equal(q["avg_token_len"], 12.0),
+            ),
+            pc.and_(
+                pc.greater_equal(q["stop_ratio"], 0.05),
+                pc.less_equal(q["stop_ratio"], 0.7),
+            ),
+        )
+        return q.filter(keep).select(
+            ["doc_id", "n_word_tokens", "avg_token_len", "stop_ratio"]
+        )
+
+    return _docs(sf_dir).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_neardup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate CLUSTERS — the operator a training-data pipeline
+    actually runs dedup for: MinHash near-dup pairs (word 3-shingles,
+    J >= 0.5, same parameters as ``minhash_neardup``) are closed
+    transitively via the superstep connected-components engine, and
+    every document gets its cluster representative (min doc_id in the
+    cluster; singleton docs represent themselves).  "Keep one doc per
+    cluster" is then ``doc_id == cluster``.
+
+    Scale shape: pair generation is the bucketed LSH pipeline; the
+    closure runs on the pair graph only (tiny vs the corpus); the
+    doc->cluster attachment is a size-gated lookup join."""
+    from neo4j_webgraph_ray.pipelines.algorithms import connected_components
+    from neo4j_webgraph_ray.queries import _lookup_join, _workdir
+
+    docs = _docs(sf_dir)
+    pairs = minhash_neardup_pairs(
+        docs, tau=0.5, num_buckets=_doc_buckets(sf_dir)
+    )
+    ids = docs.select_columns(["doc_id"])
+    pairs_df = pairs  # Dataset
+    edges = pairs_df.map_batches(
+        lambda df: df.rename(columns={"a": "src", "b": "dst"})[["src", "dst"]],
+        batch_format="pandas",
+    ).materialize()
+    if edges.count() == 0:
+        out = ids.to_pandas()
+        out["cluster"] = out["doc_id"]
+        return out.sort_values("doc_id").reset_index(drop=True)
+    state = connected_components(
+        edges, _workdir(sf_dir, "neardup_cc"), num_partitions=2,
+        checkpoint_every=50,
+    )
+    out = _lookup_join(
+        ids, "doc_id", state.materialize(), "id", "label", "cluster",
+        carry_cols=["doc_id"],
+    ).to_pandas()
+    # _lookup_join is an inner join: docs in no pair are their own
+    # cluster
+    all_ids = ids.to_pandas()
+    merged = all_ids.merge(out, on="doc_id", how="left")
+    merged["cluster"] = (
+        merged["cluster"].fillna(merged["doc_id"]).astype("int64")
+    )
+    return merged.sort_values("doc_id").reset_index(drop=True)
+
+
+def _neardup_clusters_sql(n_unroll: int = 8) -> str:
+    """Min-label propagation over the brute-force Jaccard pair graph,
+    unrolled as chained MATERIALIZED CTEs (DuckDB recursive CTEs
+    mis-evaluate aggregates over the working table — same workaround
+    as the PageRank oracle).  ``n_unroll`` iterations reach the
+    fixpoint for any cluster diameter <= n_unroll; duplicate clusters
+    in the testdata are tight (diameter <= 3)."""
+    steps = []
+    prev = "l0"
+    for i in range(1, n_unroll + 1):
+        steps.append(
+            f"l{i} AS MATERIALIZED (\n"
+            f"  SELECT l.doc_id, least(l.lbl, coalesce(min(ln.lbl), l.lbl)) AS lbl\n"
+            f"  FROM {prev} l\n"
+            f"  LEFT JOIN und u ON u.x = l.doc_id\n"
+            f"  LEFT JOIN {prev} ln ON ln.doc_id = u.y\n"
+            f"  GROUP BY l.doc_id, l.lbl\n)"
+        )
+        prev = f"l{i}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                 i -> array_to_string(t[i:i+2], chr(1)))) AS s
+  FROM toks WHERE len(t) >= 1
+),
+d AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM d x JOIN d y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+),
+und AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
+{",".join(steps)}
+SELECT doc_id, lbl AS cluster FROM {prev} ORDER BY doc_id
+"""
+
+
 def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal decode pipeline over payloads derived from the
     documents table (text bytes as opaque binary, typed metadata),
@@ -232,6 +358,14 @@ SELECT doc_id,
             WHEN c_es >= c_fr THEN 'es'
             ELSE 'fr' END AS lang_pred
 FROM counts
+"""
+
+QUALITY_FILTER_SQL = f"""
+WITH q AS ({QUALITY_SQL})
+SELECT doc_id, n_word_tokens, avg_token_len, stop_ratio
+FROM q
+WHERE n_word_tokens >= 10 AND avg_token_len <= 12.0
+  AND stop_ratio >= 0.05 AND stop_ratio <= 0.7
 """
 
 ANN_IDS_SQL = ", ".join(str(i) for i in ANN_QUERY_IDS)
@@ -316,11 +450,13 @@ NGRAM_NEARDUP_SQL = _jaccard_pairs_sql(
 DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "token_counts": q_token_counts,
     "quality_metrics": q_quality,
+    "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
     "dedup_exact_docs": q_dedup_exact_docs,
     "minhash_neardup": q_minhash_neardup,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
+    "neardup_clusters": q_neardup_clusters,
     "simhash_neardup": q_simhash_neardup,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
@@ -335,6 +471,7 @@ DOC_ORACLES: dict[str, str] = {
         "len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word_tokens FROM documents"
     ),
     "quality_metrics": QUALITY_SQL,
+    "quality_filter": QUALITY_FILTER_SQL,
     "lang_id": LANG_ID_SQL,
     "dedup_exact_docs": (
         'SELECT min(doc_id) AS doc_id FROM documents GROUP BY text'
@@ -343,6 +480,7 @@ DOC_ORACLES: dict[str, str] = {
     "embedding_neardup": EMB_NEARDUP_SQL,
     "minhash_neardup": MINHASH_NEARDUP_SQL,
     "ngram_jaccard_neardup": NGRAM_NEARDUP_SQL,
+    "neardup_clusters": _neardup_clusters_sql(),
     # doc_fingerprints / simhash / ann_topk_lsh / ann_topk_ivf /
     # multimodal_features: signature- or seed-dependent, genuinely
     # non-SQL-expressible — rows-only; brute-force oracles in pytest.
