@@ -449,18 +449,28 @@ def attach_vkeys(
     are filled with typed zeros on the vertex side for the same reason;
     the combine is a vectorized pandas merge, no per-row Python dict."""
     if vertices.count() <= broadcast_limit:
-        mp: dict = {}
-        for b in vertices.select_columns(["id", "kind", "key"]).iter_batches(
-            batch_size=65536, batch_format="pandas"
-        ):
-            mp.update(zip(b["id"], b["kind"] + ":" + b["key"]))
-        ref = ray.put(mp)
-        seen: set = set()
+        composed = vertices.select_columns(["id", "kind", "key"]).map_batches(
+            lambda df: pd.DataFrame(
+                {"id": df["id"].to_numpy(),
+                 "vkey": (df["kind"] + ":" + df["key"]).to_numpy()}
+            ),
+            batch_format="pandas",
+        )
+        keys, vals = _collect_lookup_arrays(composed, "id", "vkey")
+        ref = ray.put((keys, vals))
 
         def attach_bc(df: pd.DataFrame) -> pd.DataFrame:
-            m = ray.get(ref)
+            k_, v_ = ray.get(ref)
+            x = df["id"].to_numpy()
+            idx = np.searchsorted(k_, x)
+            idx = np.minimum(idx, max(0, len(k_) - 1))
+            found = (k_[idx] == x) if len(k_) else np.zeros(len(x), bool)
             out = df[value_cols].copy(deep=False)
-            out["vkey"] = df["id"].map(m).fillna("").to_numpy()
+            # same semantics as the co-group path's left merge: a state
+            # id absent from the vertex table keeps a null vkey
+            vk = np.full(len(x), None, dtype=object)
+            vk[found] = v_[idx[found]]
+            out["vkey"] = vk
             return out[["vkey", *value_cols]]
 
         out = state.map_batches(attach_bc, batch_format="pandas")
@@ -468,15 +478,18 @@ def attach_vkeys(
             # state ids are bounded by the vertex count, itself under
             # the gate — collect them to emit sentinel rows for
             # isolated vertices
+            seen: set = set()
             for b in state.select_columns(["id"]).iter_batches(
                 batch_size=65536, batch_format="pyarrow"
             ):
                 seen.update(b["id"].to_pylist())
-            missing = [v for k, v in mp.items() if k not in seen]
-            if missing:
-                extra = pd.DataFrame({"vkey": missing})
+            miss_mask = np.fromiter(
+                (int(k) not in seen for k in keys), bool, len(keys)
+            )
+            if miss_mask.any():
+                extra = pd.DataFrame({"vkey": vals[miss_mask]})
                 for c in value_cols:
-                    extra[c] = np.full(len(missing), UNMATCHED_SENTINEL)
+                    extra[c] = np.full(int(miss_mask.sum()), UNMATCHED_SENTINEL)
                 out = out.union(ray.data.from_pandas(extra[["vkey", *value_cols]]))
         return out
 
@@ -597,6 +610,24 @@ def dense_rank_vkeys(
     )
 
 
+def _collect_lookup_arrays(
+    lookup: ray.data.Dataset, lookup_key: str, lookup_val: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted key array, aligned value array) for a broadcast lookup —
+    typed numpy end to end (int64 keys stay int64, string values stay
+    object), so lookups can never round hash-range ids."""
+    ks, vs = [], []
+    for b in lookup.select_columns([lookup_key, lookup_val]).iter_batches(
+        batch_size=65536, batch_format="pandas"
+    ):
+        ks.append(b[lookup_key].to_numpy())
+        vs.append(b[lookup_val].to_numpy())
+    keys = np.concatenate(ks) if ks else np.empty(0, np.int64)
+    vals = np.concatenate(vs) if vs else np.empty(0, object)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], vals[order]
+
+
 def _lookup_join(
     ds: ray.data.Dataset,
     key_col: str,
@@ -609,6 +640,7 @@ def _lookup_join(
     val_default=np.int64(0),
     carry_defaults: dict | None = None,
     broadcast_limit: int = 500_000,
+    prebuilt_arrays: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> ray.data.Dataset:
     """Inner equi-join: attach ``lookup_val`` (renamed ``out_col``) to
     each ``ds`` row by ``key_col``; emit carry_cols + out_col.
@@ -625,25 +657,26 @@ def _lookup_join(
     partial pandas concat can never coerce an absent int64 id column
     to float64 (the hash-id rounding hazard)."""
     cdef = carry_defaults or {}
-    if lookup.count() <= broadcast_limit:
-        mp: dict = {}
-        for b in lookup.select_columns([lookup_key, lookup_val]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"
-        ):
-            mp.update(zip(b[lookup_key].to_pylist(), b[lookup_val].to_pylist()))
-        ref = ray.put(mp)
-        int_val = isinstance(val_default, (int, np.integer))
+    if prebuilt_arrays is not None or lookup.count() <= broadcast_limit:
+        # prebuilt_arrays lets a caller that issues several joins
+        # against the SAME lookup collect + ray.put it once
+        keys, vals = prebuilt_arrays or _collect_lookup_arrays(
+            lookup, lookup_key, lookup_val
+        )
+        ref = ray.put((keys, vals))
 
         def attach_bc(df: pd.DataFrame) -> pd.DataFrame:
-            m = ray.get(ref)
-            v = df[key_col].map(m)
-            keep = v.notna().to_numpy()  # inner-join semantics
-            out = df.loc[keep, carry_cols].copy(deep=False)
-            # .map on int values yields float64 the moment ANY key
-            # misses — restore the exact dtype after the inner filter
-            out[out_col] = (
-                v[keep].astype(np.int64) if int_val else v[keep]
-            ).to_numpy()
+            k_, v_ = ray.get(ref)
+            # numpy searchsorted lookup, NEVER pandas .map(dict): a
+            # map with any missing key materializes a float64
+            # intermediate that silently rounds int64 values above
+            # 2^53 (the hash-id corruption hazard)
+            x = df[key_col].to_numpy()
+            idx = np.searchsorted(k_, x)
+            idx = np.minimum(idx, max(0, len(k_) - 1))
+            found = (k_[idx] == x) if len(k_) else np.zeros(len(x), bool)
+            out = df.loc[found, carry_cols].copy(deep=False)
+            out[out_col] = v_[idx[found]]  # exact dtype, no NaN path
             return out
 
         return ds.map_batches(attach_bc, batch_format="pandas")
@@ -760,14 +793,21 @@ def q_label_propagation(sf_dir: str) -> pd.DataFrame:
     jb = int(np.clip(edges.count() // 100_000 + 4, 4, 64))
     rb = int(np.clip(vertices.count() // 100_000 + 4, 4, 64))
     ranks = dense_rank_vkeys(vertices, num_buckets=rb)
-    # remap both endpoints rank-by-rank (two bucketed joins, no
-    # broadcast): (src,dst) -> (dst, src_r) -> (src_r, dst_r)
+    # in the broadcast regime, collect each lookup direction ONCE and
+    # share it across the paired joins (id->rank for both endpoints,
+    # rank->vkey for vertex and community)
+    small = ranks.count() <= 500_000
+    id2rank = _collect_lookup_arrays(ranks, "id", "rank") if small else None
+    rank2vkey = _collect_lookup_arrays(ranks, "rank", "vkey") if small else None
+    # remap both endpoints rank-by-rank (two joins): (src,dst) ->
+    # (dst, src_r) -> (src_r, dst_r)
     r1 = _lookup_join(
         edges.select_columns(["src", "dst"]), "src", ranks, "id", "rank",
-        "src_r", carry_cols=["dst"], num_buckets=jb,
+        "src_r", carry_cols=["dst"], num_buckets=jb, prebuilt_arrays=id2rank,
     )
     r2 = _lookup_join(r1, "dst", ranks, "id", "rank", "dst_r",
-                      carry_cols=["src_r"], num_buckets=jb)
+                      carry_cols=["src_r"], num_buckets=jb,
+                      prebuilt_arrays=id2rank)
     # pin: prepare() consumes its edge input more than once — a lazy
     # redges would re-execute the whole remap per consumption
     redges = r2.map_batches(
@@ -781,12 +821,12 @@ def q_label_propagation(sf_dir: str) -> pd.DataFrame:
     # readable keys for vertex and community: two more rank->vkey joins
     named = _lookup_join(
         state, "id", ranks, "rank", "vkey", "vkey", carry_cols=["label"],
-        val_default="", num_buckets=rb,
+        val_default="", num_buckets=rb, prebuilt_arrays=rank2vkey,
     )
     out = _lookup_join(
         named, "label", ranks, "rank", "vkey", "community",
         carry_cols=["vkey"], val_default="", carry_defaults={"vkey": ""},
-        num_buckets=rb,
+        num_buckets=rb, prebuilt_arrays=rank2vkey,
     ).to_pandas()
     return out[["vkey", "community"]].sort_values("vkey").reset_index(drop=True)
 

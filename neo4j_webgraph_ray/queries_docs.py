@@ -209,15 +209,14 @@ def q_neardup_clusters(sf_dir: str) -> pd.DataFrame:
     closure runs on the pair graph only (tiny vs the corpus); the
     doc->cluster attachment is a size-gated lookup join."""
     from neo4j_webgraph_ray.pipelines.algorithms import connected_components
-    from neo4j_webgraph_ray.queries import _lookup_join, _workdir
+    from neo4j_webgraph_ray.queries import _algo_parts, _lookup_join, _workdir
 
     docs = _docs(sf_dir)
     pairs = minhash_neardup_pairs(
         docs, tau=0.5, num_buckets=_doc_buckets(sf_dir)
     )
     ids = docs.select_columns(["doc_id"])
-    pairs_df = pairs  # Dataset
-    edges = pairs_df.map_batches(
+    edges = pairs.map_batches(
         lambda df: df.rename(columns={"a": "src", "b": "dst"})[["src", "dst"]],
         batch_format="pandas",
     ).materialize()
@@ -226,21 +225,27 @@ def q_neardup_clusters(sf_dir: str) -> pd.DataFrame:
         out["cluster"] = out["doc_id"]
         return out.sort_values("doc_id").reset_index(drop=True)
     state = connected_components(
-        edges, _workdir(sf_dir, "neardup_cc"), num_partitions=2,
-        checkpoint_every=50,
+        edges, _workdir(sf_dir, "neardup_cc"),
+        num_partitions=_algo_parts(edges), checkpoint_every=50,
     )
-    out = _lookup_join(
+    clustered = _lookup_join(
         ids, "doc_id", state.materialize(), "id", "label", "cluster",
         carry_cols=["doc_id"],
     ).to_pandas()
-    # _lookup_join is an inner join: docs in no pair are their own
-    # cluster
+    # singleton docs (no pair ⇒ inner join dropped them) are their own
+    # cluster.  Anti-join + concat of two all-int64 frames — NEVER a
+    # left merge whose NaN fill coerces the column to float64 and
+    # rounds hash-range ids above 2^53
     all_ids = ids.to_pandas()
-    merged = all_ids.merge(out, on="doc_id", how="left")
-    merged["cluster"] = (
-        merged["cluster"].fillna(merged["doc_id"]).astype("int64")
+    lone = all_ids.merge(
+        clustered[["doc_id"]], on="doc_id", how="left", indicator=True
     )
-    return merged.sort_values("doc_id").reset_index(drop=True)
+    lone = lone.loc[lone["_merge"] == "left_only", ["doc_id"]].copy()
+    lone["cluster"] = lone["doc_id"]
+    out = pd.concat(
+        [clustered[["doc_id", "cluster"]], lone], ignore_index=True
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _neardup_clusters_sql(n_unroll: int = 8) -> str:

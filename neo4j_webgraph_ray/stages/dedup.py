@@ -84,9 +84,7 @@ def _shingle_hashes(text: str, k: int, char: bool) -> np.ndarray:
     if len(th) < k:
         th = np.pad(th, (0, k - len(th)), constant_values=np.uint64(11))
     grams = np.lib.stride_tricks.sliding_window_view(th, k)
-    base = np.uint64(1_000_003)
-    w = np.array([int(base) ** j & ((1 << 64) - 1) for j in range(k)], dtype=np.uint64)
-    return (grams * w).sum(axis=1, dtype=np.uint64)
+    return (grams * _poly_weights(k)).sum(axis=1, dtype=np.uint64)
 
 
 def _poly_weights(k: int) -> np.ndarray:
@@ -254,23 +252,6 @@ def _sorted_pair_jaccard(
     return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
 
 
-def _gather_segments(
-    uflat: np.ndarray, uofs: np.ndarray, doc_idx: np.ndarray
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Concatenate ``uflat`` segments selected by ``doc_idx`` (with
-    repetition); returns (values, owner index into doc_idx, lengths)."""
-    lens = (uofs[1:] - uofs[:-1])[doc_idx]
-    tot = int(lens.sum())
-    oofs = np.concatenate([[0], np.cumsum(lens)])
-    pos = (
-        np.arange(tot)
-        - np.repeat(oofs[:-1], lens)
-        + np.repeat(uofs[:-1][doc_idx], lens)
-    )
-    gid = np.repeat(np.arange(len(doc_idx), dtype=np.int64), lens)
-    return uflat[pos], gid, lens
-
-
 def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, int(_MERSENNE61), size=num_perm, dtype=np.uint64) | np.uint64(1)
@@ -380,8 +361,7 @@ def lsh_candidate_pairs(
         num_perm = sig.shape[1]
         r = num_perm // bands
         out_band, out_hash, out_id = [], [], []
-        base = np.uint64(1_000_003)
-        w = np.array([int(base) ** j & ((1 << 64) - 1) for j in range(r)], dtype=np.uint64)
+        w = _poly_weights(r)
         for bi in range(bands):
             chunk = sig[:, bi * r : (bi + 1) * r]
             bh = (chunk * w).sum(axis=1, dtype=np.uint64).view(np.int64)
@@ -530,10 +510,16 @@ def verify_jaccard(
     lens = np.fromiter((len(bufs[i]) >> 3 for i in order), np.int64, len(order))
     big = np.frombuffer(b"".join(bufs[i] for i in order), dtype=np.uint64)
     doc_offs = np.concatenate([[0], np.cumsum(lens)])
-    ref = ray.put((bids, big, doc_offs))
+    # remap shingle hashes to dense codes ONCE here (order-isomorphic:
+    # np.unique's inverse preserves per-doc sortedness), so each verify
+    # batch can pack (pair, code) keys directly — no per-batch
+    # np.unique sort, which round 3 measured as the verify hot spot
+    _, codes = np.unique(big, return_inverse=True)
+    n_codes = int(codes.max()) + 1 if len(codes) else 1
+    ref = ray.put((bids, codes.astype(np.int64), doc_offs, n_codes))
 
     def verify(batch: pa.Table) -> pa.Table:
-        bids_, big_, offs_ = ray.get(ref)  # zero-copy views
+        bids_, codes_, offs_, n_codes_ = ray.get(ref)  # zero-copy views
         a = batch["a"].to_numpy()
         b = batch["b"].to_numpy()
 
@@ -548,11 +534,22 @@ def verify_jaccard(
                 - np.repeat(oofs[:-1], glens)
                 + np.repeat(offs_[idx], glens)
             )
-            return big_[pos], np.repeat(np.arange(len(x)), glens), glens
+            # packed (pair, code) keys: globally sorted because pair
+            # ids ascend and per-doc codes ascend (pre-remapped)
+            key = np.repeat(np.arange(len(x), dtype=np.int64), glens) * n_codes_
+            return key + codes_[pos], glens
 
-        va, ga, la = gather(a)
-        vb, gb, lb = gather(b)
-        jac = _sorted_pair_jaccard(va, ga, la, vb, gb, lb, len(a))
+        ka, la = gather(a)
+        kb, lb = gather(b)
+        inter = np.zeros(len(a), np.int64)
+        if len(ka) and len(kb):
+            idx = np.minimum(np.searchsorted(ka, kb), len(ka) - 1)
+            found = ka[idx] == kb
+            inter = np.bincount(
+                kb[found] // n_codes_, minlength=len(a)
+            ).astype(np.int64)
+        union = la + lb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         keep = jac >= tau
         return pa.table(
             {

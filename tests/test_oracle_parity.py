@@ -94,6 +94,50 @@ def test_dense_rank_vkeys_exact():
     assert byid["conv:" + keys[0]] == 2**60
 
 
+def test_lookup_join_broadcast_large_ids_with_misses():
+    """The broadcast lookup must keep int64 values above 2^53 exact
+    even when some keys MISS (a pandas .map(dict) with any miss
+    materializes a float64 intermediate that rounds hash-range ids —
+    the corruption mechanism found in the round-3 review)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from neo4j_webgraph_ray.queries import _lookup_join
+
+    big = 2**60
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "k": np.array([1, 2, 3], dtype=np.int64),  # 3 misses the lookup
+        "payload": np.array([10, 20, 30], dtype=np.int64),
+    }))
+    lookup = ray.data.from_pandas(pd.DataFrame({
+        "id": np.array([1, 2], dtype=np.int64),
+        "val": np.array([big + 1, big + 3], dtype=np.int64),
+    }))
+    out = _lookup_join(
+        ds, "k", lookup, "id", "val", "v", carry_cols=["payload"]
+    ).to_pandas().sort_values("payload").reset_index(drop=True)
+    assert list(out["payload"]) == [10, 20]  # inner join drops the miss
+    assert list(out["v"]) == [big + 1, big + 3]  # bit-exact
+    assert out["v"].dtype == np.int64
+
+
+def test_neardup_clusters_oracle_and_singletons(sf_smoke):
+    """Cluster reps: every doc appears once, pairs collapse to the min
+    doc_id, singletons self-represent, dtype stays int64 end to end."""
+    import numpy as np
+
+    from neo4j_webgraph_ray.queries_docs import q_neardup_clusters
+
+    out = q_neardup_clusters(sf_smoke)
+    assert out["doc_id"].is_unique
+    assert out["cluster"].dtype == np.int64
+    assert (out["cluster"] <= out["doc_id"]).all()  # rep = min id
+    # each referenced cluster rep is its own rep (closure reached)
+    reps = dict(zip(out["doc_id"], out["cluster"]))
+    assert all(reps[c] == c for c in set(out["cluster"]))
+
+
 def test_attach_vkeys_large_ids_and_unmatched():
     """The distributed vkey join must keep int64 ids above 2^53 exact
     (typed columns, no nulls) and emit unmatched vertices with the

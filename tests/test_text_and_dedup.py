@@ -90,7 +90,6 @@ def test_batch_signatures_match_scalar():
 
 def test_segment_jaccard_matches_intersect1d():
     from neo4j_webgraph_ray.stages.dedup import (
-        _gather_segments,
         _segment_jaccard,
         _unique_per_segment,
     )
@@ -108,8 +107,18 @@ def test_segment_jaccard_matches_intersect1d():
     assert np.array_equal(uflat, flat) and np.array_equal(uofs, offs)
     ai = rng.integers(0, 20, size=50)
     bi = rng.integers(0, 20, size=50)
-    va, ga, la = _gather_segments(uflat, uofs, ai)
-    vb, gb, lb = _gather_segments(uflat, uofs, bi)
+
+    def gather(idx):
+        lens = np.array([len(docs[i]) for i in idx], np.int64)
+        vals = (
+            np.concatenate([docs[i] for i in idx])
+            if lens.sum()
+            else np.empty(0, np.uint64)
+        )
+        return vals, np.repeat(np.arange(len(idx)), lens), lens
+
+    va, ga, la = gather(ai)
+    vb, gb, lb = gather(bi)
     jac = _segment_jaccard(
         np.concatenate([va, vb]), np.concatenate([ga, gb]), la + lb, 50
     )
