@@ -175,6 +175,7 @@ def run_bench() -> dict:
             "neardup_clusters",
             "simhash_neardup",
             "ann_topk",
+            "ann_topk_pq",
             "embedding_neardup",
             # actor-pool plumbing stages (VERDICT r2 #8: regressions in
             # the enrichment / multimodal actor paths must be visible)

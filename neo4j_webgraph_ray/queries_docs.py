@@ -31,6 +31,7 @@ from neo4j_webgraph_ray.stages.similarity import (
     ann_topk_bruteforce,
     ann_topk_ivf,
     ann_topk_lsh,
+    ann_topk_pq,
     embedding_neardup_pairs,
 )
 
@@ -155,6 +156,16 @@ def q_ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
     rows-only driver check)."""
     return ann_topk_ivf(
         _emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, n_centroids=32, n_probe=8
+    )
+
+
+def q_ann_topk_pq(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization approximate top-k with exact shortlist
+    re-rank (memory-compressed scale path: n_subspaces bytes per
+    vector; recall vs brute force in pytest — rows-only driver
+    check)."""
+    return ann_topk_pq(
+        _emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, n_subspaces=4, n_centroids=32
     )
 
 
@@ -466,6 +477,7 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_pq": q_ann_topk_pq,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_features": q_multimodal_features,
 }

@@ -476,6 +476,126 @@ def ann_topk_ivf(
     )
 
 
+def _kmeans_plain(
+    sample: np.ndarray, k: int, n_iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Plain (non-spherical) Lloyd k-means on a bounded sample — used
+    for PQ subspace codebooks, where centroids must live in the
+    subvector space (no normalization)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    k = min(k, n)
+    centroids = sample[rng.choice(n, size=k, replace=False)]
+    for _ in range(n_iters):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        new = np.zeros_like(centroids)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        np.add.at(new, assign, sample)
+        nonempty = counts > 0
+        new[nonempty] /= counts[nonempty, None]
+        if (~nonempty).any():
+            worst = np.argsort(-d2[np.arange(n), assign])[: int((~nonempty).sum())]
+            new[~nonempty] = sample[worst]
+        centroids = new
+    return centroids
+
+
+def ann_topk_pq(
+    embeddings: ray.data.Dataset, query_ids: list[int], k: int = 10,
+    n_subspaces: int = 4, n_centroids: int = 32, train_sample: int = 10_000,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Product-quantization approximate top-k — the memory-compressed
+    scale path beside IVF and LSH: at 10^9 vectors the float corpus is
+    terabytes, while PQ codes are ``n_subspaces`` bytes per vector
+    (~100-1000× smaller), so the scan stays in memory.
+
+    Train: per-subspace plain k-means codebooks on a bounded sample
+    (the only driver-side step).  Query: per-query dot-product lookup
+    tables (LUT[j][c] = q_subvector · codebook_j[c]); each map_batches
+    task encodes its batch (argmin L2 to the subspace codebook) and
+    scores every query against the codes with ``n_subspaces`` LUT
+    gathers — asymmetric distance computation — then exact-re-ranks
+    only the per-batch shortlist (``rerank × k`` candidates, whose
+    float vectors are already in the batch; the FAISS refine pattern).
+    The heavy scan is the LUT adds; the exact matmul touches a
+    k-proportional sliver.  Recall vs brute force asserted in pytest;
+    tie-break (cos desc, id asc) as in the exact path."""
+    sample_rows = []
+    for b in embeddings.limit(train_sample).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            sample_rows.append(_matrix(b, vec_col))
+    if not sample_rows:
+        return pd.DataFrame(
+            {"query_id": pd.array([], dtype="int64"),
+             "neighbor_id": pd.array([], dtype="int64"),
+             "rank": pd.array([], dtype="int64")}
+        )
+    sample = _normalize(np.concatenate(sample_rows))
+    dim = sample.shape[1]
+    slices = np.array_split(np.arange(dim), n_subspaces)
+    codebooks = [_kmeans_plain(sample[:, sl], n_centroids) for sl in slices]
+    qids, qmat = collect_queries(embeddings, query_ids, id_col, vec_col)
+    # (Q, n_subspaces, n_centroids) dot-product lookup tables
+    luts = np.stack(
+        [qmat[:, sl] @ cb.T for sl, cb in zip(slices, codebooks)], axis=1
+    )
+    ref = ray.put((qids, qmat, luts, codebooks))
+    rerank = 4  # shortlist = rerank*k + 1 candidates per query per batch
+
+    def encode_and_score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        q_ids, q, luts_, cbs = ray.get(ref)
+        mnorm = _normalize(_matrix(batch, vec_col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # encode: per subspace, nearest codeword by L2
+        approx = np.zeros((len(q_ids), len(ids)))
+        for j, (sl, cb) in enumerate(zip(slices, cbs)):
+            x = mnorm[:, sl]
+            d2 = (x**2).sum(1)[:, None] - 2 * (x @ cb.T) + (cb**2).sum(1)[None, :]
+            codes = np.argmin(d2, axis=1)
+            approx += luts_[:, j, :][:, codes]
+        out_q, out_n, out_c = [], [], []
+        kk = min(rerank * k + 1, len(ids))
+        for qi in range(len(q_ids)):
+            short = np.lexsort((ids, -approx[qi]))[:kk]
+            # exact re-rank of the shortlist only
+            exact = np.round(q[qi] @ mnorm[short].T, 6)
+            top = np.lexsort((ids[short], -exact))[: min(k + 1, kk)]
+            out_q.append(np.full(len(top), q_ids[qi], dtype=np.int64))
+            out_n.append(ids[short][top])
+            out_c.append(exact[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    parts = embeddings.map_batches(
+        encode_and_score, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    parts = parts[parts["query_id"] != parts["neighbor_id"]]
+    parts = parts.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True],
+        kind="stable",
+    ).drop_duplicates(["query_id", "neighbor_id"])
+    top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]].astype(
+        {"query_id": "int64", "neighbor_id": "int64", "rank": "int64"}
+    )
+
+
 def ann_topk_lsh(
     embeddings: ray.data.Dataset, query_ids: list[int], k: int = 10,
     n_planes: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
