@@ -198,17 +198,19 @@ def _make_engine(
     backend: str,
     checkpoint_every: int = 1,
     run_metadata: dict | None = None,
+    filesystem=None,
 ) -> SuperstepEngine:
     if backend == "actors":
         from neo4j_webgraph_ray.state.superstep_actors import ActorSuperstepEngine
 
         return ActorSuperstepEngine(
             workdir, program, num_partitions, max_steps, checkpoint_every,
-            run_metadata=run_metadata,
+            run_metadata=run_metadata, filesystem=filesystem,
         )
     if backend == "dataset":
         return SuperstepEngine(
-            workdir, program, num_partitions, max_steps, run_metadata=run_metadata
+            workdir, program, num_partitions, max_steps,
+            run_metadata=run_metadata, filesystem=filesystem,
         )
     raise ValueError(f"unknown backend {backend!r}")
 
@@ -224,11 +226,12 @@ def pagerank(
     backend: str = "actors",
     checkpoint_every: int = 1,
     run_metadata: dict | None = None,
+    filesystem=None,
 ) -> ray.data.Dataset:
     """Per-vertex PageRank scores: Dataset(id, out_deg, rank)."""
     engine = _make_engine(
         workdir, PageRankProgram(damping, tol), num_partitions, max_steps,
-        backend, checkpoint_every, run_metadata,
+        backend, checkpoint_every, run_metadata, filesystem,
     )
     if not resume:
         engine.prepare(edges)
@@ -244,11 +247,12 @@ def connected_components(
     backend: str = "actors",
     checkpoint_every: int = 1,
     run_metadata: dict | None = None,
+    filesystem=None,
 ) -> ray.data.Dataset:
     """Weakly connected components: Dataset(id, label=min id in comp)."""
     engine = _make_engine(
         workdir, ConnectedComponentsProgram(), num_partitions, max_steps,
-        backend, checkpoint_every, run_metadata,
+        backend, checkpoint_every, run_metadata, filesystem,
     )
     if not resume:
         engine.prepare(edges)
@@ -264,11 +268,12 @@ def label_propagation(
     backend: str = "actors",
     checkpoint_every: int = 1,
     run_metadata: dict | None = None,
+    filesystem=None,
 ) -> ray.data.Dataset:
     """Synchronous LPA communities: Dataset(id, label)."""
     engine = _make_engine(
         workdir, LabelPropagationProgram(), num_partitions, max_steps,
-        backend, checkpoint_every, run_metadata,
+        backend, checkpoint_every, run_metadata, filesystem,
     )
     if not resume:
         engine.prepare(edges)

@@ -13,10 +13,10 @@ changed input fails loudly.
 
 from __future__ import annotations
 
-import json
-import os
 from dataclasses import dataclass, field
 from typing import Any
+
+from neo4j_webgraph_ray.state import fsio
 
 
 @dataclass
@@ -61,41 +61,31 @@ class Manifest:
 
 
 def manifest_path(workdir: str) -> str:
-    return os.path.join(workdir, "manifest.json")
+    return fsio.join(workdir, "manifest.json")
 
 
-def save_manifest(workdir: str, m: Manifest) -> None:
-    """Atomic write: temp file + rename, so a crash mid-write never
-    leaves a torn manifest."""
+def save_manifest(workdir: str, m: Manifest, fs=None) -> None:
+    """Never-torn write (temp + rename where rename is atomic, direct
+    all-or-nothing PUT on object stores — see fsio.write_json_atomic)."""
+    fsio.write_json_atomic(m.to_dict(), manifest_path(workdir), fs=fs)
+
+
+def load_manifest(workdir: str, fs=None) -> Manifest | None:
     path = manifest_path(workdir)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(m.to_dict(), f, indent=1)
-    os.replace(tmp, path)
-
-
-def load_manifest(workdir: str) -> Manifest | None:
-    path = manifest_path(workdir)
-    if not os.path.exists(path):
+    if not fsio.exists(path, fs=fs):
         return None
-    with open(path) as f:
-        return Manifest.from_dict(json.load(f))
+    return Manifest.from_dict(fsio.read_json(path, fs=fs))
 
 
 def state_dir(workdir: str, step: int) -> str:
-    return os.path.join(workdir, "state", f"step={step:05d}")
+    return fsio.join(workdir, "state", f"step={step:05d}")
 
 
 def edges_dir(workdir: str) -> str:
-    return os.path.join(workdir, "edges")
+    return fsio.join(workdir, "edges")
 
 
-def atomic_write_parquet(table, path: str) -> None:
-    """Write Parquet atomically (temp + rename) — idempotent under Ray
-    task retries; a re-run of the same write produces the same file.
-    Column stats are skipped: checkpoint files are always read whole."""
-    import pyarrow.parquet as pq
-
-    tmp = path + ".tmp"
-    pq.write_table(table, tmp, write_statistics=False)
-    os.replace(tmp, path)
+def atomic_write_parquet(table, path: str, fs=None) -> None:
+    """Write Parquet with never-torn visibility — idempotent under Ray
+    task retries; a re-run of the same write produces the same file."""
+    fsio.write_table_atomic(table, path, fs=fs)

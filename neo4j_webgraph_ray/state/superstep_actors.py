@@ -46,9 +46,9 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray
 
+from neo4j_webgraph_ray.state import fsio
 from neo4j_webgraph_ray.state.checkpoint import (
     atomic_write_parquet,
     edges_dir,
@@ -64,16 +64,16 @@ _INT64_MAX = np.iinfo(np.int64).max
 class _PartBlock:
     """CSR block + state for one partition, built once."""
 
-    def __init__(self, workdir: str, part: int, P: int, start_step: int):
-        epath = os.path.join(edges_dir(workdir), f"part={part}.parquet")
-        if os.path.exists(epath):
-            et = pq.read_table(epath, columns=["src", "dst"])
+    def __init__(self, workdir: str, part: int, P: int, start_step: int, fs=None):
+        epath = fsio.join(edges_dir(workdir), f"part={part}.parquet")
+        if fsio.exists(epath, fs=fs):
+            et = fsio.read_table(epath, columns=["src", "dst"], fs=fs)
             src = et["src"].to_numpy()
             dst = et["dst"].to_numpy()  # dst-sorted at prepare time
         else:
             src = dst = np.empty(0, dtype=np.int64)
-        self.state = pq.read_table(
-            os.path.join(state_dir(workdir, start_step), f"part={part}.parquet")
+        self.state = fsio.read_table(
+            fsio.join(state_dir(workdir, start_step), f"part={part}.parquet"), fs=fs
         ).to_pandas()
         self.state_ids = self.state["id"].to_numpy()
         self.edge_src_idx = (
@@ -103,8 +103,10 @@ class ShardWorker:
         start_step: int,
         static_ctx: dict,
         num_threads: int = 1,
+        fs=None,
     ):
         self.workdir = workdir
+        self.fs = fs
         self.parts = list(parts)
         self.P = num_partitions
         self.program = program
@@ -120,7 +122,8 @@ class ShardWorker:
         else:
             self.pool = None
         self.blocks = {
-            p: _PartBlock(workdir, p, num_partitions, start_step) for p in self.parts
+            p: _PartBlock(workdir, p, num_partitions, start_step, fs=fs)
+            for p in self.parts
         }
         # rolling references to the last few per-partition states (state
         # frames are replaced, never mutated, so this is zero-copy) —
@@ -141,9 +144,11 @@ class ShardWorker:
         prev = self._pending.pop(p, None)
         if prev is not None:
             prev.join()
-        path = os.path.join(state_dir(self.workdir, step), f"part={p}.parquet")
+        path = fsio.join(state_dir(self.workdir, step), f"part={p}.parquet")
         table = pa.Table.from_pandas(state, preserve_index=False)
-        t = threading.Thread(target=atomic_write_parquet, args=(table, path))
+        t = threading.Thread(
+            target=atomic_write_parquet, args=(table, path), kwargs={"fs": self.fs}
+        )
         t.start()
         self._pending[p] = t
 
@@ -383,7 +388,8 @@ class ShardWorker:
                 )
             atomic_write_parquet(
                 pa.Table.from_pandas(state, preserve_index=False),
-                os.path.join(state_dir(self.workdir, step), f"part={p}.parquet"),
+                fsio.join(state_dir(self.workdir, step), f"part={p}.parquet"),
+                fs=self.fs,
             )
         return self.parts
 
@@ -408,18 +414,20 @@ class ActorSuperstepEngine(SuperstepEngine):
         num_workers: int | None = None,
         worker_threads: int | None = None,
         run_metadata: dict | None = None,
+        filesystem=None,
     ):
         if num_partitions < 2:
             raise ValueError("actor backend needs num_partitions >= 2")
         super().__init__(
-            workdir, program, num_partitions, max_steps, run_metadata=run_metadata
+            workdir, program, num_partitions, max_steps,
+            run_metadata=run_metadata, filesystem=filesystem,
         )
         self.checkpoint_every = checkpoint_every
         self.num_workers = num_workers
         self.worker_threads = worker_threads
 
     def run(self, resume: bool = False) -> "ray.data.Dataset":
-        manifest = load_manifest(self.workdir)
+        manifest = load_manifest(self.workdir, fs=self.fs)
         if manifest is None:
             raise RuntimeError(f"no manifest in {self.workdir}; call prepare() first")
         if resume:
@@ -442,7 +450,7 @@ class ActorSuperstepEngine(SuperstepEngine):
         last_metrics = manifest.steps[-1]
         if last_metrics.get("kind") != "init" and program.converged(last_metrics):
             manifest.status = "converged"
-            save_manifest(self.workdir, manifest)
+            save_manifest(self.workdir, manifest, fs=self.fs)
             return self.final_state(step)
 
         cpus = int(ray.cluster_resources().get("CPU", P))
@@ -460,7 +468,7 @@ class ActorSuperstepEngine(SuperstepEngine):
         workers = [
             ShardWorker.options(num_cpus=threads).remote(
                 self.workdir, list(range(w, P, W)), P, program, step, static_ctx,
-                threads,
+                threads, self.fs,
             )
             for w in range(W)
         ]
@@ -491,7 +499,7 @@ class ActorSuperstepEngine(SuperstepEngine):
                     k = next_wave
                     do_ckpt = (k + 1 - last_ckpt) >= self.checkpoint_every
                     if do_ckpt:
-                        os.makedirs(state_dir(self.workdir, k + 1), exist_ok=True)
+                        fsio.makedirs(state_dir(self.workdir, k + 1), fs=self.fs)
                         last_ckpt = k + 1
                     rets = [
                         w.advance.options(num_returns=2).remote(k, do_ckpt, list(bundles))
@@ -527,7 +535,7 @@ class ActorSuperstepEngine(SuperstepEngine):
                 manifest.steps.append(step_metrics)
                 program.update_ctx(self.ctx, step_metrics)
                 if do_ckpt:
-                    save_manifest(self.workdir, manifest)
+                    save_manifest(self.workdir, manifest, fs=self.fs)
                 step = k + 1
                 if program.converged(step_metrics):
                     manifest.status = "converged"
@@ -540,13 +548,13 @@ class ActorSuperstepEngine(SuperstepEngine):
 
             final_step = manifest.steps[-1]["step"]
             if not manifest.steps[-1].get("checkpointed", True):
-                os.makedirs(state_dir(self.workdir, final_step), exist_ok=True)
+                fsio.makedirs(state_dir(self.workdir, final_step), fs=self.fs)
                 ray.get([w.checkpoint_at.remote(final_step) for w in workers])
                 manifest.steps[-1]["checkpointed"] = True
             else:
                 # drain async checkpoint writers before workers die
                 ray.get([w.flush.remote() for w in workers])
-            save_manifest(self.workdir, manifest)
+            save_manifest(self.workdir, manifest, fs=self.fs)
         finally:
             for w in workers:
                 ray.kill(w)
