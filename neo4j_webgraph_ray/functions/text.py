@@ -145,10 +145,59 @@ def doc_fingerprint(text: str, k: int = 3) -> int:
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text", k: int = 3) -> pa.Table:
+    """Batch-vectorized :func:`doc_fingerprint` (VERDICT r3 #2): ONE
+    ``pd.util.hash_array`` call over the flat token array of the whole
+    batch, one sliding-window polynomial pass for all >=k-token docs
+    with a segmented ``np.minimum.reduceat``, and a k-bounded Horner
+    loop for the (at most k-1 positions of the) short docs — no per-doc
+    Python dispatch.  Bit-identical to the scalar helper, which stays
+    as the oracle (asserted in ``test_fingerprint_properties``)."""
     texts = batch[text_col].to_numpy(zero_copy_only=False)
-    fps = np.fromiter(
-        (doc_fingerprint(t if t is not None else "", k) for t in texts),
-        dtype=np.uint64,
-        count=len(texts),
-    ).view(np.int64)
-    return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps)})
+    n = len(texts)
+    tok_lists = [(t or "").split() for t in texts]
+    counts = np.fromiter((len(x) for x in tok_lists), np.int64, n)
+    out = np.zeros(n, dtype=np.uint64)  # empty docs fingerprint to 0
+    total = int(counts.sum())
+    if total:
+        from itertools import chain
+
+        flat = pd.util.hash_array(
+            np.asarray(list(chain.from_iterable(tok_lists)), dtype=object)
+        ).astype(np.uint64)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+
+        long = counts >= k
+        if long.any():
+            lc = counts[long]
+            n_grams = lc - k + 1
+            gofs = np.concatenate([[0], np.cumsum(n_grams)])
+            # window start positions in the flat array, never crossing
+            # a doc boundary (same indexing trick as dedup's batch
+            # shingler)
+            starts = (
+                np.arange(gofs[-1])
+                - np.repeat(gofs[:-1], n_grams)
+                + np.repeat(offs[:-1][long], n_grams)
+            )
+            weights = np.array(
+                [int(_FP_BASE) ** j & ((1 << 64) - 1) for j in range(k)],
+                dtype=np.uint64,
+            )
+            wins = np.lib.stride_tricks.sliding_window_view(flat, k)
+            vals = (wins[starts] * weights).sum(axis=1, dtype=np.uint64) & _FP_MOD_MASK
+            out[long] = np.minimum.reduceat(vals, gofs[:-1])
+
+        short = (counts > 0) & (counts < k)
+        if short.any():
+            # Horner over at most k-1 token positions, vectorized per
+            # position across all short docs that still have a token
+            sc = counts[short]
+            so = offs[:-1][short]
+            acc = np.zeros(int(short.sum()), dtype=np.uint64)
+            for j in range(k - 1):
+                has = sc > j
+                acc[has] = (acc[has] * _FP_BASE + flat[so[has] + j]) & _FP_MOD_MASK
+            out[short] = acc
+    return pa.table(
+        {"doc_id": batch["doc_id"], "fingerprint": pa.array(out.view(np.int64))}
+    )
