@@ -85,9 +85,21 @@ def _attach_degree(
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         dd = df[df["_t"] == 1]
         ee = df[df["_t"] == 0]
-        lookup = dict(zip(dd["k"], dd["c"]))
+        # typed searchsorted lookup, NEVER pandas .map(dict): a map
+        # with any missing key materializes a float64 intermediate that
+        # silently rounds int64 ids above 2^53 (queries.py:_lookup_join
+        # rule; VERDICT r3 #4).  Every endpoint has a degree row by
+        # construction — asserted, not assumed.
+        keys = dd["k"].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        vals = dd["c"].to_numpy().astype(np.int64)[order]
+        x = ee["k"].to_numpy()
+        idx = np.searchsorted(keys, x)
+        idx = np.minimum(idx, max(0, len(keys) - 1))
+        assert len(keys) and (keys[idx] == x).all(), "edge endpoint missing a degree row"
         out = ee[["k", *carry_cols]].copy(deep=False)
-        out[out_col] = ee["k"].map(lookup).astype(np.int64)
+        out[out_col] = vals[idx]
         return out.rename(columns={"k": key_col})
 
     both = und_like.map_batches(tag_edges, batch_format="pandas").union(

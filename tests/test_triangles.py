@@ -30,6 +30,23 @@ def test_triangle_denser_random():
     assert triangle_count(edges_ds(pairs), num_buckets=5) == triangles_oracle(pairs)
 
 
+def test_triangles_exact_above_2_53(monkeypatch):
+    """Vertex ids above 2^53 (the float64 integer-exactness boundary —
+    real hash-range ids live there) must count exactly on BOTH paths:
+    the degree-attach join used .map(dict) until round 4, which rounds
+    such ids through a float64 intermediate on any miss (VERDICT r3
+    #4; mirrors test_cogroup_verify_large_ids_exact)."""
+    import neo4j_webgraph_ray.pipelines.triangles as tri
+
+    base = (1 << 53) + 1  # consecutive ids here collide in float64
+    pairs = [(base + a, base + b) for a, b in seeded_graph(n=30, m=150, seed=5)]
+    expected = triangles_oracle(pairs)
+    assert expected > 0
+    assert tri.triangle_count(edges_ds(pairs), num_buckets=4) == expected
+    monkeypatch.setattr(tri, "LOCAL_TRIANGLE_EDGE_LIMIT", 0)
+    assert tri.triangle_count(edges_ds(pairs), num_buckets=4) == expected
+
+
 def test_distributed_path_matches_local(monkeypatch):
     """Force the partitioned wedge/co-group path and compare with the
     local fast path + oracle."""
