@@ -378,3 +378,125 @@ def docs_ds_from(df):
         }
     )
     return ray.data.from_arrow(t)
+
+
+def test_lsh_banding_recall_at_tau_boundary():
+    """VERDICT r3 #7: measure 16-band LSH recall ON the tau boundary.
+
+    The driver oracle's completeness argument rests on "every true pair
+    on this corpus sits far above tau, where banding recall is ~1" —
+    this test quantifies both halves.  MinHash theory: a pair at
+    Jaccard J shares a band with prob J^r (r = num_perm/bands = 4), so
+    16-band recall is 1-(1-J^4)^16 — ≈0.64 at J=0.50, ≈0.79 at J=0.55,
+    ≈0.997 at J=0.80 and ≈1-3e-11 at J=0.90.  Measured here on ~200
+    generated boundary pairs: empirical recall must match the model
+    within sampling noise at the boundary, and clear duplicates
+    (J >= 0.9, where all the testdata's true pairs live) must recall
+    completely."""
+    from neo4j_webgraph_ray.stages.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rng = np.random.default_rng(17)
+    vocab = np.array([f"w{i}" for i in range(5000)])
+    texts: list[str] = []
+    target_pairs: list[tuple[int, int, float]] = []  # (a, b, true J)
+
+    def add_pair(c: int, u: int):
+        """Two docs sharing a c-token prefix with u unique suffix tokens
+        each — token windows give a controlled shingle Jaccard."""
+        common = list(rng.choice(vocab, size=c))
+        a_txt = " ".join(common + list(rng.choice(vocab, size=u)))
+        b_txt = " ".join(common + list(rng.choice(vocab, size=u)))
+        ia, ib = len(texts), len(texts) + 1
+        texts.extend([a_txt, b_txt])
+        target_pairs.append((ia, ib, brute_jaccard(a_txt, b_txt)))
+
+    for _ in range(150):
+        # shingle Jaccard ≈ (c-4)/(c+2u): solve u for a target J drawn
+        # across the boundary band, then keep the MEASURED J
+        c = int(rng.integers(40, 80))
+        jt = float(rng.uniform(0.42, 0.62))
+        u = max(1, round(((c - 4) / jt - c) / 2))
+        add_pair(c=c, u=u)
+    for _ in range(60):  # the clear-duplicate regime (J >= 0.9)
+        add_pair(c=int(rng.integers(80, 160)), u=int(rng.integers(0, 3)))
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    sigs = minhash_signatures(ds, num_perm=64, shingle_k=3)
+    cand = lsh_candidate_pairs(sigs, bands=16, num_buckets=16).to_pandas()
+    got = set(zip(cand["a"], cand["b"]))
+
+    boundary = [(a, b, j) for a, b, j in target_pairs if 0.45 <= j <= 0.60]
+    clear = [(a, b, j) for a, b, j in target_pairs if j >= 0.90]
+    assert len(boundary) >= 60, f"fixture drift: {len(boundary)} boundary pairs"
+    assert len(clear) >= 40
+
+    hits = sum((a, b) in got for a, b, _ in boundary)
+    emp = hits / len(boundary)
+    model = float(np.mean([1 - (1 - j**4) ** 16 for _, _, j in boundary]))
+    # binomial noise at n~100 is ~0.05 sigma; 0.15 is a 3-sigma band
+    assert abs(emp - model) <= 0.15, f"boundary recall {emp:.3f} vs model {model:.3f}"
+
+    clear_hits = sum((a, b) in got for a, b, _ in clear)
+    assert clear_hits == len(clear), "clear duplicates (J>=0.9) must fully recall"
+
+
+def test_neardup_cluster_diameter_within_oracle_unroll(sf_correct):
+    """ADVICE r3: the neardup_clusters DuckDB oracle unrolls 8 min-label
+    propagation steps; the engine computes the full CC fixpoint.  The
+    parity check is only sound while every cluster's min-label
+    eccentricity (max BFS distance from the min-doc_id member) is
+    within the unroll depth — asserted here on the driver's correctness
+    corpus so a future testdata change fails THIS test instead of
+    producing a spurious driver mismatch."""
+    import collections
+
+    import duckdb
+
+    from neo4j_webgraph_ray.queries_docs import _NEARDUP_CLUSTERS_UNROLL
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_correct}/documents.parquet'"
+    ).df()
+    pairs = minhash_neardup_pairs(docs_ds_from(docs), tau=0.5).to_pandas()
+    adj: dict[int, set] = collections.defaultdict(set)
+    for a, b in zip(pairs["a"], pairs["b"]):
+        adj[int(a)].add(int(b))
+        adj[int(b)].add(int(a))
+    seen: set = set()
+    max_ecc = 0
+    for v in sorted(adj):
+        if v in seen:
+            continue
+        comp = {v}
+        stack = [v]
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in comp:
+                    comp.add(y)
+                    stack.append(y)
+        seen |= comp
+        root = min(comp)  # the min-label every member must reach
+        dist = {root: 0}
+        q = collections.deque([root])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        max_ecc = max(max_ecc, max(dist.values()))
+    assert max_ecc <= _NEARDUP_CLUSTERS_UNROLL, (
+        f"cluster min-label eccentricity {max_ecc} exceeds the oracle's "
+        f"{_NEARDUP_CLUSTERS_UNROLL}-step unroll — regenerate the oracle"
+    )
