@@ -482,16 +482,21 @@ def attach_vkeys(
         out = state.map_batches(attach_bc, batch_format="pandas")
         if keep_unmatched_vertices:
             # state ids are bounded by the vertex count, itself under
-            # the gate — collect them to emit sentinel rows for
-            # isolated vertices
-            seen: set = set()
-            for b in state.select_columns(["id"]).iter_batches(
-                batch_size=65536, batch_format="pyarrow"
-            ):
-                seen.update(b["id"].to_pylist())
-            miss_mask = np.fromiter(
-                (int(k) not in seen for k in keys), bool, len(keys)
-            )
+            # the gate — collect them (typed numpy, one searchsorted
+            # membership pass; no Python set over int64 ids) to emit
+            # sentinel rows for isolated vertices
+            seen_l = [
+                b["id"].to_numpy(zero_copy_only=False)
+                for b in state.select_columns(["id"]).iter_batches(
+                    batch_size=65536, batch_format="pyarrow"
+                )
+            ]
+            seen = np.sort(np.concatenate(seen_l)) if seen_l else np.empty(0, np.int64)
+            if len(seen):
+                pos = np.minimum(np.searchsorted(seen, keys), len(seen) - 1)
+                miss_mask = seen[pos] != keys
+            else:
+                miss_mask = np.ones(len(keys), dtype=bool)
             if miss_mask.any():
                 extra = pd.DataFrame({"vkey": vals[miss_mask]})
                 for c in value_cols:
@@ -647,9 +652,16 @@ def _lookup_join(
     carry_defaults: dict | None = None,
     broadcast_limit: int = 500_000,
     prebuilt_arrays: tuple[np.ndarray, np.ndarray] | None = None,
+    keep_unmatched: bool = False,
+    unmatched_value=UNMATCHED_SENTINEL,
 ) -> ray.data.Dataset:
-    """Inner equi-join: attach ``lookup_val`` (renamed ``out_col``) to
-    each ``ds`` row by ``key_col``; emit carry_cols + out_col.
+    """Equi-join: attach ``lookup_val`` (renamed ``out_col``) to each
+    ``ds`` row by ``key_col``; emit carry_cols + out_col.  Inner by
+    default; with ``keep_unmatched`` data rows without a lookup match
+    are kept with ``out_col = unmatched_value`` — a TYPED sentinel
+    (never null: a nullable int64 materializes as float64 in pandas
+    frames and silently rounds hash-range ids above 2^53, the same
+    rule as attach_vkeys' UNMATCHED_SENTINEL).
 
     Size-gated like the engine's other joins: a lookup table at or
     below ``broadcast_limit`` rows is collected once into a broadcast
@@ -681,6 +693,13 @@ def _lookup_join(
             idx = np.searchsorted(k_, x)
             idx = np.minimum(idx, max(0, len(k_) - 1))
             found = (k_[idx] == x) if len(k_) else np.zeros(len(x), bool)
+            if keep_unmatched:
+                out = df[carry_cols].copy(deep=False)
+                vals = np.full(len(x), unmatched_value,
+                               dtype=v_.dtype if len(v_) else None)
+                vals[found] = v_[idx[found]]
+                out[out_col] = vals
+                return out
             out = df.loc[found, carry_cols].copy(deep=False)
             out[out_col] = v_[idx[found]]  # exact dtype, no NaN path
             return out
@@ -709,6 +728,15 @@ def _lookup_join(
         lk = df.loc[is_l, ["_k", "_v"]]
         dt = df.loc[~is_l, ["_k", *carry_cols]]
         out = dt.merge(lk, on="_k", how="inner")
+        if keep_unmatched:
+            # indicator anti-join + concat of fully-typed frames —
+            # never a left merge whose NaN fill coerces to float64
+            lone = dt.merge(lk[["_k"]], on="_k", how="left", indicator=True)
+            lone = lone.loc[lone["_merge"] == "left_only", ["_k", *carry_cols]]
+            if len(lone):
+                lone = lone.copy()
+                lone["_v"] = unmatched_value
+                out = pd.concat([out, lone], ignore_index=True)
         return out.rename(columns={"_v": out_col})[[*carry_cols, out_col]]
 
     both = ds.map_batches(tag_data, batch_format="pandas").union(probe)
