@@ -157,6 +157,11 @@ def run_bench() -> dict:
         timings["graph_build_cache"] = round(time.perf_counter() - t0, 3)
 
         Q = entrymod.queries()
+        # best-of-N per entry (VERDICT r3 #5): single-shot per-query
+        # numbers swing ±2× with ambient disk writeback, so a recorded
+        # artifact can't tell regression from noise; the min over N
+        # back-to-back runs is reproducible to ~±20%
+        q_repeats = int(os.environ.get("NWR_BENCH_QUERY_REPEATS", "2"))
         for name in [
             "vertices",
             "top_in_degree",
@@ -176,17 +181,23 @@ def run_bench() -> dict:
             "simhash_neardup",
             "ann_topk",
             "ann_topk_pq",
+            # persisted-codes PQ: rep 1 encodes (cold), rep 2 reuses —
+            # the recorded best-of-N number IS the warm-codes run
+            "ann_topk_pq_warm",
             "embedding_neardup",
             # actor-pool plumbing stages (VERDICT r2 #8: regressions in
             # the enrichment / multimodal actor paths must be visible)
             "enrich_social",
             "multimodal_features",
         ]:
-            t0 = time.perf_counter()
-            res = Q[name](sf_dir)
-            if hasattr(res, "materialize"):
-                res = res.materialize()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(max(1, q_repeats)):
+                t0 = time.perf_counter()
+                res = Q[name](sf_dir)
+                if hasattr(res, "materialize"):
+                    res = res.materialize()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
             print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     out["queries"] = timings

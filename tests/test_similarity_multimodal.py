@@ -256,3 +256,48 @@ def test_frame_sampling():
     assert (frames["frame_idx"] % 2 == 0).all()
     assert frames["frame"].map(len).le(128).all()
     assert set(frames["item_id"]) == set(range(8))
+
+
+def test_ann_pq_persisted_codes(tmp_path):
+    """VERDICT r3 #8: ``codes_dir`` persists the PQ codes; a second
+    query run must REUSE them (no re-encode — file mtimes unchanged),
+    return rank-identical results, and keep the recall bar.  A changed
+    geometry must re-encode instead of silently reusing stale codes."""
+    import glob
+    import json
+    import os
+
+    import pandas as pd
+
+    from neo4j_webgraph_ray.stages.similarity import ann_topk_pq
+
+    ds, m = clustered_ds()
+    m64 = m.astype(np.float32).astype(np.float64)
+    qids = [0, 25, 111, 342]
+    cd = str(tmp_path / "codes")
+
+    got1 = ann_topk_pq(ds, qids, k=10, n_subspaces=4, n_centroids=32,
+                       codes_dir=cd)
+    assert os.path.exists(os.path.join(cd, "manifest.json"))
+    files = sorted(glob.glob(os.path.join(cd, "codes", "*")))
+    assert files
+    mtimes = [os.path.getmtime(f) for f in files]
+
+    got2 = ann_topk_pq(ds, qids, k=10, n_subspaces=4, n_centroids=32,
+                       codes_dir=cd)
+    pd.testing.assert_frame_equal(
+        got1.reset_index(drop=True), got2.reset_index(drop=True)
+    )
+    assert mtimes == [os.path.getmtime(f) for f in files], "warm run re-encoded"
+
+    oracle = brute_topk(m64, qids, 10)
+    recalls = []
+    for q in qids:
+        mine = set(got1[got1["query_id"] == q]["neighbor_id"])
+        recalls.append(len(mine & set(oracle[q])) / 10)
+    assert np.mean(recalls) >= 0.9, recalls
+
+    # geometry change must invalidate: manifest rewritten, codes rebuilt
+    ann_topk_pq(ds, qids, k=10, n_subspaces=8, n_centroids=32, codes_dir=cd)
+    with open(os.path.join(cd, "manifest.json")) as f:
+        assert json.load(f)["n_subspaces"] == 8
