@@ -83,6 +83,15 @@ def makedirs(path: str, fs: pafs.FileSystem | None = None) -> None:
     f.create_dir(p, recursive=True)
 
 
+def remove(path: str, fs: pafs.FileSystem | None = None) -> None:
+    """Delete one file, ignoring a missing target."""
+    f, p = resolve(path, fs)
+    try:
+        f.delete_file(p)
+    except (FileNotFoundError, OSError):
+        pass
+
+
 def rmtree(path: str, fs: pafs.FileSystem | None = None) -> None:
     """Recursive delete, ignoring a missing target (shutil.rmtree with
     ignore_errors semantics — prepare() owns stale workdir subtrees)."""

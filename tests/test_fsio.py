@@ -139,3 +139,32 @@ def test_resume_through_explicit_filesystem(tmp_path):
     resumed = final_df(eng2.run(resume=True))
     pd.testing.assert_frame_equal(truth, resumed)
     assert load_manifest("wd", fs=fs).status == "converged"
+
+
+def test_partitioned_sink_on_subtree_filesystem(tmp_path):
+    """The resumable partitioned sink works against a non-default
+    pyarrow.fs: parts + manifest land under the subtree root, and a
+    resume skips completed partitions through the same filesystem."""
+    import ray.data
+
+    from neo4j_webgraph_ray.sources.io import write_partitioned
+
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    t = pa.table(
+        {"k": pa.array(list(range(100)), type=pa.int64()),
+         "v": pa.array([f"v{i}" for i in range(100)])}
+    )
+    stats = write_partitioned(
+        ray.data.from_arrow(t), "out", ["k"], num_partitions=8, filesystem=fs
+    )
+    assert stats["total_rows"] == 100
+    assert (tmp_path / "out" / "_manifest.json").exists()
+    n_parts = len(list((tmp_path / "out").glob("part=*.parquet")))
+    assert n_parts == stats["written_partitions"]
+
+    # resume through the same fs: everything already complete
+    stats2 = write_partitioned(
+        ray.data.from_arrow(t), "out", ["k"], num_partitions=8, filesystem=fs
+    )
+    assert stats2["written_partitions"] == 0
+    assert stats2["total_rows"] == 100
