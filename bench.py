@@ -185,6 +185,7 @@ def run_bench() -> dict:
             # the recorded best-of-N number IS the warm-codes run
             "ann_topk_pq_warm",
             "embedding_neardup",
+            "embedding_neardup_clusters",
             # actor-pool plumbing stages (VERDICT r2 #8: regressions in
             # the enrichment / multimodal actor paths must be visible)
             "enrich_social",

@@ -291,6 +291,27 @@ def q_neardup_clusters(sf_dir: str) -> pd.DataFrame:
 _NEARDUP_CLUSTERS_UNROLL = 8
 
 
+def _minlabel_steps(id_col: str, n_unroll: int) -> tuple[str, str]:
+    """(chained-CTE SQL, final CTE name) for ``n_unroll`` min-label
+    propagation steps over an ``und(x, y)`` symmetric pair CTE and an
+    ``l0({id_col}, lbl)`` seed — the shared core of every *_clusters
+    oracle (DuckDB recursive CTEs mis-evaluate aggregates over the
+    working table, so the iteration is unrolled)."""
+    steps = []
+    prev = "l0"
+    for i in range(1, n_unroll + 1):
+        steps.append(
+            f"l{i} AS MATERIALIZED (\n"
+            f"  SELECT l.{id_col}, least(l.lbl, coalesce(min(ln.lbl), l.lbl)) AS lbl\n"
+            f"  FROM {prev} l\n"
+            f"  LEFT JOIN und u ON u.x = l.{id_col}\n"
+            f"  LEFT JOIN {prev} ln ON ln.{id_col} = u.y\n"
+            f"  GROUP BY l.{id_col}, l.lbl\n)"
+        )
+        prev = f"l{i}"
+    return ",".join(steps), prev
+
+
 def _neardup_clusters_sql(n_unroll: int = _NEARDUP_CLUSTERS_UNROLL) -> str:
     """Min-label propagation over the brute-force Jaccard pair graph,
     unrolled as chained MATERIALIZED CTEs (DuckDB recursive CTEs
@@ -298,18 +319,7 @@ def _neardup_clusters_sql(n_unroll: int = _NEARDUP_CLUSTERS_UNROLL) -> str:
     as the PageRank oracle).  ``n_unroll`` iterations reach the
     fixpoint for any cluster diameter <= n_unroll; the fixture
     assertion above keeps the bound honest."""
-    steps = []
-    prev = "l0"
-    for i in range(1, n_unroll + 1):
-        steps.append(
-            f"l{i} AS MATERIALIZED (\n"
-            f"  SELECT l.doc_id, least(l.lbl, coalesce(min(ln.lbl), l.lbl)) AS lbl\n"
-            f"  FROM {prev} l\n"
-            f"  LEFT JOIN und u ON u.x = l.doc_id\n"
-            f"  LEFT JOIN {prev} ln ON ln.doc_id = u.y\n"
-            f"  GROUP BY l.doc_id, l.lbl\n)"
-        )
-        prev = f"l{i}"
+    steps_sql, prev = _minlabel_steps("doc_id", n_unroll)
     return f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
@@ -334,9 +344,75 @@ pairs AS (
 ),
 und AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
 l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
-{",".join(steps)}
+{steps_sql}
 SELECT doc_id, lbl AS cluster FROM {prev} ORDER BY doc_id
 """
+
+
+def _emb_neardup_clusters_sql(n_unroll: int = _NEARDUP_CLUSTERS_UNROLL) -> str:
+    """Min-label closure over the brute-force cosine pair graph — the
+    embedding analog of the document cluster oracle (same unroll-depth
+    argument; the diameter assertion in pytest covers both graphs)."""
+    steps_sql, prev = _minlabel_steps("vec_id", n_unroll)
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6)
+        >= {NEARDUP_TAU}
+),
+und AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+l0 AS MATERIALIZED (SELECT vec_id, vec_id AS lbl FROM embeddings),
+{steps_sql}
+SELECT vec_id, lbl AS cluster FROM {prev} ORDER BY vec_id
+"""
+
+
+def q_embedding_neardup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-duplicate CLUSTERS: the cosine >= tau pair graph
+    (exact below the size gate, OR-amplified sign LSH beyond — same
+    operator as ``embedding_neardup``) closed transitively via the
+    superstep CC engine; every vector gets its cluster representative
+    (min vec_id; singletons represent themselves).  The embedding
+    analog of ``neardup_clusters`` — "keep one exemplar per duplicate
+    cluster" is the operator an embedding-dedup pipeline actually
+    runs."""
+    from neo4j_webgraph_ray.pipelines.algorithms import connected_components
+    from neo4j_webgraph_ray.queries import (
+        UNMATCHED_SENTINEL,
+        _algo_parts,
+        _lookup_join,
+        _workdir,
+    )
+
+    pairs = embedding_neardup_pairs(_emb(sf_dir), tau=NEARDUP_TAU)
+    ids = _emb(sf_dir).select_columns(["vec_id"])
+    if not len(pairs):
+        out = ids.to_pandas()
+        out["cluster"] = out["vec_id"]
+        return out.sort_values("vec_id").reset_index(drop=True)
+    edges = ray.data.from_pandas(
+        pairs.rename(columns={"a": "src", "b": "dst"})[["src", "dst"]]
+    ).materialize()
+    state = connected_components(
+        edges, _workdir(sf_dir, "emb_neardup_cc"),
+        num_partitions=_algo_parts(edges), checkpoint_every=50,
+    )
+    clustered = _lookup_join(
+        ids, "vec_id", state.materialize(), "id", "label", "cluster",
+        carry_cols=["vec_id"], keep_unmatched=True,
+    )
+
+    def own_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cluster"].to_numpy()
+        v = df["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {"vec_id": v, "cluster": np.where(c == UNMATCHED_SENTINEL, v, c)}
+        )
+
+    out = clustered.map_batches(own_cluster, batch_format="pandas").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
@@ -512,6 +588,7 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "ann_topk_pq": q_ann_topk_pq,
     "ann_topk_pq_warm": q_ann_topk_pq_warm,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_clusters": q_embedding_neardup_clusters,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -531,6 +608,7 @@ DOC_ORACLES: dict[str, str] = {
     "minhash_neardup": MINHASH_NEARDUP_SQL,
     "ngram_jaccard_neardup": NGRAM_NEARDUP_SQL,
     "neardup_clusters": _neardup_clusters_sql(),
+    "embedding_neardup_clusters": _emb_neardup_clusters_sql(),
     # doc_fingerprints / simhash / ann_topk_lsh / ann_topk_ivf /
     # multimodal_features: signature- or seed-dependent, genuinely
     # non-SQL-expressible — rows-only; brute-force oracles in pytest.

@@ -450,24 +450,11 @@ def test_lsh_banding_recall_at_tau_boundary():
     assert clear_hits == len(clear), "clear duplicates (J>=0.9) must fully recall"
 
 
-def test_neardup_cluster_diameter_within_oracle_unroll(sf_correct):
-    """ADVICE r3: the neardup_clusters DuckDB oracle unrolls 8 min-label
-    propagation steps; the engine computes the full CC fixpoint.  The
-    parity check is only sound while every cluster's min-label
-    eccentricity (max BFS distance from the min-doc_id member) is
-    within the unroll depth — asserted here on the driver's correctness
-    corpus so a future testdata change fails THIS test instead of
-    producing a spurious driver mismatch."""
+def _max_minlabel_eccentricity(pairs: pd.DataFrame) -> int:
+    """Max BFS distance from each component's min-id member — the
+    number of min-label propagation steps an unrolled oracle needs."""
     import collections
 
-    import duckdb
-
-    from neo4j_webgraph_ray.queries_docs import _NEARDUP_CLUSTERS_UNROLL
-
-    docs = duckdb.sql(
-        f"SELECT doc_id, text FROM '{sf_correct}/documents.parquet'"
-    ).df()
-    pairs = minhash_neardup_pairs(docs_ds_from(docs), tau=0.5).to_pandas()
     adj: dict[int, set] = collections.defaultdict(set)
     for a, b in zip(pairs["a"], pairs["b"]):
         adj[int(a)].add(int(b))
@@ -496,7 +483,37 @@ def test_neardup_cluster_diameter_within_oracle_unroll(sf_correct):
                     dist[y] = dist[x] + 1
                     q.append(y)
         max_ecc = max(max_ecc, max(dist.values()))
-    assert max_ecc <= _NEARDUP_CLUSTERS_UNROLL, (
-        f"cluster min-label eccentricity {max_ecc} exceeds the oracle's "
-        f"{_NEARDUP_CLUSTERS_UNROLL}-step unroll — regenerate the oracle"
+    return max_ecc
+
+
+def test_neardup_cluster_diameter_within_oracle_unroll(sf_correct):
+    """ADVICE r3: the *_clusters DuckDB oracles unroll 8 min-label
+    propagation steps; the engine computes the full CC fixpoint.  The
+    parity check is only sound while every cluster's min-label
+    eccentricity is within the unroll depth — asserted here for BOTH
+    pair graphs (document shingle Jaccard and embedding cosine) on the
+    driver's correctness corpus, so a future testdata change fails
+    THIS test instead of producing a spurious driver mismatch."""
+    import duckdb
+
+    from neo4j_webgraph_ray.queries_docs import (
+        _NEARDUP_CLUSTERS_UNROLL,
+        NEARDUP_TAU,
     )
+    from neo4j_webgraph_ray.stages.similarity import embedding_neardup_pairs
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_correct}/documents.parquet'"
+    ).df()
+    doc_pairs = minhash_neardup_pairs(docs_ds_from(docs), tau=0.5).to_pandas()
+    ecc_docs = _max_minlabel_eccentricity(doc_pairs)
+
+    emb = ray.data.read_parquet(f"{sf_correct}/embeddings.parquet")
+    emb_pairs = embedding_neardup_pairs(emb, tau=NEARDUP_TAU)
+    ecc_emb = _max_minlabel_eccentricity(emb_pairs)
+
+    for name, ecc in (("documents", ecc_docs), ("embeddings", ecc_emb)):
+        assert ecc <= _NEARDUP_CLUSTERS_UNROLL, (
+            f"{name} cluster min-label eccentricity {ecc} exceeds the "
+            f"oracle's {_NEARDUP_CLUSTERS_UNROLL}-step unroll — regenerate"
+        )
