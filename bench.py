@@ -191,6 +191,12 @@ def run_bench() -> dict:
             "enrich_social",
             "multimodal_features",
         ]:
+            # flush the PREVIOUS entry's async checkpoint/sink writeback
+            # outside any timer: a superstep-heavy entry otherwise bleeds
+            # seconds of kernel flush into whatever runs next (round 4
+            # measured label_propagation at 11.6 s in-bench vs 3.6-4.8 s
+            # isolated, purely from the preceding entry's writeback)
+            os.sync()
             best = float("inf")
             for _ in range(max(1, q_repeats)):
                 t0 = time.perf_counter()

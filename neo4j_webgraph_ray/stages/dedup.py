@@ -796,22 +796,33 @@ def minhash_neardup_pairs(
     bands: int = 16, shingle_k: int = 3, char: bool = False,
     text_col: str = "text", id_col: str = "doc_id",
     verify_broadcast_limit: int = 100_000, num_buckets: int = 64,
-    carry_shingles: bool = True,
+    carry_shingles: bool | str = "auto",
+    carry_bytes_limit: int = 8 << 30,
 ) -> ray.data.Dataset:
     """shingle → minhash → band → bucket groupby → verify: the full
     near-dup pipeline (word shingles; ``char=True`` gives the n-gram
     Jaccard variant).
 
-    ``carry_shingles`` (default): the signature stage also emits each
-    doc's sorted-unique shingle buffer, materialized once and reused by
-    the verify stage — ONE tokenize+hash pass over the corpus total
+    ``carry_shingles``: the signature stage also emits each doc's
+    sorted-unique shingle buffer, materialized once and reused by the
+    verify stage — ONE tokenize+hash pass over the corpus total
     (VERDICT r3 #3) at the cost of ~8 bytes/shingle of (spillable)
-    object-store residency.  Disable on storage-constrained runs with a
-    low candidate fraction, where re-shingling only the candidate docs
-    is the cheaper trade."""
+    object-store residency.  That trade inverts at scale: shingle
+    buffers are ~8× the text bytes for char shingles, so carrying them
+    for a 100 TB corpus means petabytes of spill while re-shingling
+    only the (usually small) candidate-doc fraction is one cheap extra
+    pass.  ``"auto"`` (default) carries only while the INPUT size
+    estimate stays under ``carry_bytes_limit`` — small/medium corpora
+    get the single-pass speedup, huge ones the bounded-memory path."""
+    if carry_shingles == "auto":
+        try:
+            sz = docs.size_bytes()
+        except Exception:
+            sz = None
+        carry_shingles = sz is not None and sz <= carry_bytes_limit
     sigs = minhash_signatures(
         docs, num_perm=num_perm, shingle_k=shingle_k, char=char,
-        text_col=text_col, id_col=id_col, emit_shingles=carry_shingles,
+        text_col=text_col, id_col=id_col, emit_shingles=bool(carry_shingles),
     )
     shingles = None
     if carry_shingles:

@@ -226,6 +226,20 @@ def test_minhash_neardup_matches_brute_force():
         )
 
 
+def test_minhash_carry_shingles_paths_identical():
+    """The carried-shingle (single tokenize pass) and re-shingling
+    verify paths must emit identical pairs and jaccards — the auto
+    gate switches between them on corpus size, so they must never
+    diverge."""
+    a = minhash_neardup_pairs(docs_ds(), tau=0.5, carry_shingles=True).to_pandas()
+    b = minhash_neardup_pairs(docs_ds(), tau=0.5, carry_shingles=False).to_pandas()
+    key = ["a", "b", "jaccard"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values(["a", "b"]).reset_index(drop=True),
+        b[key].sort_values(["a", "b"]).reset_index(drop=True),
+    )
+
+
 def test_char_ngram_jaccard_variant():
     tau = 0.6
     expected = sorted(
