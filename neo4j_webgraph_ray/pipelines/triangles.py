@@ -97,7 +97,10 @@ def _attach_degree(
         x = ee["k"].to_numpy()
         idx = np.searchsorted(keys, x)
         idx = np.minimum(idx, max(0, len(keys) - 1))
-        assert len(keys) and (keys[idx] == x).all(), "edge endpoint missing a degree row"
+        # explicit raise, not `assert` (stripped under python -O): a
+        # miss here would otherwise gather a NEIGHBOR key's degree
+        if not len(keys) or not (keys[idx] == x).all():
+            raise RuntimeError("edge endpoint missing a degree row")
         out = ee[["k", *carry_cols]].copy(deep=False)
         out[out_col] = vals[idx]
         return out.rename(columns={"k": key_col})

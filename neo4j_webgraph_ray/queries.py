@@ -403,12 +403,16 @@ def _algo_parts(edges: ray.data.Dataset) -> int:
     return int(np.clip(n // 100_000 + 4, 4, 64))
 
 
-def _workdir(sf_dir: str, algo: str) -> str:
-    """Superstep workdir for a query run.  Defaults to the local temp
-    dir (correct on this single-node sandbox); on a multi-node cluster
-    set ``NWR_QUERY_WORKDIR_BASE`` to a URI every worker can reach
-    (``s3://bucket/scratch`` — the whole workdir stack is
-    ``pyarrow.fs``-routed, VERDICT r3 #1)."""
+def _workdir(sf_dir: str, algo: str, fresh: bool = True) -> str:
+    """Scratch dir for a query run, keyed by (algo, input dir).
+    Defaults to the local temp dir (correct on this single-node
+    sandbox); on a multi-node cluster set ``NWR_QUERY_WORKDIR_BASE``
+    to a URI every worker can reach (``s3://bucket/scratch`` — the
+    whole workdir stack is ``pyarrow.fs``-routed, VERDICT r3 #1).
+
+    ``fresh`` (default) clears the dir so queries are self-contained;
+    ``fresh=False`` keeps prior contents for intentionally-persistent
+    derived state (e.g. the PQ codes index)."""
     import hashlib
     import tempfile
 
@@ -417,8 +421,8 @@ def _workdir(sf_dir: str, algo: str) -> str:
     base = os.environ.get("NWR_QUERY_WORKDIR_BASE") or tempfile.gettempdir()
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     d = fsio.join(base, "nwr_queries", f"{algo}-{tag}")
-    # fresh dir per invocation: queries must be self-contained
-    fsio.rmtree(d)
+    if fresh:
+        fsio.rmtree(d)
     fsio.makedirs(d)
     return d
 

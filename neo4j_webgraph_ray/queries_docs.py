@@ -175,14 +175,11 @@ def q_ann_topk_pq_warm(sf_dir: str) -> pd.DataFrame:
     uint8 codes and exact-re-rank a gathered shortlist.  The bench's
     best-of-N loop makes the recorded timing the WARM run.  Rows-only
     driver check; reuse/no-re-encode/recall are pytest-asserted."""
-    import hashlib
-    import tempfile
+    from neo4j_webgraph_ray.queries import _workdir
 
-    from neo4j_webgraph_ray.state import fsio
-
-    base = os.environ.get("NWR_QUERY_WORKDIR_BASE") or tempfile.gettempdir()
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    codes_dir = fsio.join(base, "nwr_queries", f"pq_codes-{tag}")
+    # fresh=False: the codes dir is intentionally persistent (the whole
+    # point); the codes manifest, not dir clearing, guards staleness
+    codes_dir = _workdir(sf_dir, "pq_codes", fresh=False)
     return ann_topk_pq(
         _emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, n_subspaces=4, n_centroids=32,
         codes_dir=codes_dir,
@@ -227,6 +224,46 @@ def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _attach_clusters(
+    ids: ray.data.Dataset, id_col: str,
+    edges: ray.data.Dataset | None, workdir: str,
+) -> pd.DataFrame:
+    """Shared cluster-attachment tail for the *_clusters operators:
+    close the pair graph via superstep CC, left-join the labels onto
+    every id with a TYPED sentinel (never a nullable int64 — the 2^53
+    rounding rule), and map sentinel rows (singletons) to
+    self-clusters inside the engine.  The only driver materialization
+    is the contract result."""
+    from neo4j_webgraph_ray.pipelines.algorithms import connected_components
+    from neo4j_webgraph_ray.queries import (
+        UNMATCHED_SENTINEL,
+        _algo_parts,
+        _lookup_join,
+    )
+
+    if edges is None or edges.count() == 0:
+        out = ids.to_pandas()
+        out["cluster"] = out[id_col]
+        return out.sort_values(id_col).reset_index(drop=True)
+    state = connected_components(
+        edges, workdir, num_partitions=_algo_parts(edges), checkpoint_every=50,
+    )
+    clustered = _lookup_join(
+        ids, id_col, state.materialize(), "id", "label", "cluster",
+        carry_cols=[id_col], keep_unmatched=True,
+    )
+
+    def own_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cluster"].to_numpy()
+        d = df[id_col].to_numpy()
+        return pd.DataFrame(
+            {id_col: d, "cluster": np.where(c == UNMATCHED_SENTINEL, d, c)}
+        )
+
+    out = clustered.map_batches(own_cluster, batch_format="pandas").to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
 def q_neardup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-duplicate CLUSTERS — the operator a training-data pipeline
     actually runs dedup for: MinHash near-dup pairs (word 3-shingles,
@@ -242,45 +279,20 @@ def q_neardup_clusters(sf_dir: str) -> pd.DataFrame:
     typed sentinel — singleton docs (no near-dup pair, hence no CC
     state row) become their own cluster inside the engine, and the only
     driver materialization is the contract result (VERDICT r3 #6)."""
-    from neo4j_webgraph_ray.pipelines.algorithms import connected_components
-    from neo4j_webgraph_ray.queries import (
-        UNMATCHED_SENTINEL,
-        _algo_parts,
-        _lookup_join,
-        _workdir,
-    )
+    from neo4j_webgraph_ray.queries import _workdir
 
     docs = _docs(sf_dir)
     pairs = minhash_neardup_pairs(
         docs, tau=0.5, num_buckets=_doc_buckets(sf_dir)
     )
-    ids = docs.select_columns(["doc_id"])
     edges = pairs.map_batches(
         lambda df: df.rename(columns={"a": "src", "b": "dst"})[["src", "dst"]],
         batch_format="pandas",
     ).materialize()
-    if edges.count() == 0:
-        out = ids.to_pandas()
-        out["cluster"] = out["doc_id"]
-        return out.sort_values("doc_id").reset_index(drop=True)
-    state = connected_components(
-        edges, _workdir(sf_dir, "neardup_cc"),
-        num_partitions=_algo_parts(edges), checkpoint_every=50,
+    return _attach_clusters(
+        docs.select_columns(["doc_id"]), "doc_id", edges,
+        _workdir(sf_dir, "neardup_cc"),
     )
-    clustered = _lookup_join(
-        ids, "doc_id", state.materialize(), "id", "label", "cluster",
-        carry_cols=["doc_id"], keep_unmatched=True,
-    )
-
-    def own_cluster(df: pd.DataFrame) -> pd.DataFrame:
-        c = df["cluster"].to_numpy()
-        d = df["doc_id"].to_numpy()
-        return pd.DataFrame(
-            {"doc_id": d, "cluster": np.where(c == UNMATCHED_SENTINEL, d, c)}
-        )
-
-    out = clustered.map_batches(own_cluster, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # the oracle's min-label unroll depth: sound while every cluster's
@@ -378,41 +390,18 @@ def q_embedding_neardup_clusters(sf_dir: str) -> pd.DataFrame:
     analog of ``neardup_clusters`` — "keep one exemplar per duplicate
     cluster" is the operator an embedding-dedup pipeline actually
     runs."""
-    from neo4j_webgraph_ray.pipelines.algorithms import connected_components
-    from neo4j_webgraph_ray.queries import (
-        UNMATCHED_SENTINEL,
-        _algo_parts,
-        _lookup_join,
-        _workdir,
-    )
+    from neo4j_webgraph_ray.queries import _workdir
 
     pairs = embedding_neardup_pairs(_emb(sf_dir), tau=NEARDUP_TAU)
-    ids = _emb(sf_dir).select_columns(["vec_id"])
-    if not len(pairs):
-        out = ids.to_pandas()
-        out["cluster"] = out["vec_id"]
-        return out.sort_values("vec_id").reset_index(drop=True)
-    edges = ray.data.from_pandas(
-        pairs.rename(columns={"a": "src", "b": "dst"})[["src", "dst"]]
-    ).materialize()
-    state = connected_components(
-        edges, _workdir(sf_dir, "emb_neardup_cc"),
-        num_partitions=_algo_parts(edges), checkpoint_every=50,
+    edges = None
+    if len(pairs):
+        edges = ray.data.from_pandas(
+            pairs.rename(columns={"a": "src", "b": "dst"})[["src", "dst"]]
+        ).materialize()
+    return _attach_clusters(
+        _emb(sf_dir).select_columns(["vec_id"]), "vec_id", edges,
+        _workdir(sf_dir, "emb_neardup_cc"),
     )
-    clustered = _lookup_join(
-        ids, "vec_id", state.materialize(), "id", "label", "cluster",
-        carry_cols=["vec_id"], keep_unmatched=True,
-    )
-
-    def own_cluster(df: pd.DataFrame) -> pd.DataFrame:
-        c = df["cluster"].to_numpy()
-        v = df["vec_id"].to_numpy()
-        return pd.DataFrame(
-            {"vec_id": v, "cluster": np.where(c == UNMATCHED_SENTINEL, v, c)}
-        )
-
-    out = clustered.map_batches(own_cluster, batch_format="pandas").to_pandas()
-    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def q_multimodal_features(sf_dir: str) -> pd.DataFrame:

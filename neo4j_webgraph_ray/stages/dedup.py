@@ -815,8 +815,12 @@ def minhash_neardup_pairs(
     estimate stays under ``carry_bytes_limit`` — small/medium corpora
     get the single-pass speedup, huge ones the bounded-memory path."""
     if carry_shingles == "auto":
+        # metadata-ONLY size inference: ds.size_bytes() executes the
+        # plan when metadata can't answer (a lazily-transformed corpus
+        # would fully materialize just to evaluate this gate), so an
+        # unknown size falls to the bounded-memory no-carry path
         try:
-            sz = docs.size_bytes()
+            sz = docs._logical_plan.dag.infer_metadata().size_bytes
         except Exception:
             sz = None
         carry_shingles = sz is not None and sz <= carry_bytes_limit

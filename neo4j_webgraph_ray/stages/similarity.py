@@ -228,7 +228,12 @@ def lsh_tables_for(
     print(
         f"[emb-lsh] no (b, L) within {max_tables} tables reaches "
         f"target_recall={target_recall} at tau={tau}; falling back to "
-        f"(b=1, L={max_tables}) with modeled recall {achievable:.3f}",
+        f"(b=1, L={max_tables}) with modeled recall <= {achievable:.3f} "
+        "(an UPPER bound: one-plane tables split the corpus into ~2 "
+        "buckets each, so on large corpora the max_bucket cap truncates "
+        "members and realized recall lands lower — at such low tau "
+        "sign-LSH is the wrong tool; prefer the exact path or a higher "
+        "threshold)",
         file=sys.stderr,
     )
     return 1, max_tables
@@ -527,6 +532,30 @@ def _pq_encode(mnorm: np.ndarray, slices, codebooks) -> np.ndarray:
     return out
 
 
+def _input_signature(ds: ray.data.Dataset) -> list | None:
+    """Cheap staleness fingerprint of a file-backed Dataset: sorted
+    (basename, size, mtime_ns) of its input files — a regenerated
+    corpus at the same path invalidates persisted derived data even
+    when row counts and the bounded train sample happen to match.
+    None when the input is not file-backed (callers then fall back to
+    weaker checks and document the residual risk)."""
+    from neo4j_webgraph_ray.state import fsio
+
+    try:
+        files = ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sig = []
+    for f in sorted(files):
+        fsys, p = fsio.resolve(f)
+        info = fsys.get_file_info(p)
+        sig.append([p.rsplit("/", 1)[-1], int(info.size or 0),
+                    int(info.mtime_ns or 0)])
+    return sig
+
+
 def _pq_codes_dataset(
     embeddings: ray.data.Dataset, codes_dir: str, slices, codebooks,
     params: dict, id_col: str, vec_col: str,
@@ -540,6 +569,11 @@ def _pq_codes_dataset(
     shared-store codes_dir works on a cluster."""
     from neo4j_webgraph_ray.state import fsio
 
+    if any(len(cb) > 256 for cb in codebooks):
+        raise ValueError(
+            "persisted PQ codes are uint8: n_centroids must be <= 256 "
+            f"(got {max(len(cb) for cb in codebooks)})"
+        )
     mpath = fsio.join(codes_dir, "manifest.json")
     cpath = fsio.join(codes_dir, "codes")
     if fsio.exists(mpath):
@@ -703,9 +737,12 @@ def _ann_topk_pq_from_codes(
         "train_sample": int(train_sample),
         "dim": int(dim),
         "n_vectors": int(embeddings.count()),
-        # codebooks are retrained deterministically from the corpus
-        # sample; the fingerprint catches a changed corpus re-using a
-        # stale codes_dir under the same geometry
+        # two-level staleness guard: (1) file-level signature of the
+        # corpus (basename/size/mtime) — catches a regenerated corpus
+        # whose count and bounded train sample happen to match; (2)
+        # codebook fingerprint — catches sample-visible changes when
+        # the input is not file-backed and (1) is unavailable
+        "input_sig": _input_signature(embeddings),
         "codebook_fp": [round(float(cb.sum()), 6) for cb in codebooks],
     }
     codes_ds, _ = _pq_codes_dataset(
@@ -780,7 +817,15 @@ def _ann_topk_pq_from_codes(
         sub = short[short["query_id"] == qids[qi]]["neighbor_id"].to_numpy()
         if not len(sub):
             continue
-        pos = np.searchsorted(gids, sub)
+        # guarded gather: a shortlist id missing from the float gather
+        # (possible only with stale codes that escaped the manifest
+        # guard) is dropped, never silently re-ranked against a
+        # neighbor's vector
+        pos = np.minimum(np.searchsorted(gids, sub), max(0, len(gids) - 1))
+        found = (gids[pos] == sub) if len(gids) else np.zeros(len(sub), bool)
+        sub, pos = sub[found], pos[found]
+        if not len(sub):
+            continue
         exact = np.round(qmat[qi] @ gmat[pos].T, 6)
         top = np.lexsort((sub, -exact))[: min(k, len(sub))]
         frames.append(

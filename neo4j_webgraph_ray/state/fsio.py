@@ -73,7 +73,7 @@ def listdir(path: str, fs: pafs.FileSystem | None = None) -> list[str]:
     f, p = resolve(path, fs)
     try:
         infos = f.get_file_info(pafs.FileSelector(p, recursive=False))
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
         return []
     return [info.base_name for info in infos]
 
@@ -84,21 +84,24 @@ def makedirs(path: str, fs: pafs.FileSystem | None = None) -> None:
 
 
 def remove(path: str, fs: pafs.FileSystem | None = None) -> None:
-    """Delete one file, ignoring a missing target."""
+    """Delete one file, ignoring ONLY a missing target.  Any other
+    failure (permissions, I/O) propagates: callers delete stale data
+    before writing fresh data, and a swallowed failure there would let
+    stale partitions silently merge into later directory reads."""
     f, p = resolve(path, fs)
     try:
         f.delete_file(p)
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
         pass
 
 
 def rmtree(path: str, fs: pafs.FileSystem | None = None) -> None:
-    """Recursive delete, ignoring a missing target (shutil.rmtree with
-    ignore_errors semantics — prepare() owns stale workdir subtrees)."""
+    """Recursive delete, ignoring ONLY a missing target (see
+    :func:`remove` for why other errors must propagate)."""
     f, p = resolve(path, fs)
     try:
         f.delete_dir(p)
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
         pass
 
 

@@ -58,15 +58,38 @@ def test_fsio_uri_resolution(tmp_path):
     assert fsio.listdir(fsio.join(uri, "nonexistent")) == []
 
 
-def test_fsio_object_store_direct_write():
-    """On a filesystem without atomic rename the write goes direct (the
-    object PUT is the atomic primitive) — modeled with a mock FS whose
-    type_name is not rename-atomic-listed."""
+def test_fsio_object_store_direct_write(tmp_path, monkeypatch):
+    """On a filesystem without atomic rename the write goes DIRECT (the
+    object PUT is the atomic primitive): force that branch and assert
+    the written parquet/json are complete and readable with no .tmp
+    litter."""
     mock = pafs._MockFileSystem()
     assert fsio._rename_is_atomic(mock)  # mock renames fine
     # the decision only depends on the base filesystem under wrappers
     sub = pafs.SubTreeFileSystem("/", pafs.LocalFileSystem())
     assert fsio._rename_is_atomic(sub)
+
+    monkeypatch.setattr(fsio, "_rename_is_atomic", lambda f: False)
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    t = pa.table({"x": pa.array([1, 2], type=pa.int64())})
+    fsio.write_table_atomic(t, "direct.parquet", fs=fs)
+    fsio.write_json_atomic({"a": 1}, "direct.json", fs=fs)
+    assert fsio.read_table("direct.parquet", fs=fs).equals(t)
+    assert fsio.read_json("direct.json", fs=fs) == {"a": 1}
+    assert sorted(fsio.listdir("", fs=fs)) == ["direct.json", "direct.parquet"]
+
+
+def test_fsio_delete_helpers_only_swallow_missing(tmp_path):
+    """remove/rmtree ignore ONLY missing targets; real failures (e.g. a
+    file where a directory is expected) propagate instead of letting
+    stale data silently survive a 'successful' clear."""
+    f = tmp_path / "afile"
+    f.write_text("x")
+    with pytest.raises(NotADirectoryError):
+        fsio.rmtree(str(f / "child"))
+    fsio.remove(str(f))
+    assert not f.exists()
+    fsio.remove(str(f))  # missing: fine
 
 
 # -- engines over a non-default filesystem ------------------------------------
