@@ -250,7 +250,12 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--num-partitions", type=int, default=16)
         sp.add_argument("--resume", action="store_true")
         if workdir:
-            sp.add_argument("--workdir", required=True)
+            sp.add_argument(
+                "--workdir", required=True,
+                help="superstep scratch/checkpoint dir — a local path or a "
+                     "pyarrow.fs URI (file://, s3://); on a multi-node "
+                     "cluster use a store all workers reach",
+            )
             sp.add_argument("--backend", choices=["actors", "dataset"], default="actors")
             sp.add_argument("--checkpoint-every", type=int, default=1)
 
