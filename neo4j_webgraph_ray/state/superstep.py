@@ -267,12 +267,9 @@ class SuperstepEngine:
         before partitioning, which would merge genuine multi-edges).
         Input already deduplicated → leave the default.
 
-        The vertex/degree partials are computed INSIDE the partition
-        write from the same in-memory edge frame (every vertex's
-        out-edges live in its own src partition, so per-partition
-        out-counts sum to the true out-degree), so prepare makes
-        exactly ONE pass over the edge data: no upstream re-execution
-        and no read-back of the files it just wrote."""
+        The vertex/degree pass reads the freshly written partition files
+        back instead of re-executing the upstream derivation, so the
+        input pipeline executes exactly once end-to-end."""
         if dedup and self.program.undirected:
             raise ValueError("dedup-in-prepare is only supported for directed programs")
         P = self.num_partitions
@@ -301,23 +298,14 @@ class SuperstepEngine:
             )
 
         def write_edge_part(df: pd.DataFrame) -> pd.DataFrame:
-            """Write one src-owned edge partition AND emit its vertex /
-            out-degree partials from the same in-memory frame (one row
-            per distinct endpoint id), plus a single stats row
-            (``_t=0``).  A vertex's out-edges all live in its own src
-            partition, so summing the partials per owner partition
-            downstream yields the exact out-degree — the edge data is
-            never read back."""
             part = int(df["part"].iloc[0])
             if dedup:
                 df = df.drop_duplicates(["src", "dst"])
             df = df.sort_values("dst", kind="stable")  # dst-sorted => reduceat runs
-            src = df["src"].to_numpy()
-            dst = df["dst"].to_numpy()
             t = pa.table(
                 {
-                    "src": pa.array(src, type=pa.int64()),
-                    "dst": pa.array(dst, type=pa.int64()),
+                    "src": pa.array(df["src"].to_numpy(), type=pa.int64()),
+                    "dst": pa.array(df["dst"].to_numpy(), type=pa.int64()),
                 }
             )
             atomic_write_parquet(
@@ -325,43 +313,51 @@ class SuperstepEngine:
             )
             # cheap content fingerprint per partition (order-insensitive)
             fp = int(
-                np.bitwise_xor.reduce((src * np.int64(31)) ^ dst)
+                np.bitwise_xor.reduce(
+                    (df["src"].to_numpy() * np.int64(31)) ^ df["dst"].to_numpy()
+                )
             ) if len(df) else 0
+            return pd.DataFrame([{"part": part, "n_edges": len(df), "fp": fp}])
+
+        edge_parts = (
+            edges.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("part")
+            .map_groups(write_edge_part, batch_format="pandas")
+        ).to_pandas()
+        n_edges = int(edge_parts["n_edges"].sum())
+        fingerprint = {
+            "n_edges": n_edges,
+            "xor": int(np.bitwise_xor.reduce(edge_parts["fp"].to_numpy()))
+            if len(edge_parts)
+            else 0,
+        }
+
+        # vertex set + out-degree over the written partition files (the
+        # on-disk table is already doubled for undirected programs and
+        # deduped when requested — the upstream pipeline never re-runs)
+        def endpoints(t: pa.Table) -> pa.Table:
+            src = t["src"].to_numpy()
+            dst = t["dst"].to_numpy()
             ids = np.r_[src, dst]
-            out_c = np.r_[
-                np.ones(len(src), dtype=np.int64), np.zeros(len(dst), dtype=np.int64)
-            ]
+            out_c = np.r_[np.ones(len(src), dtype=np.int64), np.zeros(len(dst), dtype=np.int64)]
+            # local combine
             u, inv = np.unique(ids, return_inverse=True)
             deg = np.bincount(inv, weights=out_c).astype(np.int64)
-            out = pd.DataFrame(
+            return pa.table(
                 {
-                    "id": u,
-                    "out_c": deg,
-                    "vpart": part_of(u, P).astype(np.int64),
-                    "fp": np.zeros(len(u), dtype=np.int64),
+                    "id": pa.array(u, type=pa.int64()),
+                    "out_c": pa.array(deg),
+                    "part": pa.array(part_of(u, P)),
                 }
             )
-            # stats row rides the same stream under sentinel vpart=-1
-            # (its own group downstream) — no second consumption, no
-            # materialization of the E-scale partials
-            stat = pd.DataFrame(
-                [{"id": np.int64(len(df)), "out_c": np.int64(0),
-                  "vpart": np.int64(-1), "fp": np.int64(fp)}]
-            )
-            return pd.concat([stat, out], ignore_index=True)
 
+        edges_on_disk = fsio.ray_read_parquet(edges_dir(workdir), fs=fs)
         program = self.program
         vdir = fsio.join(workdir, "vertices")
         fsio.makedirs(vdir, fs=fs)
 
         def write_vertex_part(df: pd.DataFrame) -> pd.DataFrame:
-            part = int(df["vpart"].iloc[0])
-            if part == -1:  # the per-edge-partition stats group
-                return pd.DataFrame(
-                    [{"part": -1, "n_vertices": 0,
-                      "n_edges": int(df["id"].sum()),
-                      "fp": int(np.bitwise_xor.reduce(df["fp"].to_numpy()))}]
-                )
+            part = int(df["part"].iloc[0])
             g = df.groupby("id", sort=True, as_index=False)["out_c"].sum()
             t = pa.table(
                 {
@@ -370,28 +366,14 @@ class SuperstepEngine:
                 }
             )
             atomic_write_parquet(t, fsio.join(vdir, f"part={part}.parquet"), fs=fs)
-            return pd.DataFrame(
-                [{"part": part, "n_vertices": len(g), "n_edges": 0, "fp": 0}]
-            )
+            return pd.DataFrame([{"part": part, "n_vertices": len(g)}])
 
-        # ONE streamed pass over the edge input end-to-end: partition
-        # write + vertex partials + stats through a single chained
-        # groupby — nothing re-read, nothing E-scale materialized
         vparts = (
-            edges.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+            edges_on_disk.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("part")
-            .map_groups(write_edge_part, batch_format="pandas")
-            .groupby("vpart")
             .map_groups(write_vertex_part, batch_format="pandas")
         ).to_pandas()
-        if len(vparts):
-            stat = vparts[vparts["part"] == -1]
-            n_edges = int(stat["n_edges"].sum())
-            fp_xor = int(np.bitwise_xor.reduce(stat["fp"].to_numpy())) if len(stat) else 0
-            n_vertices = int(vparts["n_vertices"].sum())
-        else:
-            n_edges, fp_xor, n_vertices = 0, 0, 0
-        fingerprint = {"n_edges": n_edges, "xor": fp_xor}
+        n_vertices = int(vparts["n_vertices"].sum())
 
         # second pass, distributed: init state per part now that n is known
         self.ctx = {"n": n_vertices, "step": 0}
