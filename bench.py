@@ -174,6 +174,8 @@ def run_bench() -> dict:
             "triangle_count",
             "tool_cooccurrence",
             # LLM-training-data family over the documents/embeddings tables
+            "top_tokens",
+            "sample_stratified",
             "dedup_exact_docs",
             "minhash_neardup",
             "ngram_jaccard_neardup",

@@ -264,6 +264,123 @@ def _attach_clusters(
     return out.sort_values(id_col).reset_index(drop=True)
 
 
+TOP_TOKENS_K = 50
+STRAT_SAMPLE_N = 20
+
+
+def q_top_tokens(sf_dir: str, k: int = TOP_TOKENS_K) -> pd.DataFrame:
+    """Corpus-wide top-k most frequent whitespace tokens — the
+    vocabulary/frequency scan every corpus-analysis pipeline starts
+    with.  Scale shape: per-batch Arrow ``value_counts`` partials (one
+    vectorized call, no Python token loop), bucketed sum by token hash
+    (each token owned by one bucket), then PER-BUCKET top-k — the
+    global top-k is a subset of the union of per-bucket top-k's because
+    buckets partition the vocabulary, so the driver merges only
+    ``num_buckets × k`` rows, never the full vocabulary."""
+    import pyarrow.compute as pc
+
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        toks = pc.list_flatten(pc.split_pattern_regex(trimmed, r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {
+                "tok": vc.field("values").to_numpy(zero_copy_only=False),
+                "n": vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("tok", as_index=False, sort=False)["n"].sum()
+
+    counts = bucketed_groupby(
+        _docs(sf_dir).map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["tok"], combine, num_buckets=16,
+    )
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "tok"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    cand = counts.map_batches(bucket_topk, batch_format="pandas").to_pandas()
+    out = cand.sort_values(
+        ["n", "tok"], ascending=[False, True], kind="stable"
+    ).head(k)
+    return out[["tok", "n"]].reset_index(drop=True)
+
+
+TOP_TOKENS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT tok, count(*) AS n FROM toks
+GROUP BY tok ORDER BY n DESC, tok LIMIT {TOP_TOKENS_K}
+"""
+
+
+def q_sample_stratified(sf_dir: str, n_per_group: int = STRAT_SAMPLE_N) -> pd.DataFrame:
+    """Deterministic stratified sample: the first ``n_per_group`` docs
+    per predicted language under the systematic order
+    ``(doc_id % 97, doc_id)`` — the per-stratum downsampling step a
+    training-data pipeline runs to balance a corpus.  Per-group top-k
+    is ALGEBRAIC (head-k of a merge of head-k's is the global head-k),
+    so the bucketed groupby keeps at most ``n_per_group`` rows per
+    (batch, language) through the shuffle; no stratum ever
+    materializes fully."""
+    from neo4j_webgraph_ray.functions.text import lang_id
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        lp = lang_id(batch)
+        ids = lp["doc_id"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "lang_pred": lp["lang_pred"].to_numpy(zero_copy_only=False),
+                "skey": ids % 97,
+            }
+        )
+
+    def head_per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["skey", "doc_id"], kind="stable")
+            .groupby("lang_pred", sort=False)
+            .head(n_per_group)
+        )
+
+    out = bucketed_groupby(
+        _docs(sf_dir).map_batches(keyed, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+        ["lang_pred"], head_per_lang, num_buckets=8,
+    ).to_pandas()
+    return (
+        out[["doc_id", "lang_pred"]]
+        .sort_values(["lang_pred", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+WITH lp AS ({{lang_id_sql}}),
+ranked AS (
+  SELECT doc_id, lang_pred,
+         row_number() OVER (PARTITION BY lang_pred
+                            ORDER BY doc_id % 97, doc_id) AS rn
+  FROM lp
+)
+SELECT doc_id, lang_pred FROM ranked WHERE rn <= {STRAT_SAMPLE_N}
+ORDER BY lang_pred, doc_id
+"""
+
+
 def q_neardup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-duplicate CLUSTERS — the operator a training-data pipeline
     actually runs dedup for: MinHash near-dup pairs (word 3-shingles,
@@ -565,6 +682,8 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "quality_metrics": q_quality,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
+    "top_tokens": q_top_tokens,
+    "sample_stratified": q_sample_stratified,
     "doc_fingerprints": q_doc_fingerprints,
     "dedup_exact_docs": q_dedup_exact_docs,
     "minhash_neardup": q_minhash_neardup,
@@ -589,6 +708,8 @@ DOC_ORACLES: dict[str, str] = {
     "quality_metrics": QUALITY_SQL,
     "quality_filter": QUALITY_FILTER_SQL,
     "lang_id": LANG_ID_SQL,
+    "top_tokens": TOP_TOKENS_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL.format(lang_id_sql=LANG_ID_SQL),
     "dedup_exact_docs": (
         'SELECT min(doc_id) AS doc_id FROM documents GROUP BY text'
     ),
