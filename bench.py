@@ -176,6 +176,7 @@ def run_bench() -> dict:
             # LLM-training-data family over the documents/embeddings tables
             "top_tokens",
             "sample_stratified",
+            "tfidf_top_terms",
             "dedup_exact_docs",
             "minhash_neardup",
             "ngram_jaccard_neardup",

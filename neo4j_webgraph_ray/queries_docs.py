@@ -381,6 +381,116 @@ ORDER BY lang_pred, doc_id
 """
 
 
+TFIDF_TOP_N = 3
+
+
+def q_tfidf_top_terms(sf_dir: str, top_n: int = TFIDF_TOP_N) -> pd.DataFrame:
+    """Per-document top-``top_n`` terms by TF-IDF (keyword extraction —
+    the feature step between quality filtering and dedup in a
+    training-data pipeline).  score = tf(t,d) · ln(N / df(t)), rounded
+    to 6 dp BEFORE ranking on both engines so float noise can't reorder
+    ties (tie-break: term asc — same discipline as the cosine oracles).
+
+    Scale shape: tf is exact per batch (a document never splits across
+    rows), so the only wide steps are (1) a bucketed sum for document
+    frequencies — at most one row per (token, batch) crosses, (2) a
+    size-gated lookup join of df onto the tf rows (vocabulary
+    broadcast under the gate, co-group beyond), and (3) an algebraic
+    per-doc head-k.  Nothing driver-side except the contract result."""
+    import pyarrow.compute as pc
+
+    from neo4j_webgraph_ray.queries import _lookup_join
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    docs = _docs(sf_dir)
+    n_docs = float(docs.count())
+
+    def tf_rows(batch: pa.Table) -> pd.DataFrame:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        lists = pc.split_pattern_regex(trimmed, r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        toks = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), lens
+        )
+        mask = toks != ""
+        d = pd.DataFrame({"doc_id": ids[mask], "tok": toks[mask]})
+        return d.groupby(["doc_id", "tok"], sort=False).size().reset_index(
+            name="tf"
+        )
+
+    # pinned: tf feeds BOTH the df aggregation and the join's data side
+    tf = docs.map_batches(
+        tf_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def df_partial(d: pd.DataFrame) -> pd.DataFrame:
+        # tf rows are distinct (doc, tok) ⇒ count per tok == doc freq
+        return d.groupby("tok", as_index=False, sort=False).agg(
+            df=("doc_id", "size")
+        )
+
+    def df_combine(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("tok", as_index=False, sort=False)["df"].sum()
+
+    dfreq = bucketed_groupby(
+        tf.map_batches(df_partial, batch_format="pandas"),
+        ["tok"], df_combine, num_buckets=16,
+    )
+    joined = _lookup_join(
+        tf, "tok", dfreq, "tok", "df", "df",
+        carry_cols=["doc_id", "tok", "tf"], val_default=np.int64(1),
+    )
+
+    def score(d: pd.DataFrame) -> pd.DataFrame:
+        s = np.round(
+            d["tf"].to_numpy() * np.log(n_docs / d["df"].to_numpy()), 6
+        )
+        return pd.DataFrame(
+            {"doc_id": d["doc_id"].to_numpy(), "tok": d["tok"].to_numpy(),
+             "score": s}
+        )
+
+    def headk(d: pd.DataFrame) -> pd.DataFrame:
+        return (
+            d.sort_values(["score", "tok"], ascending=[False, True],
+                          kind="stable")
+            .groupby("doc_id", sort=False)
+            .head(top_n)
+        )
+
+    out = bucketed_groupby(
+        joined.map_batches(score, batch_format="pandas"),
+        ["doc_id"], headk, num_buckets=16,
+    ).to_pandas()
+    return out.sort_values(["doc_id", "tok"]).reset_index(drop=True)
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                x -> x <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * ln(n.n / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rn
+  FROM scored
+)
+SELECT doc_id, tok, score FROM ranked WHERE rn <= {TFIDF_TOP_N}
+ORDER BY doc_id, tok
+"""
+
+
 def q_neardup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-duplicate CLUSTERS — the operator a training-data pipeline
     actually runs dedup for: MinHash near-dup pairs (word 3-shingles,
@@ -684,6 +794,7 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "lang_id": q_lang_id,
     "top_tokens": q_top_tokens,
     "sample_stratified": q_sample_stratified,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "doc_fingerprints": q_doc_fingerprints,
     "dedup_exact_docs": q_dedup_exact_docs,
     "minhash_neardup": q_minhash_neardup,
@@ -710,6 +821,7 @@ DOC_ORACLES: dict[str, str] = {
     "lang_id": LANG_ID_SQL,
     "top_tokens": TOP_TOKENS_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL.format(lang_id_sql=LANG_ID_SQL),
+    "tfidf_top_terms": TFIDF_SQL,
     "dedup_exact_docs": (
         'SELECT min(doc_id) AS doc_id FROM documents GROUP BY text'
     ),
