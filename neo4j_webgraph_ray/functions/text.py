@@ -36,13 +36,21 @@ def _count_regex(text: pa.ChunkedArray | pa.Array, pattern: str) -> np.ndarray:
     return pc.count_substring_regex(text, pattern).to_numpy(zero_copy_only=False)
 
 
+def ws_token_lists(text) -> pa.Array:
+    """Whitespace tokenization shared by EVERY operator whose DuckDB
+    oracle uses ``string_split_regex(trim(text), '\\s+')`` —
+    token_counts, top_tokens, tfidf_top_terms.  ONE implementation so
+    the engine-side tokenizer can never drift from the oracle
+    expression in just one of them."""
+    return pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+
+
 def ws_token_count(text) -> np.ndarray:
     """Whitespace tokens, identical to DuckDB
     ``len(string_split_regex(trim(text), '\\s+'))``."""
-    trimmed = pc.utf8_trim_whitespace(text)
-    return pc.list_value_length(
-        pc.split_pattern_regex(trimmed, r"\s+")
-    ).to_numpy(zero_copy_only=False)
+    return pc.list_value_length(ws_token_lists(text)).to_numpy(
+        zero_copy_only=False
+    )
 
 
 def word_token_count(text) -> np.ndarray:

@@ -658,14 +658,17 @@ def _lookup_join(
     prebuilt_arrays: tuple[np.ndarray, np.ndarray] | None = None,
     keep_unmatched: bool = False,
     unmatched_value=UNMATCHED_SENTINEL,
+    keep_key: bool = False,
 ) -> ray.data.Dataset:
     """Equi-join: attach ``lookup_val`` (renamed ``out_col``) to each
-    ``ds`` row by ``key_col``; emit carry_cols + out_col.  Inner by
-    default; with ``keep_unmatched`` data rows without a lookup match
-    are kept with ``out_col = unmatched_value`` — a TYPED sentinel
-    (never null: a nullable int64 materializes as float64 in pandas
-    frames and silently rounds hash-range ids above 2^53, the same
-    rule as attach_vkeys' UNMATCHED_SENTINEL).
+    ``ds`` row by ``key_col``; emit carry_cols + out_col (+ ``key_col``
+    with ``keep_key`` — the key must NOT be listed in carry_cols, where
+    the co-group path's rename would duplicate it; asserted below).
+    Inner by default; with ``keep_unmatched`` data rows without a
+    lookup match are kept with ``out_col = unmatched_value`` — a TYPED
+    sentinel (never null: a nullable int64 materializes as float64 in
+    pandas frames and silently rounds hash-range ids above 2^53, the
+    same rule as attach_vkeys' UNMATCHED_SENTINEL).
 
     Size-gated like the engine's other joins: a lookup table at or
     below ``broadcast_limit`` rows is collected once into a broadcast
@@ -678,6 +681,12 @@ def _lookup_join(
     ``carry_defaults`` for carry columns on the lookup side) so a
     partial pandas concat can never coerce an absent int64 id column
     to float64 (the hash-id rounding hazard)."""
+    if key_col in carry_cols:
+        raise ValueError(
+            f"_lookup_join: key_col {key_col!r} must not appear in "
+            "carry_cols (use keep_key=True) — the co-group path's rename "
+            "would duplicate the column"
+        )
     cdef = carry_defaults or {}
     if prebuilt_arrays is not None or lookup.count() <= broadcast_limit:
         # prebuilt_arrays lets a caller that issues several joins
@@ -703,9 +712,13 @@ def _lookup_join(
                                dtype=v_.dtype if len(v_) else None)
                 vals[found] = v_[idx[found]]
                 out[out_col] = vals
+                if keep_key:
+                    out[key_col] = x
                 return out
             out = df.loc[found, carry_cols].copy(deep=False)
             out[out_col] = v_[idx[found]]  # exact dtype, no NaN path
+            if keep_key:
+                out[key_col] = x[found]
             return out
 
         return ds.map_batches(attach_bc, batch_format="pandas")
@@ -741,7 +754,8 @@ def _lookup_join(
                 lone = lone.copy()
                 lone["_v"] = unmatched_value
                 out = pd.concat([out, lone], ignore_index=True)
-        return out.rename(columns={"_v": out_col})[[*carry_cols, out_col]]
+        keep = [*carry_cols, out_col] + ([key_col] if keep_key else [])
+        return out.rename(columns={"_v": out_col, "_k": key_col})[keep]
 
     both = ds.map_batches(tag_data, batch_format="pandas").union(probe)
     return bucketed_groupby(

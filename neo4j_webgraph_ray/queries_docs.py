@@ -250,7 +250,7 @@ def _attach_clusters(
     )
     clustered = _lookup_join(
         ids, id_col, state.materialize(), "id", "label", "cluster",
-        carry_cols=[id_col], keep_unmatched=True,
+        carry_cols=[], keep_unmatched=True, keep_key=True,
     )
 
     def own_cluster(df: pd.DataFrame) -> pd.DataFrame:
@@ -279,11 +279,11 @@ def q_top_tokens(sf_dir: str, k: int = TOP_TOKENS_K) -> pd.DataFrame:
     ``num_buckets × k`` rows, never the full vocabulary."""
     import pyarrow.compute as pc
 
+    from neo4j_webgraph_ray.functions.text import ws_token_lists
     from neo4j_webgraph_ray.stages.core import bucketed_groupby
 
     def partials(batch: pa.Table) -> pd.DataFrame:
-        trimmed = pc.utf8_trim_whitespace(batch["text"])
-        toks = pc.list_flatten(pc.split_pattern_regex(trimmed, r"\s+"))
+        toks = pc.list_flatten(ws_token_lists(batch["text"]))
         toks = toks.filter(pc.not_equal(toks, ""))
         vc = toks.value_counts()
         return pd.DataFrame(
@@ -399,6 +399,7 @@ def q_tfidf_top_terms(sf_dir: str, top_n: int = TFIDF_TOP_N) -> pd.DataFrame:
     per-doc head-k.  Nothing driver-side except the contract result."""
     import pyarrow.compute as pc
 
+    from neo4j_webgraph_ray.functions.text import ws_token_lists
     from neo4j_webgraph_ray.queries import _lookup_join
     from neo4j_webgraph_ray.stages.core import bucketed_groupby
 
@@ -406,8 +407,7 @@ def q_tfidf_top_terms(sf_dir: str, top_n: int = TFIDF_TOP_N) -> pd.DataFrame:
     n_docs = float(docs.count())
 
     def tf_rows(batch: pa.Table) -> pd.DataFrame:
-        trimmed = pc.utf8_trim_whitespace(batch["text"])
-        lists = pc.split_pattern_regex(trimmed, r"\s+")
+        lists = ws_token_lists(batch["text"])
         lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
         toks = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
         ids = np.repeat(
@@ -433,13 +433,16 @@ def q_tfidf_top_terms(sf_dir: str, top_n: int = TFIDF_TOP_N) -> pd.DataFrame:
     def df_combine(d: pd.DataFrame) -> pd.DataFrame:
         return d.groupby("tok", as_index=False, sort=False)["df"].sum()
 
+    # pinned: _lookup_join consumes the lookup twice (count gate +
+    # array collection) — without the pin the df shuffle runs twice
     dfreq = bucketed_groupby(
         tf.map_batches(df_partial, batch_format="pandas"),
         ["tok"], df_combine, num_buckets=16,
-    )
+    ).materialize()
     joined = _lookup_join(
         tf, "tok", dfreq, "tok", "df", "df",
-        carry_cols=["doc_id", "tok", "tf"], val_default=np.int64(1),
+        carry_cols=["doc_id", "tf"], val_default=np.int64(1),
+        keep_key=True,
     )
 
     def score(d: pd.DataFrame) -> pd.DataFrame:

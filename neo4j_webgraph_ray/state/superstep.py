@@ -324,7 +324,9 @@ class SuperstepEngine:
             .groupby("part")
             .map_groups(write_edge_part, batch_format="pandas")
         ).to_pandas()
-        n_edges = int(edge_parts["n_edges"].sum())
+        # a zero-edge input yields a columnless empty frame (groupby on
+        # nothing): prepare must still produce a valid empty graph
+        n_edges = int(edge_parts["n_edges"].sum()) if len(edge_parts) else 0
         fingerprint = {
             "n_edges": n_edges,
             "xor": int(np.bitwise_xor.reduce(edge_parts["fp"].to_numpy()))
@@ -351,7 +353,6 @@ class SuperstepEngine:
                 }
             )
 
-        edges_on_disk = fsio.ray_read_parquet(edges_dir(workdir), fs=fs)
         program = self.program
         vdir = fsio.join(workdir, "vertices")
         fsio.makedirs(vdir, fs=fs)
@@ -368,12 +369,18 @@ class SuperstepEngine:
             atomic_write_parquet(t, fsio.join(vdir, f"part={part}.parquet"), fs=fs)
             return pd.DataFrame([{"part": part, "n_vertices": len(g)}])
 
-        vparts = (
-            edges_on_disk.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("part")
-            .map_groups(write_vertex_part, batch_format="pandas")
-        ).to_pandas()
-        n_vertices = int(vparts["n_vertices"].sum())
+        if n_edges:
+            edges_on_disk = fsio.ray_read_parquet(edges_dir(workdir), fs=fs)
+            vparts = (
+                edges_on_disk.map_batches(
+                    endpoints, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .groupby("part")
+                .map_groups(write_vertex_part, batch_format="pandas")
+            ).to_pandas()
+            n_vertices = int(vparts["n_vertices"].sum())
+        else:
+            n_vertices = 0  # no edge files to read back; empty graph
 
         # second pass, distributed: init state per part now that n is known
         self.ctx = {"n": n_vertices, "step": 0}

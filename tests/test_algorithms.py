@@ -128,3 +128,25 @@ def test_pagerank_on_transcript_graph(sf_smoke, tmp_path):
     assert len(got) == len(oracle)
     for v, r in oracle.items():
         assert abs(got[v] - r) < 1e-6
+
+
+def test_prepare_and_run_on_empty_edges(tmp_path):
+    """A zero-edge input must produce a valid EMPTY graph (manifest
+    with 0/0, trivially converged run) — the groupby over nothing
+    yields a columnless frame that used to KeyError in prepare."""
+    import pyarrow as pa
+    import ray.data
+
+    from neo4j_webgraph_ray.pipelines.algorithms import PageRankProgram
+    from neo4j_webgraph_ray.state.checkpoint import load_manifest
+    from neo4j_webgraph_ray.state.superstep import SuperstepEngine
+
+    empty = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    eng = SuperstepEngine(str(tmp_path / "wd"), PageRankProgram(), num_partitions=4)
+    m = eng.prepare(empty)
+    assert m.steps[0]["n_edges"] == 0 and m.steps[0]["n_vertices"] == 0
+    out = eng.run()
+    assert out.count() == 0
+    assert load_manifest(str(tmp_path / "wd")).status in ("converged", "max_steps")

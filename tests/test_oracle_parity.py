@@ -165,3 +165,52 @@ def test_attach_vkeys_large_ids_and_unmatched():
     got = dict(zip(out["vkey"], out["label"]))
     assert got["conv:a"] == big + 7 and got["tool:b"] == big + 9  # bit-exact
     assert got["role:c"] == UNMATCHED_SENTINEL
+
+
+def test_lookup_join_keep_key_cogroup_matches_broadcast():
+    """keep_key through BOTH join paths (the tfidf join carries the
+    token key in its output; broadcast_limit=0 forces the co-group
+    path the small oracle corpus never reaches)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from neo4j_webgraph_ray.queries import _lookup_join
+
+    rng = np.random.default_rng(2)
+    data = ray.data.from_arrow(
+        pa.table(
+            {
+                "tok": pa.array([f"t{i % 37}" for i in range(500)]),
+                "doc_id": pa.array(np.arange(500, dtype=np.int64)),
+                "tf": pa.array(rng.integers(1, 9, 500).astype(np.int64)),
+            }
+        )
+    )
+    lookup = ray.data.from_arrow(
+        pa.table(
+            {
+                "tok": pa.array([f"t{i}" for i in range(37)]),
+                "df": pa.array(np.arange(1, 38, dtype=np.int64)),
+            }
+        )
+    )
+
+    def run(limit):
+        out = _lookup_join(
+            data, "tok", lookup, "tok", "df", "df",
+            carry_cols=["doc_id", "tf"], keep_key=True,
+            broadcast_limit=limit, num_buckets=4,
+        ).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)[
+            ["doc_id", "tf", "df", "tok"]
+        ]
+
+    pd.testing.assert_frame_equal(run(500_000), run(0))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="carry_cols"):
+        _lookup_join(data, "tok", lookup, "tok", "df", "df",
+                     carry_cols=["tok", "doc_id"])
