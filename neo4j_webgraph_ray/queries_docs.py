@@ -408,7 +408,12 @@ def q_tfidf_top_terms(sf_dir: str, top_n: int = TFIDF_TOP_N) -> pd.DataFrame:
 
     def tf_rows(batch: pa.Table) -> pd.DataFrame:
         lists = ws_token_lists(batch["text"])
-        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        # null text => null token list; list_flatten SKIPS nulls, so the
+        # repeat counts must treat them as zero tokens too or np.repeat
+        # raises on the NaN-widened lens (ADVICE r4)
+        lens = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+            zero_copy_only=False
+        )
         toks = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
         ids = np.repeat(
             batch["doc_id"].to_numpy(zero_copy_only=False), lens
@@ -621,13 +626,26 @@ def q_embedding_neardup_clusters(sf_dir: str) -> pd.DataFrame:
     cluster" is the operator an embedding-dedup pipeline actually
     runs."""
     from neo4j_webgraph_ray.queries import _workdir
+    from neo4j_webgraph_ray.stages.similarity import embedding_neardup_pairs_ds
 
-    pairs = embedding_neardup_pairs(_emb(sf_dir), tau=NEARDUP_TAU)
-    edges = None
-    if len(pairs):
-        edges = ray.data.from_pandas(
-            pairs.rename(columns={"a": "src", "b": "dst"})[["src", "dst"]]
-        ).materialize()
+    # pair Dataset consumed engine-side — no driver round-trip of the
+    # pair graph (VERDICT r4 #2; mirrors q_neardup_clusters/text)
+    pairs = embedding_neardup_pairs_ds(_emb(sf_dir), tau=NEARDUP_TAU)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            # a zero-row groupby upstream yields a columnless block
+            return pa.table(
+                {"src": pa.array([], pa.int64()),
+                 "dst": pa.array([], pa.int64())}
+            )
+        return pa.table({"src": t["a"], "dst": t["b"]})
+
+    edges = pairs.map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if edges.count() == 0:
+        edges = None
     return _attach_clusters(
         _emb(sf_dir).select_columns(["vec_id"]), "vec_id", edges,
         _workdir(sf_dir, "emb_neardup_cc"),

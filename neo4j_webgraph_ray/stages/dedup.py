@@ -818,10 +818,23 @@ def minhash_neardup_pairs(
         # metadata-ONLY size inference: ds.size_bytes() executes the
         # plan when metadata can't answer (a lazily-transformed corpus
         # would fully materialize just to evaluate this gate), so an
-        # unknown size falls to the bounded-memory no-carry path
+        # unknown size falls to the bounded-memory no-carry path.
+        # Ray 2.49 has no public metadata-only accessor; if a Ray
+        # upgrade renames the private one, WARN instead of silently
+        # disabling the single-pass carry for every corpus (ADVICE r4).
         try:
             sz = docs._logical_plan.dag.infer_metadata().size_bytes
-        except Exception:
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                "minhash_neardup_pairs: metadata size probe failed "
+                f"({type(e).__name__}: {e}); carry_shingles='auto' falls "
+                "back to the no-carry (re-shingle) path — pass "
+                "carry_shingles=True/False explicitly to silence",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             sz = None
         carry_shingles = sz is not None and sz <= carry_bytes_limit
     sigs = minhash_signatures(

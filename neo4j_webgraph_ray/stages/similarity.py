@@ -13,10 +13,60 @@ not reorder results vs the DuckDB ``list_cosine_similarity`` oracle.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+
+# Per-task peak for one in-bucket cosine block (bytes).  Bounds the
+# largest transient allocation in the LSH near-dup path regardless of
+# how degenerate a bucket is (VERDICT r4 #1).
+PAIR_BLOCK_BYTES = 128 * 1024 * 1024
+
+
+def threshold_pairs_blocked(
+    ids: np.ndarray, m: np.ndarray, tau: float,
+    block_bytes: int = PAIR_BLOCK_BYTES,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All unordered pairs (canonical a < b by id) within ONE bucket
+    whose 6-dp-rounded cosine >= tau, computed in ROW BLOCKS against
+    the bucket matrix: the largest allocation is (block_rows x n)
+    float64 instead of the full n x n matrix.  At the 20 K member cap
+    an un-blocked ``m @ m.T`` was a ~3.2 GB single-task allocation
+    plus a rounded copy plus a 400 MB bool mask; with the default
+    128 MiB budget the same bucket peaks at ~838 x 20 K per block.
+
+    ``m`` must be L2-normalized.  Rounding happens per block on
+    independent dot products, so blocking cannot change which pairs
+    pass the threshold (bit-identical to the unblocked computation —
+    property-tested in tests/test_similarity_multimodal.py)."""
+    n = len(ids)
+    empty = (
+        np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64)
+    )
+    if n < 2:
+        return empty
+    block_rows = max(1, int(block_bytes // (8 * n)))
+    col = np.arange(n)
+    xs, ys, cs = [], [], []
+    for i0 in range(0, n - 1, block_rows):
+        i1 = min(i0 + block_rows, n)
+        cos = np.round(m[i0:i1] @ m.T, 6)
+        hits = cos >= tau
+        hits &= col[None, :] > np.arange(i0, i1)[:, None]  # j > i only
+        bi, bj = np.nonzero(hits)
+        if not len(bi):
+            continue
+        a, b = ids[bi + i0], ids[bj]
+        swap = a > b  # canonical (a < b) regardless of bucket row order
+        xs.append(np.where(swap, b, a))
+        ys.append(np.where(swap, a, b))
+        cs.append(cos[bi, bj])
+    if not xs:
+        return empty
+    return np.concatenate(xs), np.concatenate(ys), np.concatenate(cs)
 
 
 def _matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
@@ -117,14 +167,20 @@ _EMPTY_PAIRS = pd.DataFrame(
 )
 
 
-def embedding_neardup_pairs(
+def embedding_neardup_pairs_ds(
     embeddings: ray.data.Dataset, tau: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
     method: str = "auto", broadcast_limit: int = 200_000,
     n_planes: int = 8, num_buckets: int = 32, max_bucket: int = 20_000,
     target_recall: float = 0.98, max_tables: int = 32,
-) -> pd.DataFrame:
-    """All pairs (a < b) with cosine >= tau.
+) -> ray.data.Dataset:
+    """All pairs (a < b) with cosine >= tau, as a DISTRIBUTED Dataset
+    of (a, b, cos) rows — the pair set of a boilerplate-heavy corpus
+    can be orders of magnitude larger than the input (10^6 vectors in
+    one near-dup cluster is ~10^12 pairs), so the scale path must
+    never collect it on the driver (VERDICT r4 #2).  Downstream
+    consumers (cluster CC, sinks) chain on the Dataset; callers that
+    genuinely want a frame use ``embedding_neardup_pairs``.
 
     Two paths, size-gated like ``triangle_count``:
 
@@ -158,9 +214,22 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: ray.data.Dataset, tau: float = 0.95, **kwargs
+) -> pd.DataFrame:
+    """Driver-frame convenience over ``embedding_neardup_pairs_ds`` —
+    the contract-query surface (the driver compares a frame).  Safe
+    only when the pair set is known small; at-scale pipelines chain on
+    the Dataset variant instead."""
+    out = embedding_neardup_pairs_ds(embeddings, tau, **kwargs).to_pandas()
+    if "a" not in out.columns:  # empty result loses its schema via to_pandas
+        out = _EMPTY_PAIRS.copy()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _neardup_bruteforce(
     embeddings: ray.data.Dataset, tau: float, id_col: str, vec_col: str
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     ids_all, mat_all = [], []
     for b in embeddings.iter_batches(batch_size=65536, batch_format="pyarrow"):
         ids_all.append(b[id_col].to_numpy(zero_copy_only=False))
@@ -191,12 +260,9 @@ def _neardup_bruteforce(
             }
         )
 
-    out = embeddings.map_batches(
+    return embeddings.map_batches(
         pairs, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    if "a" not in out.columns:  # empty result loses its schema via to_pandas
-        out = _EMPTY_PAIRS.copy()
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    )
 
 
 def lsh_tables_for(
@@ -223,9 +289,9 @@ def lsh_tables_for(
         if L <= max_tables:
             return b, max(1, L)
     achievable = 1.0 - (1.0 - p) ** max_tables
-    import sys
-
-    print(
+    # warnings, not a bare stderr print: callers/tests can capture and
+    # assert on the degraded-recall condition (ADVICE r4)
+    warnings.warn(
         f"[emb-lsh] no (b, L) within {max_tables} tables reaches "
         f"target_recall={target_recall} at tau={tau}; falling back to "
         f"(b=1, L={max_tables}) with modeled recall <= {achievable:.3f} "
@@ -234,7 +300,8 @@ def lsh_tables_for(
         "members and realized recall lands lower — at such low tau "
         "sign-LSH is the wrong tool; prefer the exact path or a higher "
         "threshold)",
-        file=sys.stderr,
+        RuntimeWarning,
+        stacklevel=2,
     )
     return 1, max_tables
 
@@ -243,7 +310,7 @@ def _neardup_lsh(
     embeddings: ray.data.Dataset, tau: float, id_col: str, vec_col: str,
     n_planes: int, num_buckets: int, max_bucket: int,
     target_recall: float = 0.98, max_tables: int = 32,
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     from neo4j_webgraph_ray.stages.core import (
         BUCKET_COL,
         add_bucket_column,
@@ -254,7 +321,7 @@ def _neardup_lsh(
         iter(embeddings.iter_batches(batch_size=1, batch_format="pyarrow")), None
     )
     if first is None or first.num_rows == 0:
-        return _EMPTY_PAIRS.copy()
+        return ray.data.from_pandas(_EMPTY_PAIRS.copy())
     dim = len(first[vec_col][0].as_py())
     b, L = lsh_tables_for(tau, target_recall, n_planes, max_tables)
     rng = np.random.default_rng(42)
@@ -306,24 +373,20 @@ def _neardup_lsh(
                 g = g.iloc[:max_bucket]
             ids = g[id_col].to_numpy()
             m = np.stack(g["vec"].to_numpy())
-            cos = np.round(m @ m.T, 6)
-            iu, ju = np.nonzero(np.triu(cos >= tau, k=1))
-            if len(iu) == 0:
+            # blocked comparison: peak allocation bounded by
+            # PAIR_BLOCK_BYTES even at the max_bucket cap (r4 #1)
+            a2, b2, c2 = threshold_pairs_blocked(ids, m, tau)
+            if len(a2) == 0:
                 continue
-            a, b = ids[iu], ids[ju]
-            swap = a > b  # canonical (a < b) regardless of bucket order
-            a2 = np.where(swap, b, a)
-            b2 = np.where(swap, a, b)
             xs.append(a2)
             ys.append(b2)
-            cs.append(cos[iu, ju])
+            cs.append(c2)
         if dropped:
-            import sys
-
-            print(
+            warnings.warn(
                 f"[emb-lsh] degenerate bucket: dropped {dropped} members "
                 f"beyond {max_bucket}",
-                file=sys.stderr,
+                RuntimeWarning,
+                stacklevel=2,
             )
         if not xs:
             return pd.DataFrame(
@@ -343,16 +406,13 @@ def _neardup_lsh(
         pairs_per_group, batch_format="pandas"
     )
     # a pair can surface from several probe buckets: one global dedup
-    # shuffle (cos is identical across copies — same rounded computation)
-    dedup = bucketed_groupby(
+    # shuffle (cos is identical across copies — same rounded computation).
+    # Returned as a Dataset — pairs never touch the driver on this path.
+    return bucketed_groupby(
         pairs, ["a", "b"],
         lambda df: df.drop_duplicates(["a", "b"]),
         num_buckets=num_buckets,
     )
-    out = dedup.to_pandas()
-    if "a" not in out.columns:
-        out = _EMPTY_PAIRS.copy()
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 class HyperplaneLsh:

@@ -214,3 +214,79 @@ def test_lookup_join_keep_key_cogroup_matches_broadcast():
     with pytest.raises(ValueError, match="carry_cols"):
         _lookup_join(data, "tok", lookup, "tok", "df", "df",
                      carry_cols=["tok", "doc_id"])
+
+
+def test_lookup_join_empty_lookup_keeps_value_dtype():
+    """ADVICE r4: with an EMPTY lookup + keep_unmatched, the sentinel
+    column's dtype must come from the collected lookup values (object),
+    never be inferred from the int sentinel; an unrepresentable
+    sentinel must raise instead of silently coercing."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from neo4j_webgraph_ray.queries import UNMATCHED_SENTINEL, _lookup_join
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "k": np.array([1, 2], dtype=np.int64),
+        "payload": np.array([10, 20], dtype=np.int64),
+    }))
+    empty = ray.data.from_pandas(pd.DataFrame({
+        "id": np.array([], dtype=np.int64),
+        "val": pd.array([], dtype=object),
+    }))
+    out = _lookup_join(
+        ds, "k", empty, "id", "val", "v", carry_cols=["payload"],
+        keep_unmatched=True,
+    ).to_pandas().sort_values("payload").reset_index(drop=True)
+    assert out["v"].dtype == object  # lookup dtype, not int64 inference
+    assert list(out["v"]) == [UNMATCHED_SENTINEL, UNMATCHED_SENTINEL]
+
+    # a sentinel the value dtype can't represent fails LOUDLY
+    narrow = (np.array([1], dtype=np.int64), np.array([5], dtype=np.int8))
+    with pytest.raises(ValueError, match="not representable"):
+        _lookup_join(
+            ds, "k", empty, "id", "val", "v", carry_cols=["payload"],
+            keep_unmatched=True, prebuilt_arrays=narrow,
+        ).to_pandas()
+
+
+def test_graph_cache_invalidated_on_input_rewrite(tmp_path):
+    """VERDICT r4 #7: graph() keys its cache on the input signature —
+    a regenerated events.parquet at the SAME path must yield fresh
+    tables, not the cached ones."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neo4j_webgraph_ray.queries import graph
+
+    d = str(tmp_path)
+
+    def write(n_users):
+        ids = np.arange(n_users * 2, dtype=np.int64)
+        t = pa.table({
+            "event_id": pa.array(ids),
+            "ts": pa.array(ids * 1000, type=pa.timestamp("us")),
+            "user_id": pa.array(ids % n_users),
+            "event_type": pa.array(
+                ["click" if i % 2 else "view" for i in ids]
+            ),
+            "value": pa.array(np.zeros(len(ids))),
+            "props": pa.array([f"k={i}" for i in ids]),
+        })
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+
+    write(3)
+    _, v1 = graph(d)
+    n1 = v1.count()
+    assert graph(d)[1] is v1  # unchanged input => cache hit
+    write(7)
+    # force a distinct mtime_ns even on coarse filesystems
+    os.utime(os.path.join(d, "events.parquet"), ns=(1, 10**15))
+    _, v2 = graph(d)
+    assert v2 is not v1
+    assert v2.count() != n1

@@ -301,3 +301,95 @@ def test_ann_pq_persisted_codes(tmp_path):
     ann_topk_pq(ds, qids, k=10, n_subspaces=8, n_centroids=32, codes_dir=cd)
     with open(os.path.join(cd, "manifest.json")) as f:
         assert json.load(f)["n_subspaces"] == 8
+
+
+def test_threshold_pairs_blocked_matches_unblocked():
+    """The blocked in-bucket comparison (VERDICT r4 #1) must be
+    bit-identical to the naive full-matrix computation — rounding
+    happens on independent dot products, so the block boundary cannot
+    change which pairs pass."""
+    from neo4j_webgraph_ray.stages.similarity import threshold_pairs_blocked
+
+    rng = np.random.default_rng(11)
+    n, dim = 300, 12
+    m = rng.standard_normal((n, dim))
+    m[40] = m[12] + 1e-5 * rng.standard_normal(dim)
+    m[77] = m[13]
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    ids = rng.permutation(np.arange(1000, 1000 + n)).astype(np.int64)
+    tau = 0.4
+
+    cos = np.round(m @ m.T, 6)
+    iu, ju = np.nonzero(np.triu(cos >= tau, k=1))
+    a, b = ids[iu], ids[ju]
+    swap = a > b
+    naive = sorted(zip(np.where(swap, b, a), np.where(swap, a, b),
+                       cos[iu, ju]))
+
+    # tiny budget => block_rows = max(1, 2400*8 // (8*300)) = 8 rows,
+    # forcing ~38 blocks through the boundary logic
+    for budget in (8 * n * 8, 3 * n * 8, 1 << 30):
+        ga, gb, gc = threshold_pairs_blocked(ids, m, tau, block_bytes=budget)
+        assert sorted(zip(ga, gb, gc)) == naive, f"budget={budget}"
+
+    # degenerate inputs
+    for k in (0, 1):
+        ga, gb, gc = threshold_pairs_blocked(ids[:k], m[:k], tau)
+        assert len(ga) == len(gb) == len(gc) == 0
+
+
+def test_embedding_neardup_lsh_one_hot_bucket():
+    """Every vector in ONE bucket (the degenerate boilerplate-corpus
+    case the blocking exists for): all pairs must still come back, via
+    the Dataset-returning scale path with no driver materialization
+    inside the engine."""
+    import ray.data as rd
+
+    from neo4j_webgraph_ray.stages.similarity import (
+        embedding_neardup_pairs_ds,
+    )
+
+    rng = np.random.default_rng(4)
+    n, dim = 120, 16
+    base = rng.standard_normal(dim)
+    m = base[None, :] + 1e-6 * rng.standard_normal((n, dim))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.astype(np.float32).ravel()), dim
+            ),
+        }
+    )
+    ds = embedding_neardup_pairs_ds(
+        rd.from_arrow(t), tau=0.99, method="lsh", n_planes=8
+    )
+    assert isinstance(ds, rd.Dataset)
+    out = ds.to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    assert got == {(a, b) for a in range(n) for b in range(a + 1, n)}
+
+
+def test_embedding_neardup_ds_matches_frame_wrapper():
+    ds, _ = emb_ds()
+    import ray.data as rd
+
+    from neo4j_webgraph_ray.stages.similarity import (
+        embedding_neardup_pairs_ds,
+    )
+
+    d = embedding_neardup_pairs_ds(ds, tau=0.99, method="bruteforce")
+    assert isinstance(d, rd.Dataset)
+    frame = embedding_neardup_pairs(ds, tau=0.99, method="bruteforce")
+    via_ds = d.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert via_ds[["a", "b"]].values.tolist() == frame[["a", "b"]].values.tolist()
+
+
+def test_lsh_tables_for_fallback_warns():
+    """The unreachable-recall fallback must be a capturable warning,
+    not a bare stderr print (ADVICE r4)."""
+    from neo4j_webgraph_ray.stages.similarity import lsh_tables_for
+
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        b, L = lsh_tables_for(0.05, 0.98, 8, 4)
+    assert (b, L) == (1, 4)

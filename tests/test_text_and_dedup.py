@@ -531,3 +531,29 @@ def test_neardup_cluster_diameter_within_oracle_unroll(sf_correct):
             f"{name} cluster min-label eccentricity {ecc} exceeds the "
             f"oracle's {_NEARDUP_CLUSTERS_UNROLL}-step unroll — regenerate"
         )
+
+
+def test_tfidf_null_text_is_zero_tokens(tmp_path):
+    """ADVICE r4: a null text row must behave as zero tokens (matching
+    the DuckDB oracle and q_top_tokens' list_flatten null-skipping),
+    not crash np.repeat via NaN-widened lengths."""
+    import pyarrow.parquet as pq
+
+    from neo4j_webgraph_ray.queries_docs import q_tfidf_top_terms
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(["alpha beta beta", None, "alpha gamma"]),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = q_tfidf_top_terms(str(d))
+    # the null doc contributes no rows; the others rank normally
+    assert set(out["doc_id"]) == {0, 2}
+    top0 = out[out["doc_id"] == 0].sort_values("score", ascending=False)
+    assert top0.iloc[0]["tok"] == "beta"  # tf=2, df=1
