@@ -12,8 +12,20 @@ pure function evaluated independently in every task.
 Hash choice: ``pandas.util.hash_array`` (vectorized C siphash-1-3 with a
 fixed key), deterministic across processes and runs.  Collision risk at
 n keys is ~n^2/2^65; a one-time validation pass (`validate_no_collisions`)
-is run by the tests at small scale, and the 128-bit upgrade path is to
-hash with two distinct fixed keys and widen to a (hi, lo) pair.
+is run by the tests at small scale.
+
+128-bit upgrade path (VERDICT r4 #3): :func:`hash128` /
+:func:`vertex_id_wide` hash with TWO distinct fixed keys and return an
+independent (hi, lo) int64 pair — effective 128-bit id space, collision
+odds ~n^2/2^129 (~1e-20 at 10^10 keys, where the 64-bit scheme is near
+certain to collide).  ``stages/wide_ids.py`` carries the pair through
+the lean edge derivation and assigns collision-free DENSE int64 engine
+ids by distributed rank, so the superstep/CSR machinery runs unchanged;
+select it with ``NWR_WIDE_IDS=1`` (or ``wide_ids=True`` on
+``derive_edge_ids``).  The reference's Lucene get-or-create index is
+collision-free by construction
+(``importer/BatchGraphImporter.java:173-197``); the dense-rank
+assignment is this engine's distributed equivalent.
 """
 
 from __future__ import annotations
@@ -24,6 +36,9 @@ import pyarrow as pa
 
 # Fixed key => deterministic across runs/processes (pandas' documented default).
 _HASH_KEY = "0123456789123456"
+# Second, distinct fixed key for the 128-bit (hi, lo) path — independent
+# siphash stream, so a pair collision needs BOTH 64-bit halves to collide.
+_HASH_KEY2 = "fedcba9876543210"
 
 KIND_CONV = "conv"
 KIND_TOOL = "tool"
@@ -41,30 +56,54 @@ def hash64(keys) -> np.ndarray:
     return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=True).view(np.int64)
 
 
-def vertex_id(kind, key) -> np.ndarray:
-    """id = hash64(kind + ":" + key); kind/key are arrays or scalars."""
+def _as_object_array(keys) -> np.ndarray:
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        keys = keys.to_numpy(zero_copy_only=False)
+    return np.asarray(keys, dtype=object)
+
+
+def hash128(keys) -> tuple[np.ndarray, np.ndarray]:
+    """(hi, lo): two INDEPENDENT stable 64-bit hashes of a string array
+    (distinct fixed siphash keys) — the 128-bit id space for corpora
+    beyond ~10^8 keys, where 64-bit collisions become likely."""
+    arr = _as_object_array(keys)
+    hi = pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=True).view(np.int64)
+    lo = pd.util.hash_array(arr, hash_key=_HASH_KEY2, categorize=True).view(np.int64)
+    return hi, lo
+
+
+def _composite(kind, key) -> np.ndarray:
     if isinstance(kind, str):
         if isinstance(key, str):
-            return hash64(np.array([f"{kind}:{key}"], dtype=object))
-        key_np = (
-            key.to_numpy(zero_copy_only=False)
-            if isinstance(key, (pa.Array, pa.ChunkedArray))
-            else np.asarray(key, dtype=object)
-        )
-        composite = np.char.add(f"{kind}:", key_np.astype(str)).astype(object)
-        return hash64(composite)
-    kind_np = (
-        kind.to_numpy(zero_copy_only=False)
-        if isinstance(kind, (pa.Array, pa.ChunkedArray))
-        else np.asarray(kind, dtype=object)
-    )
-    key_np = (
-        key.to_numpy(zero_copy_only=False)
-        if isinstance(key, (pa.Array, pa.ChunkedArray))
-        else np.asarray(key, dtype=object)
-    )
-    composite = np.char.add(np.char.add(kind_np.astype(str), ":"), key_np.astype(str))
-    return hash64(composite.astype(object))
+            return np.array([f"{kind}:{key}"], dtype=object)
+        key_np = _as_object_array(key)
+        return np.char.add(f"{kind}:", key_np.astype(str)).astype(object)
+    kind_np = _as_object_array(kind)
+    key_np = _as_object_array(key)
+    return np.char.add(
+        np.char.add(kind_np.astype(str), ":"), key_np.astype(str)
+    ).astype(object)
+
+
+def vertex_id_wide(kind, key) -> tuple[np.ndarray, np.ndarray]:
+    """(hi, lo) = hash128(kind + ":" + key) — the wide analog of
+    :func:`vertex_id`."""
+    return hash128(_composite(kind, key))
+
+
+def wide_ids_enabled() -> bool:
+    """Flag for the 128-bit derivation path: ``NWR_WIDE_IDS=1`` (for
+    >10^8-key corpora; default off — the sandbox testdata is far below
+    the 64-bit collision regime and 64-bit mode skips the dense-id
+    assignment shuffle)."""
+    import os
+
+    return os.environ.get("NWR_WIDE_IDS", "").lower() in ("1", "true", "yes")
+
+
+def vertex_id(kind, key) -> np.ndarray:
+    """id = hash64(kind + ":" + key); kind/key are arrays or scalars."""
+    return hash64(_composite(kind, key))
 
 
 def validate_no_collisions(kinds, keys) -> None:

@@ -347,7 +347,8 @@ def conv_tool_edge_ids_batch(batch: pa.Table) -> pa.Table:
 
 
 def derive_edge_ids(
-    transcripts: ray.data.Dataset, num_buckets: int = 128
+    transcripts: ray.data.Dataset, num_buckets: int = 128,
+    wide_ids: bool | None = None,
 ) -> ray.data.Dataset:
     """Raw (pre-dedup) int64 edge list for the iterative-algorithm path:
     conv→tool ∪ role-adjacency, all string work done batch-locally so
@@ -360,14 +361,32 @@ def derive_edge_ids(
     role-string) — irrelevant for inputs with unique (conv_id,
     turn_idx), which the clean stage guarantees.
 
-    Collision note (see also ids.py): turn dedup and adjacency key on
-    ``hash64(conv_id)``, so a 64-bit collision between two conv_ids
-    would silently merge their turn sequences and fabricate adjacency
-    edges in THIS lean path only (the string-keyed ``derive_edges``
-    path is immune).  Expected collisions ~n²/2^65: negligible below
-    ~10^8 conversations and accepted as documented risk beyond; make
-    divergence detectable by comparing edge counts against the exact
-    path on a sample if the input approaches that scale."""
+    Collision note (see also ids.py): in the default 64-bit mode, turn
+    dedup and adjacency key on ``hash64(conv_id)``, so a 64-bit
+    collision between two conv_ids would silently merge their turn
+    sequences and fabricate adjacency edges in THIS lean path only (the
+    string-keyed ``derive_edges`` path is immune).  Expected collisions
+    ~n²/2^65: negligible below ~10^8 conversations.  BEYOND that scale
+    pass ``wide_ids=True`` (or set ``NWR_WIDE_IDS=1``): the derivation
+    runs on independent 128-bit (hi, lo) hash pairs and assigns
+    collision-free dense int64 engine ids by distributed rank
+    (``stages/wide_ids.py``) — same output contract (int64 src/dst,
+    usable by ``prepare()`` unchanged), one extra endpoint-dedup
+    shuffle + id join as the price of collision-freedom."""
+    if wide_ids is None:
+        from neo4j_webgraph_ray.ids import wide_ids_enabled
+
+        wide_ids = wide_ids_enabled()
+    if wide_ids:
+        from neo4j_webgraph_ray.stages.wide_ids import (
+            derive_edge_ids_collision_free,
+        )
+
+        edges, _ = derive_edge_ids_collision_free(
+            transcripts, num_buckets=num_buckets
+        )
+        return edges
+
     def local(batch: pa.Table) -> pa.Table:
         """ONE pass over the input: conv→tool edges and role adjacency
         both resolved batch-locally; only undecidable rows shuffle.
