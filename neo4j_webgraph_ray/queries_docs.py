@@ -239,6 +239,7 @@ def _attach_clusters(
         UNMATCHED_SENTINEL,
         _algo_parts,
         _lookup_join,
+        _query_checkpoint_every,
     )
 
     if edges is None or edges.count() == 0:
@@ -246,7 +247,8 @@ def _attach_clusters(
         out["cluster"] = out[id_col]
         return out.sort_values(id_col).reset_index(drop=True)
     state = connected_components(
-        edges, workdir, num_partitions=_algo_parts(edges), checkpoint_every=50,
+        edges, workdir, num_partitions=_algo_parts(edges),
+        checkpoint_every=_query_checkpoint_every(50),
     )
     clustered = _lookup_join(
         ids, id_col, state.materialize(), "id", "label", "cluster",

@@ -290,3 +290,89 @@ def test_graph_cache_invalidated_on_input_rewrite(tmp_path):
     _, v2 = graph(d)
     assert v2 is not v1
     assert v2.count() != n1
+
+
+def _events_dir(tmp_path, rows):
+    """rows: (event_id, ts_us, user_id, event_type)"""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "event_id": pa.array(np.array([r[0] for r in rows], dtype=np.int64)),
+        "ts": pa.array(
+            np.array([r[1] for r in rows], dtype=np.int64),
+        ).cast(pa.timestamp("us")),
+        "user_id": pa.array(np.array([r[2] for r in rows], dtype=np.int64)),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array(np.zeros(len(rows))),
+        "props": pa.array([f"k={r[0]}" for r in rows]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+def _vs_duckdb(sf_dir, engine_df, sql):
+    import duckdb
+
+    from tests.util import assert_result_equal
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    assert_result_equal(engine_df, con.sql(sql).df(), name="crafted")
+
+
+def test_user_sessions_gap_semantics(tmp_path):
+    """Sessionization edge cases: an EXACT 30-min gap does not split
+    (strict >), one microsecond beyond does, tie timestamps stay in one
+    session, users never merge — engine vs DuckDB on crafted data."""
+    from neo4j_webgraph_ray.queries import USER_SESSIONS_SQL, q_user_sessions
+
+    M = 60_000_000  # one minute in us
+    rows = [
+        (1, 0 * M, 1, "view"),
+        (2, 30 * M, 1, "view"),        # exactly 30 min after -> same session
+        (3, 60 * M + 1, 1, "view"),    # 30 min + 1 us -> NEW session
+        (4, 60 * M + 1, 1, "click"),   # tie ts -> same session
+        (5, 0 * M, 2, "view"),         # other user: own session numbering
+        (6, 200 * M, 2, "view"),
+    ]
+    sf = _events_dir(tmp_path, rows)
+    got = q_user_sessions(sf).to_pandas()
+    # sanity before the hash compare: u1 = [2 events, 2 events], u2 = [1, 1]
+    by = got.sort_values(["user_id", "session_idx"])
+    assert list(by["n_events"]) == [2, 2, 1, 1]
+    _vs_duckdb(sf, got, USER_SESSIONS_SQL)
+
+
+def test_purchase_asof_click_semantics(tmp_path):
+    """As-of join edge cases: same-ts click counts (<=), later clicks
+    don't, purchases with no prior click drop (inner), users isolated —
+    engine vs DuckDB on crafted data."""
+    from neo4j_webgraph_ray.queries import (
+        PURCHASE_ASOF_CLICK_SQL,
+        q_purchase_asof_click,
+    )
+
+    rows = [
+        (1, 100, 1, "click"),
+        (2, 200, 1, "click"),
+        (3, 200, 1, "purchase"),   # ties with click 2 -> click_ts = 200
+        (4, 150, 1, "purchase"),   # between clicks -> click_ts = 100
+        (5, 50, 2, "purchase"),    # user 2 has no prior click -> dropped
+        (6, 500, 2, "click"),
+        (7, 600, 2, "purchase"),   # -> 500; must not see user 1's clicks
+        (8, 700, 3, "view"),       # irrelevant type
+    ]
+    sf = _events_dir(tmp_path, rows)
+    import numpy as np
+
+    got = q_purchase_asof_click(sf).to_pandas()
+    lut = dict(zip(got["purchase_event_id"], got["click_ts"].astype(np.int64)))
+    assert set(lut) == {3, 4, 7}
+    assert lut[3] == 200 and lut[4] == 100 and lut[7] == 500
+    _vs_duckdb(sf, got, PURCHASE_ASOF_CLICK_SQL)
