@@ -434,6 +434,42 @@ WHERE (length(conv_id) * 7 + turn_idx) % {SAMPLE_RATE_DENOM} = 0
 SESSION_GAP_MINUTES = 30
 
 
+def _events_user_bucketed(
+    sf_dir: str, columns: list[str], keep_types: tuple[str, ...] | None = None
+) -> ray.data.Dataset:
+    """The ONE shuffle every event-stream operator here shares: prune
+    columns (and optionally event types) at the read/map, then key each
+    row by ``user_id % B`` so all rows of a user co-locate.  Every
+    downstream per-bucket kernel (sessionization, as-of join, range
+    join, rolling window, funnel) relies on exactly this partitioning
+    assumption and nothing more."""
+    from neo4j_webgraph_ray.sources.transcripts import auto_buckets
+
+    path = os.path.join(sf_dir, "events.parquet")
+    B = auto_buckets(path)
+    small = os.path.exists(path) and os.path.getsize(path) < (512 << 20)
+    ds = ray.data.read_parquet(
+        path, columns=columns,
+        override_num_blocks=B if small else None,
+    )
+    vset = (
+        pa.array(list(keep_types), pa.string())
+        if keep_types is not None
+        else None
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if vset is not None:
+            # prune at the map: only relevant event types shuffle
+            batch = batch.filter(pc.is_in(batch["event_type"], value_set=vset))
+        b = pa.array((batch["user_id"].to_numpy() % B).astype(np.int32))
+        return batch.append_column("bucket", b)
+
+    return ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_user_sessions(
     sf_dir: str, gap_minutes: int = SESSION_GAP_MINUTES
 ) -> ray.data.Dataset:
@@ -449,22 +485,8 @@ def q_user_sessions(
     sort, boundary mask (user change OR gap), run-length aggregate via
     ``np.flatnonzero`` starts.  No window function materializes per-row
     state; output is one row per session."""
-    from neo4j_webgraph_ray.sources.transcripts import auto_buckets
-
-    path = os.path.join(sf_dir, "events.parquet")
-    B = auto_buckets(path)
-    small = os.path.exists(path) and os.path.getsize(path) < (512 << 20)
-    ds = ray.data.read_parquet(
-        path, columns=["user_id", "ts"],
-        override_num_blocks=B if small else None,
-    )
+    staged = _events_user_bucketed(sf_dir, ["user_id", "ts"])
     gap_us = np.int64(gap_minutes) * 60 * 1_000_000
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        b = pa.array(
-            (batch["user_id"].to_numpy() % B).astype(np.int32)
-        )
-        return batch.append_column("bucket", b)
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts"], kind="stable")
@@ -496,7 +518,6 @@ def q_user_sessions(
             }
         )
 
-    staged = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
     return staged.groupby("bucket").map_groups(sessions, batch_format="pandas")
 
 
@@ -540,24 +561,10 @@ def q_purchase_asof_click(sf_dir: str) -> ray.data.Dataset:
     purchases with a single vectorized searchsorted over the bucket's
     clicks on a structured (user, ts) key (no per-user loop, no
     windowed row state)."""
-    from neo4j_webgraph_ray.sources.transcripts import auto_buckets
-
-    path = os.path.join(sf_dir, "events.parquet")
-    B = auto_buckets(path)
-    small = os.path.exists(path) and os.path.getsize(path) < (512 << 20)
-    ds = ray.data.read_parquet(
-        path, columns=["user_id", "ts", "event_id", "event_type"],
-        override_num_blocks=B if small else None,
+    staged = _events_user_bucketed(
+        sf_dir, ["user_id", "ts", "event_id", "event_type"],
+        keep_types=("click", "purchase"),
     )
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        keep = pc.is_in(
-            batch["event_type"],
-            value_set=pa.array(["click", "purchase"], pa.string()),
-        )
-        batch = batch.filter(keep)  # prune at the map: 2/5 of rows shuffle
-        b = pa.array((batch["user_id"].to_numpy() % B).astype(np.int32))
-        return batch.append_column("bucket", b)
 
     def asof(df: pd.DataFrame) -> pd.DataFrame:
         et = df["event_type"].to_numpy()
@@ -590,7 +597,6 @@ def q_purchase_asof_click(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    staged = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
     return staged.groupby("bucket").map_groups(asof, batch_format="pandas")
 
 
@@ -602,6 +608,255 @@ SELECT p.user_id, p.event_id AS purchase_event_id, p.ts AS purchase_ts,
        max(c.ts) AS click_ts
 FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
 GROUP BY 1, 2, 3
+"""
+
+
+ERROR_CONTEXT_MINUTES = 240
+
+
+def q_error_context(sf_dir: str) -> ray.data.Dataset:
+    """Range (interval) join — the third custom temporal operator Ray
+    Data lacks natively: for every ``error`` event, ALL events by the
+    same user in the preceding ``ERROR_CONTEXT_MINUTES`` window
+    (``ctx_ts in [error_ts - W, error_ts)``, strictly before — ties and
+    the error row itself are excluded).  One output row per
+    (error, context-event) pair.
+
+    Partitioning assumption: user co-location (the shared
+    ``_events_user_bucketed`` shuffle).  Per bucket: ONE argsort on the
+    structured (user, ts) key, two searchsorted probes per error for
+    the window bounds, then a fully vectorized repeat/offset expansion
+    of the [lo, hi) ranges — no per-pair Python work.  Output volume is
+    inherently quadratic in per-user event density within W (range-join
+    semantics); W bounds it."""
+    staged = _events_user_bucketed(
+        sf_dir, ["user_id", "ts", "event_id", "event_type"]
+    )
+    w_us = np.int64(ERROR_CONTEXT_MINUTES) * 60 * 1_000_000
+
+    def ctx(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        t = ts.view(np.int64)
+        et = df["event_type"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        empty = pd.DataFrame(
+            {"error_event_id": np.empty(0, np.int64),
+             "user_id": np.empty(0, np.int64),
+             "error_ts": ts[:0],
+             "ctx_event_id": np.empty(0, np.int64),
+             "ctx_type": np.empty(0, object),
+             "ctx_ts": ts[:0]}
+        )
+        if len(uid) == 0:
+            return empty
+        arr = np.empty(len(uid), dtype=_UT_DT)
+        arr["u"], arr["t"] = uid, t
+        order = np.argsort(arr, kind="stable")
+        s = arr[order]
+        is_e = et == "error"
+        if not is_e.any():
+            return empty
+        probe_hi = arr[is_e]
+        probe_lo = probe_hi.copy()
+        probe_lo["t"] = probe_hi["t"] - w_us
+        lo = np.searchsorted(s, probe_lo, side="left")
+        hi = np.searchsorted(s, probe_hi, side="left")  # strict <
+        counts = hi - lo
+        tot = int(counts.sum())
+        if tot == 0:
+            return empty
+        # vectorized [lo, hi) range expansion
+        starts = np.repeat(lo, counts)
+        offs = np.arange(tot) - np.repeat(np.cumsum(counts) - counts, counts)
+        ctx_orig = order[starts + offs]
+        err_idx = np.repeat(np.flatnonzero(is_e), counts)
+        return pd.DataFrame(
+            {
+                "error_event_id": eid[err_idx],
+                "user_id": uid[err_idx],
+                "error_ts": ts[err_idx],
+                "ctx_event_id": eid[ctx_orig],
+                "ctx_type": et[ctx_orig],
+                "ctx_ts": ts[ctx_orig],
+            }
+        )
+
+    return staged.groupby("bucket").map_groups(ctx, batch_format="pandas")
+
+
+ERROR_CONTEXT_SQL = f"""
+SELECT e.event_id AS error_event_id, e.user_id, e.ts AS error_ts,
+       c.event_id AS ctx_event_id, c.event_type AS ctx_type, c.ts AS ctx_ts
+FROM events e JOIN events c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts - INTERVAL {ERROR_CONTEXT_MINUTES} MINUTE
+ AND c.ts < e.ts
+WHERE e.event_type = 'error'
+"""
+
+
+ROLLING_WINDOW_MINUTES = 60
+
+
+def q_rolling_user_activity(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window aggregate: for EVERY event, the number of events
+    by the same user with ``ts in [ts - 60min, ts]`` (inclusive both
+    ends, so timestamp peers count — the semantics of SQL's ``RANGE
+    BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW``, which the
+    oracle uses verbatim).  One output row per event; the count is
+    order-free (pure interval membership), so ties need no tiebreak.
+
+    Same user-bucket shuffle; per bucket ONE argsort plus two
+    searchsorted probes per row — no windowed row state, no per-user
+    loop."""
+    staged = _events_user_bucketed(sf_dir, ["user_id", "ts", "event_id"])
+    w_us = np.int64(ROLLING_WINDOW_MINUTES) * 60 * 1_000_000
+
+    def rolling(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        t = ts.view(np.int64)
+        eid = df["event_id"].to_numpy()
+        if len(uid) == 0:
+            return pd.DataFrame(
+                {"event_id": np.empty(0, np.int64),
+                 "user_id": np.empty(0, np.int64),
+                 "ts": ts,
+                 "n_last_hour": np.empty(0, np.int64)}
+            )
+        arr = np.empty(len(uid), dtype=_UT_DT)
+        arr["u"], arr["t"] = uid, t
+        s = np.sort(arr)
+        hi = np.searchsorted(s, arr, side="right")  # <= ts (peers count)
+        qlo = arr.copy()
+        qlo["t"] = arr["t"] - w_us
+        lo = np.searchsorted(s, qlo, side="left")  # >= ts - W
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": uid,
+                "ts": ts,
+                "n_last_hour": (hi - lo).astype(np.int64),
+            }
+        )
+
+    return staged.groupby("bucket").map_groups(rolling, batch_format="pandas")
+
+
+ROLLING_USER_ACTIVITY_SQL = f"""
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL {ROLLING_WINDOW_MINUTES} MINUTE PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS n_last_hour
+FROM events
+"""
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_conversion_funnel(sf_dir: str) -> pd.DataFrame:
+    """Sequential-pattern (funnel) aggregate: how many users performed
+    view -> click -> purchase in strictly increasing ts order (first
+    view, then the EARLIEST click after it, then any purchase after
+    that click).  Output: one row per stage with the user count that
+    reached it.
+
+    Per bucket (users co-located): three sorted structured (user, ts)
+    arrays, first-view per user via a boundary mask, then each stage
+    advance is ONE searchsorted (first next-stage row strictly after
+    the current timestamp).  Greedy-earliest is optimal for
+    reachability, which is exactly the min-ts chaining the SQL oracle
+    does.  Partials are 3 rows per bucket; the driver folds
+    buckets x 3 rows."""
+    staged = _events_user_bucketed(
+        sf_dir, ["user_id", "ts", "event_type"], keep_types=FUNNEL_STAGES
+    )
+
+    def advance(cur: np.ndarray, nxt: np.ndarray) -> np.ndarray:
+        """cur: (u, t) per user; returns (u, t') with t' = first ts in
+        nxt for the same user strictly after t (users with none drop)."""
+        if len(cur) == 0 or len(nxt) == 0:
+            return cur[:0]
+        pos = np.searchsorted(nxt, cur, side="right")
+        ok = pos < len(nxt)
+        pos_c = np.minimum(pos, len(nxt) - 1)
+        ok &= nxt["u"][pos_c] == cur["u"]
+        out = np.empty(int(ok.sum()), dtype=_UT_DT)
+        out["u"] = cur["u"][ok]
+        out["t"] = nxt["t"][pos_c[ok]]
+        return out
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # zero-row groupby guard (columnless frame)
+            return pd.DataFrame(
+                {"stage": np.empty(0, object),
+                 "n_users": np.empty(0, np.int64)}
+            )
+        uid = df["user_id"].to_numpy()
+        t = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        et = df["event_type"].to_numpy()
+
+        def sorted_struct(mask: np.ndarray) -> np.ndarray:
+            a = np.empty(int(mask.sum()), dtype=_UT_DT)
+            a["u"], a["t"] = uid[mask], t[mask]
+            a.sort()
+            return a
+
+        v, c, p = (sorted_struct(et == s) for s in FUNNEL_STAGES)
+        first = (
+            np.r_[True, v["u"][1:] != v["u"][:-1]]
+            if len(v)
+            else np.empty(0, bool)
+        )
+        cur = v[first]  # (user, first view ts)
+        cur2 = advance(cur, c)
+        cur3 = advance(cur2, p)
+        return pd.DataFrame(
+            {
+                "stage": np.array(FUNNEL_STAGES, object),
+                "n_users": np.array(
+                    [len(cur), len(cur2), len(cur3)], np.int64
+                ),
+            }
+        )
+
+    parts = (
+        staged.groupby("bucket")
+        .map_groups(funnel, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = (
+        parts.groupby("stage")["n_users"].sum()
+        if len(parts)
+        else {}
+    )
+    return pd.DataFrame(
+        {
+            "stage": list(FUNNEL_STAGES),
+            "n_users": np.array(
+                [int(agg.get(s, 0)) for s in FUNNEL_STAGES], np.int64
+            ),
+        }
+    )
+
+
+CONVERSION_FUNNEL_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT v.user_id, min(e.ts) AS t2 FROM v JOIN events e
+      ON e.user_id = v.user_id AND e.event_type = 'click'
+      AND e.ts > v.t1 GROUP BY 1),
+p AS (SELECT c.user_id, min(e.ts) AS t3 FROM c JOIN events e
+      ON e.user_id = c.user_id AND e.event_type = 'purchase'
+      AND e.ts > c.t2 GROUP BY 1)
+SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 'click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p
 """
 
 
@@ -1477,6 +1732,9 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "turns_per_hour": q_turns_per_hour,
     "user_sessions": q_user_sessions,
     "purchase_asof_click": q_purchase_asof_click,
+    "error_context": q_error_context,
+    "rolling_user_activity": q_rolling_user_activity,
+    "conversion_funnel": q_conversion_funnel,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -1500,6 +1758,9 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "turns_per_hour": TURNS_PER_HOUR_SQL,
     "user_sessions": USER_SESSIONS_SQL,
     "purchase_asof_click": PURCHASE_ASOF_CLICK_SQL,
+    "error_context": ERROR_CONTEXT_SQL,
+    "rolling_user_activity": ROLLING_USER_ACTIVITY_SQL,
+    "conversion_funnel": CONVERSION_FUNNEL_SQL,
     "cross_kind_pattern": GRAPH_SQL_PRELUDE
     + """
     SELECT e.src_key AS conv_key, e.dst_key AS tool_key

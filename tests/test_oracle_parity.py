@@ -376,3 +376,90 @@ def test_purchase_asof_click_semantics(tmp_path):
     assert set(lut) == {3, 4, 7}
     assert lut[3] == 200 and lut[4] == 100 and lut[7] == 500
     _vs_duckdb(sf, got, PURCHASE_ASOF_CLICK_SQL)
+
+
+def test_error_context_range_semantics(tmp_path):
+    """Range-join edge cases: a context event at EXACTLY error_ts - W
+    is included (>=), one tied with the error is excluded (strict <),
+    the error never pairs with itself, other errors DO count as
+    context, errors with no context drop (inner), users isolated."""
+    import numpy as np
+
+    from neo4j_webgraph_ray.queries import (
+        ERROR_CONTEXT_MINUTES,
+        ERROR_CONTEXT_SQL,
+        q_error_context,
+    )
+
+    W = ERROR_CONTEXT_MINUTES * 60_000_000  # window in us
+    rows = [
+        (1, 0, 1, "view"),          # exactly error_ts - W for e3 -> IN
+        (2, W, 1, "click"),         # ties with error e3 -> OUT
+        (3, W, 1, "error"),         # ctx = {e1, e5}
+        (5, W - 10, 1, "error"),    # ctx of e3 AND itself an error probe
+        (4, W + 1, 1, "view"),      # after e3 -> OUT
+        (6, 0, 2, "purchase"),      # outside user-2 error's window
+        (7, 2 * W, 2, "error"),     # no context -> dropped entirely
+    ]
+    sf = _events_dir(tmp_path, rows)
+    got = q_error_context(sf).to_pandas()
+    pairs = set(zip(got["error_event_id"], got["ctx_event_id"]))
+    assert pairs == {(3, 1), (3, 5), (5, 1)}
+    _vs_duckdb(sf, got, ERROR_CONTEXT_SQL)
+
+
+def test_rolling_activity_window_semantics(tmp_path):
+    """Sliding-window edge cases: the event itself counts, an event at
+    EXACTLY ts - 60min counts (closed lower bound), one microsecond
+    older doesn't, timestamp peers count each other (RANGE semantics),
+    users isolated."""
+    import numpy as np
+
+    from neo4j_webgraph_ray.queries import (
+        ROLLING_USER_ACTIVITY_SQL,
+        q_rolling_user_activity,
+    )
+
+    H = 3_600_000_000  # 60 min in us
+    rows = [
+        (1, 0, 1, "view"),       # window [-H, 0]: {e1} -> 1
+        (2, H, 1, "view"),       # window [0, H]: {e1, e2} -> 2
+        (3, H + 1, 1, "view"),   # window [1, H+1]: {e2, e3, e4} -> 3
+        (4, H + 1, 1, "click"),  # peer of e3 -> also 3
+        (5, H, 2, "view"),       # other user -> 1
+    ]
+    sf = _events_dir(tmp_path, rows)
+    got = q_rolling_user_activity(sf).to_pandas()
+    lut = dict(zip(got["event_id"], got["n_last_hour"]))
+    assert lut == {1: 1, 2: 2, 3: 3, 4: 3, 5: 1}
+    _vs_duckdb(sf, got, ROLLING_USER_ACTIVITY_SQL)
+
+
+def test_conversion_funnel_order_semantics(tmp_path):
+    """Funnel edge cases: stages must be in STRICTLY increasing ts
+    order (ties don't advance), a purchase before the click doesn't
+    count, a click before the first view doesn't, users isolated."""
+    import numpy as np
+
+    from neo4j_webgraph_ray.queries import (
+        CONVERSION_FUNNEL_SQL,
+        q_conversion_funnel,
+    )
+
+    rows = [
+        (1, 100, 1, "view"), (2, 200, 1, "click"), (3, 300, 1, "purchase"),
+        # u2: purchase BEFORE its click -> reaches click only
+        (4, 100, 2, "view"), (5, 50, 2, "purchase"), (6, 200, 2, "click"),
+        (7, 150, 2, "purchase"),
+        # u3: click before first view -> view stage only
+        (8, 100, 3, "click"), (9, 200, 3, "view"),
+        # u4: click TIES the view -> strict > -> view stage only
+        (10, 100, 4, "view"), (11, 100, 4, "click"),
+        # u5: purchase ties the click -> no purchase stage
+        (12, 100, 5, "view"), (13, 150, 5, "click"), (14, 150, 5, "purchase"),
+    ]
+    sf = _events_dir(tmp_path, rows)
+    got = q_conversion_funnel(sf)
+    lut = dict(zip(got["stage"], got["n_users"]))
+    assert lut == {"view": 5, "click": 3, "purchase": 1}
+    _vs_duckdb(sf, got, CONVERSION_FUNNEL_SQL)
