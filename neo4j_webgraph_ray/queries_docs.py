@@ -810,6 +810,104 @@ NGRAM_NEARDUP_SQL = _jaccard_pairs_sql(
     0.6,
 )
 
+TOKEN_QUANTILE_PS = (0.25, 0.5, 0.9)
+
+
+def q_token_quantiles_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Distributed EXACT grouped quantiles (p25/p50/p90 of per-doc
+    whitespace-token counts per language) with NO global sort: each
+    batch emits a (lang, n_tokens) -> count histogram partial (token
+    counts have bounded cardinality, so partials stay tiny at any
+    corpus size), one lang-hash bucket shuffle co-locates each
+    language's histogram, and each quantile is read off the cumulative
+    histogram with linear interpolation at rank h=(T-1)*p — the exact
+    expression DuckDB's quantile_cont evaluates, 6-dp rounded on both
+    sides.  Scale shape: shuffle volume = distinct (lang, count) pairs,
+    never rows; the only per-item loop is over LANGUAGES in a bucket."""
+    from neo4j_webgraph_ray.functions.text import ws_token_count
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    small = os.path.exists(path) and os.path.getsize(path) < (512 << 20)
+    ds = ray.data.read_parquet(
+        path, columns=["text", "lang"],
+        override_num_blocks=_doc_buckets(sf_dir) if small else None,
+    )
+    B = 8
+
+    def partials(batch: pa.Table) -> pa.Table:
+        n = ws_token_count(batch["text"]).astype(np.int64)
+        t = pa.table({"lang": batch["lang"], "n": pa.array(n)})
+        g = t.group_by(["lang", "n"]).aggregate([("n", "count")])
+        lang_np = g["lang"].to_numpy(zero_copy_only=False)
+        bucket = (pd.util.hash_array(lang_np.astype(object)) % B).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n": g["n"],
+                "cnt": g["n_count"].cast(pa.int64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"lang": np.empty(0, object), "p25": np.empty(0),
+                 "p50": np.empty(0), "p90": np.empty(0)}
+            )
+        # merge duplicate (lang, n) partials from different batches
+        m = (
+            df.sort_values(["lang", "n"], kind="stable")
+            .groupby(["lang", "n"], sort=False, as_index=False)["cnt"]
+            .sum()
+        )
+        langs = m["lang"].to_numpy()
+        vals = m["n"].to_numpy().astype(np.float64)
+        cnts = m["cnt"].to_numpy()
+        first = np.r_[True, langs[1:] != langs[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], len(langs)]
+        rows = []
+        for s, e in zip(starts, ends):
+            c = np.cumsum(cnts[s:e])
+            T = int(c[-1])
+            row = {"lang": langs[s]}
+            for p, name in zip(TOKEN_QUANTILE_PS, ("p25", "p50", "p90")):
+                h = (T - 1) * p
+                i0 = int(np.floor(h))
+                i1 = min(i0 + 1, T - 1)
+                v0 = vals[s + np.searchsorted(c, i0, side="right")]
+                v1 = vals[s + np.searchsorted(c, i1, side="right")]
+                row[name] = float(np.round(v0 + (h - i0) * (v1 - v0), 6))
+            rows.append(row)
+        return pd.DataFrame(rows, columns=["lang", "p25", "p50", "p90"])
+
+    staged = ds.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = staged.groupby("bucket").map_groups(
+        quantiles, batch_format="pandas"
+    )
+    return (
+        out.to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+
+TOKEN_QUANTILES_SQL = f"""
+SELECT lang,
+       round(quantile_cont(n, {TOKEN_QUANTILE_PS[0]}), 6) AS p25,
+       round(quantile_cont(n, {TOKEN_QUANTILE_PS[1]}), 6) AS p50,
+       round(quantile_cont(n, {TOKEN_QUANTILE_PS[2]}), 6) AS p90
+FROM (SELECT lang, len(string_split_regex(trim(text), '\\s+')) AS n
+      FROM documents)
+GROUP BY lang
+"""
+
+
 DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "token_counts": q_token_counts,
     "quality_metrics": q_quality,
@@ -818,6 +916,7 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "top_tokens": q_top_tokens,
     "sample_stratified": q_sample_stratified,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "doc_fingerprints": q_doc_fingerprints,
     "dedup_exact_docs": q_dedup_exact_docs,
     "minhash_neardup": q_minhash_neardup,
@@ -845,6 +944,7 @@ DOC_ORACLES: dict[str, str] = {
     "top_tokens": TOP_TOKENS_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL.format(lang_id_sql=LANG_ID_SQL),
     "tfidf_top_terms": TFIDF_SQL,
+    "token_quantiles_by_lang": TOKEN_QUANTILES_SQL,
     "dedup_exact_docs": (
         'SELECT min(doc_id) AS doc_id FROM documents GROUP BY text'
     ),

@@ -463,3 +463,47 @@ def test_conversion_funnel_order_semantics(tmp_path):
     lut = dict(zip(got["stage"], got["n_users"]))
     assert lut == {"view": 5, "click": 3, "purchase": 1}
     _vs_duckdb(sf, got, CONVERSION_FUNNEL_SQL)
+
+
+def test_token_quantiles_interpolation(tmp_path):
+    """Grouped exact-quantile edge cases: linear interpolation between
+    histogram values (p25 of [1,2,3,10] = 1.75, p90 = 7.9), a
+    single-doc group returns its value for every quantile, groups
+    isolated — engine vs DuckDB on crafted documents."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neo4j_webgraph_ray.queries_docs import (
+        TOKEN_QUANTILES_SQL,
+        q_token_quantiles_by_lang,
+    )
+
+    def doc(k):  # text with exactly k whitespace tokens
+        return " ".join(["w"] * k)
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+        "text": pa.array([doc(1), doc(2), doc(3), doc(10), doc(5)]),
+        "lang": pa.array(["aa", "aa", "aa", "aa", "bb"]),
+        "source": pa.array(["s"] * 5),
+        "n_chars": pa.array(np.zeros(5, dtype=np.int64)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = q_token_quantiles_by_lang(str(d))
+    lut = {r.lang: (r.p25, r.p50, r.p90) for r in got.itertuples()}
+    assert lut["aa"] == (1.75, 2.5, 7.9)
+    assert lut["bb"] == (5.0, 5.0, 5.0)
+
+    import duckdb
+
+    from tests.util import assert_result_equal
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    assert_result_equal(got, con.sql(TOKEN_QUANTILES_SQL).df(), name="tq")
