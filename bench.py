@@ -184,6 +184,11 @@ def run_bench() -> dict:
             "sample_stratified",
             "tfidf_top_terms",
             "dedup_exact_docs",
+            # training-data assembly family
+            "pack_sequences",
+            "benchmark_contamination",
+            "repetition_metrics",
+            "train_split",
             "minhash_neardup",
             "ngram_jaccard_neardup",
             "neardup_clusters",

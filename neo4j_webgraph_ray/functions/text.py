@@ -63,6 +63,40 @@ def punct_count(text) -> np.ndarray:
     return _count_regex(text, PUNCT_REGEX)
 
 
+def word_ngrams_flat(text, n: int) -> tuple[np.ndarray, pa.Array]:
+    """All word n-grams of a text column as FLAT (doc_index, gram)
+    arrays — space-joined whitespace tokens, identical to the DuckDB
+    expression ``array_to_string(t[i:i+n-1], ' ')`` over
+    ``UNNEST(generate_series(1, GREATEST(len(t)-(n-1), 0)))`` with
+    ``t = string_split_regex(trim(text), '\\s+')`` (contamination /
+    repetition oracles).
+
+    Fully vectorized: one tokenize, one ``list_flatten``, ``n`` Arrow
+    takes and ONE ``binary_join_element_wise`` for the whole batch —
+    no Python loop over documents or grams."""
+    lists = ws_token_lists(text)
+    lens = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    g = np.maximum(lens - (n - 1), 0)  # grams per doc
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), g)
+    total = int(g.sum())
+    if total == 0:
+        return doc_idx, pa.array([], type=pa.string())
+    # flat start position of each gram: doc's flat offset + intra-doc rank
+    offsets = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    gram_rank = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(g)])[:-1], g
+    )
+    starts = offsets[doc_idx] + gram_rank
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parts = [flat.take(pa.array(starts + j)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return doc_idx, grams
+
+
 def stopword_counts(text) -> dict[str, np.ndarray]:
     """Per-language word-boundary stopword match counts."""
     return {

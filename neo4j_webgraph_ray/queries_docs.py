@@ -908,6 +908,327 @@ GROUP BY lang
 """
 
 
+# -- training-data assembly operators (packing / split / decontamination /
+# repetition quality) --------------------------------------------------------
+
+PACK_CAPACITY = 2048  # tokens per training sequence bin
+CONTAM_MOD = 20  # doc_id % CONTAM_MOD == 0 -> benchmark member
+CONTAM_NGRAM = 4  # word n-gram size for the overlap test
+
+
+def q_pack_sequences(
+    sf_dir: str, capacity: int = PACK_CAPACITY, nbuckets: int | None = None
+) -> ray.data.Dataset:
+    """Sequence packing for training: assign each document (in doc_id
+    order) to the training bin it starts in, ``bin = floor(cumulative
+    tokens before this doc / capacity)`` — the greedy contiguous packing
+    a context-length batcher applies.  The global prefix sum is the
+    interesting part at scale: it's computed as a DISTRIBUTED SCAN —
+    per-range-bucket token totals (a tiny frame, one row per bucket) go
+    to the driver for the exclusive prefix, the offsets are broadcast
+    back, and each bucket finishes its own cumsum independently.  Rows
+    never leave their bucket; the only driver-side data is
+    #buckets rows.  The (doc_id, n_tokens, bucket) triple table is
+    materialized once (24 B/row) so the tokenize pass runs once, not
+    twice."""
+    from neo4j_webgraph_ray.functions.text import ws_token_count
+    from neo4j_webgraph_ray.queries import _scale_cap
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    # range buckets must follow doc_id order (hash buckets would split
+    # the prefix); the doc_id-only max scan is column-pruned and cheap
+    nmax = int(
+        ray.data.read_parquet(path, columns=["doc_id"]).max("doc_id")
+    )
+    if nbuckets is None:
+        # ~4096 docs per range bucket, capped by cluster resources;
+        # tests pass an explicit count to force the multi-bucket path
+        nbuckets = min(_scale_cap(), max(1, nmax // 4096 + 1))
+    width = nmax // nbuckets + 1
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = ws_token_count(batch["text"]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(n),
+                "rb": pa.array((ids // width).astype(np.int64)),
+            }
+        )
+
+    tok = _docs(sf_dir).map_batches(
+        tokens, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        rb = batch["rb"].to_numpy(zero_copy_only=False)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(rb, return_inverse=True)
+        return pa.table(
+            {
+                "rb": pa.array(u),
+                "tok_sum": pa.array(np.bincount(inv, weights=n).astype(np.int64)),
+            }
+        )
+
+    # driver-side prefix over <= nbuckets rows (the tiny all-reduce)
+    parts = tok.map_batches(
+        bucket_partials, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    totals = parts.groupby("rb", sort=True)["tok_sum"].sum()
+    offsets = np.zeros(nbuckets, dtype=np.int64)
+    idx = totals.index.to_numpy()
+    csum = np.concatenate([[0], np.cumsum(totals.to_numpy())[:-1]])
+    offsets[idx] = csum
+    off_ref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="stable")
+        n = df["n_tokens"].to_numpy()
+        base = ray.get(off_ref)[int(df["rb"].iloc[0])]
+        cum_before = base + np.cumsum(n) - n
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "bin": (cum_before // capacity).astype(np.int64),
+            }
+        )
+
+    return tok.groupby("rb").map_groups(assign, batch_format="pandas")
+
+
+PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) / {PACK_CAPACITY}) AS BIGINT) AS bin
+FROM toks
+"""
+
+
+def q_benchmark_contamination(sf_dir: str) -> ray.data.Dataset:
+    """Decontamination check: flag every training document sharing ANY
+    word {CONTAM_NGRAM}-gram with the benchmark set (here the
+    deterministic subset ``doc_id % CONTAM_MOD == 0`` stands in for a
+    held-out eval suite).  Scale shape: benchmark suites are small by
+    construction (MBs against a 100-TB corpus), so their distinct grams
+    are collected once, sorted, and broadcast via ``ray.put``; the
+    corpus-side pass is one vectorized n-gram expansion + sorted
+    ``np.isin`` membership per batch — the corpus text itself never
+    shuffles."""
+    import pyarrow.compute as pc
+
+    from neo4j_webgraph_ray.functions.text import word_ngrams_flat
+
+    docs = _docs(sf_dir)
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % CONTAM_MOD == 0))
+        _, grams = word_ngrams_flat(sub["text"], CONTAM_NGRAM)
+        return pa.table({"g": pc.unique(grams)})
+
+    bench = np.unique(
+        np.concatenate(
+            [
+                b["g"].to_numpy(zero_copy_only=False)
+                for b in docs.map_batches(
+                    bench_grams, batch_format="pyarrow", zero_copy_batch=True
+                ).iter_batches(batch_size=None, batch_format="pyarrow")
+                if b.num_rows
+            ]
+            or [np.empty(0, dtype=object)]
+        )
+    )
+    bench_ref = ray.put(bench)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % CONTAM_MOD != 0))
+        doc_idx, grams = word_ngrams_flat(sub["text"], CONTAM_NGRAM)
+        hit = np.zeros(sub.num_rows, dtype=bool)
+        if len(doc_idx):
+            bset = ray.get(bench_ref)
+            member = np.isin(
+                grams.to_numpy(zero_copy_only=False), bset, kind="sort"
+            )
+            hit = np.bincount(
+                doc_idx, weights=member, minlength=sub.num_rows
+            ) > 0
+        return pa.table(
+            {"doc_id": sub["doc_id"], "contaminated": pa.array(hit)}
+        )
+
+    return docs.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+bench AS (
+  SELECT DISTINCT array_to_string(t[i:i+{CONTAM_NGRAM - 1}], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t)-{CONTAM_NGRAM - 1}, 0))) AS u(i)
+  WHERE doc_id % {CONTAM_MOD} = 0
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{CONTAM_NGRAM - 1}], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t)-{CONTAM_NGRAM - 1}, 0))) AS u(i)
+  WHERE doc_id % {CONTAM_MOD} <> 0
+),
+hits AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench))
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {CONTAM_MOD} <> 0
+"""
+
+
+def q_repetition_metrics(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition quality metrics per document:
+    ``top_bigram_frac`` (occurrences of the most frequent word bigram /
+    total bigrams) and ``dup_trigram_frac`` (fraction of trigram
+    occurrences whose trigram appears more than once) — the repeated-
+    n-gram filters a quality pipeline runs before training.  Per batch:
+    ONE vectorized n-gram expansion per n, one stable hash per gram,
+    one lexsort, and run-length/segment reductions (``np.bincount`` /
+    ``ufunc.at``) — no Python loop over docs or grams.  Docs with
+    fewer than 3 tokens have no trigram and are dropped, matching the
+    oracle's inner join."""
+    from neo4j_webgraph_ray.functions.text import word_ngrams_flat
+    from neo4j_webgraph_ray.ids import hash64
+
+    def per_doc_counts(
+        doc_idx: np.ndarray, grams: pa.Array, ndocs: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(total, max_count, dup_total) per doc position, vectorized
+        over the (doc, gram-hash) runs of the sorted flat arrays."""
+        tot = np.bincount(doc_idx, minlength=ndocs).astype(np.int64)
+        if len(doc_idx) == 0:
+            z = np.zeros(ndocs, dtype=np.int64)
+            return tot, z, z
+        h = hash64(grams)
+        order = np.lexsort((h, doc_idx))
+        d, hh = doc_idx[order], h[order]
+        new_run = np.r_[True, (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])]
+        run_starts = np.flatnonzero(new_run)
+        run_counts = np.diff(np.r_[run_starts, len(d)])
+        run_doc = d[run_starts]
+        mx = np.zeros(ndocs, dtype=np.int64)
+        np.maximum.at(mx, run_doc, run_counts)
+        dup = np.bincount(
+            run_doc,
+            weights=np.where(run_counts > 1, run_counts, 0),
+            minlength=ndocs,
+        ).astype(np.int64)
+        return tot, mx, dup
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        di2, g2 = word_ngrams_flat(batch["text"], 2)
+        di3, g3 = word_ngrams_flat(batch["text"], 3)
+        tot2, max2, _ = per_doc_counts(di2, g2, n)
+        tot3, _, dup3 = per_doc_counts(di3, g3, n)
+        keep = tot3 > 0  # inner-join semantics: needs >= 3 tokens
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(keep)),
+                "top_bigram_frac": pa.array(
+                    np.round(max2[keep] / tot2[keep], 6)
+                ),
+                "dup_trigram_frac": pa.array(
+                    np.round(dup3[keep] / tot3[keep], 6)
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(
+        metrics, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+bi AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t)-1, 0))) AS u(i)
+),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+bim AS (SELECT doc_id, max(c) AS maxc, sum(c) AS tot FROM bic GROUP BY 1),
+tri AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t)-2, 0))) AS u(i)
+),
+tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+trim_ AS (
+  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc,
+         sum(c) AS tot
+  FROM tric GROUP BY 1
+)
+SELECT b.doc_id,
+       ROUND(b.maxc * 1.0 / b.tot, 6) AS top_bigram_frac,
+       ROUND(t.dupc * 1.0 / t.tot, 6) AS dup_trigram_frac
+FROM bim b JOIN trim_ t USING (doc_id)
+"""
+
+
+def q_train_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split summary (``doc_id % 10``:
+    0 -> test, 1 -> val, else train) with per-split doc and token
+    totals — the assignment is a pure function of the key, so the
+    split needs no shuffle at all: per-batch 3-row partials, driver
+    merge of #batches x 3 rows."""
+    from neo4j_webgraph_ray.functions.text import ws_token_count
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = ws_token_count(batch["text"]).astype(np.int64)
+        m = ids % 10
+        code = np.where(m == 0, 0, np.where(m == 1, 1, 2))
+        return pd.DataFrame(
+            {
+                "split": np.array(["test", "val", "train"], dtype=object),
+                "n_docs": np.bincount(code, minlength=3).astype(np.int64),
+                "total_tokens": np.bincount(
+                    code, weights=n, minlength=3
+                ).astype(np.int64),
+            }
+        )
+
+    parts = (
+        _docs(sf_dir)
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("split", as_index=False, sort=True)[
+            ["n_docs", "total_tokens"]
+        ]
+        .sum()
+    )
+    return out[out["n_docs"] > 0].reset_index(drop=True)
+
+
+TRAIN_SPLIT_SQL = """
+WITH toks AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT CASE WHEN doc_id % 10 = 0 THEN 'test'
+            WHEN doc_id % 10 = 1 THEN 'val'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM toks GROUP BY 1
+"""
+
+
 DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "token_counts": q_token_counts,
     "quality_metrics": q_quality,
@@ -917,6 +1238,10 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "sample_stratified": q_sample_stratified,
     "tfidf_top_terms": q_tfidf_top_terms,
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
+    "pack_sequences": q_pack_sequences,
+    "benchmark_contamination": q_benchmark_contamination,
+    "repetition_metrics": q_repetition_metrics,
+    "train_split": q_train_split,
     "doc_fingerprints": q_doc_fingerprints,
     "dedup_exact_docs": q_dedup_exact_docs,
     "minhash_neardup": q_minhash_neardup,
@@ -945,6 +1270,10 @@ DOC_ORACLES: dict[str, str] = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL.format(lang_id_sql=LANG_ID_SQL),
     "tfidf_top_terms": TFIDF_SQL,
     "token_quantiles_by_lang": TOKEN_QUANTILES_SQL,
+    "pack_sequences": PACK_SQL,
+    "benchmark_contamination": CONTAM_SQL,
+    "repetition_metrics": REPETITION_SQL,
+    "train_split": TRAIN_SPLIT_SQL,
     "dedup_exact_docs": (
         'SELECT min(doc_id) AS doc_id FROM documents GROUP BY text'
     ),

@@ -507,3 +507,107 @@ def test_token_quantiles_interpolation(tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
     )
     assert_result_equal(got, con.sql(TOKEN_QUANTILES_SQL).df(), name="tq")
+
+
+def _write_docs(tmp_path, texts, ids=None):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(texts)
+    ids = np.arange(n, dtype=np.int64) if ids is None else np.asarray(ids)
+    t = pa.table({
+        "doc_id": pa.array(ids),
+        "text": pa.array(list(texts)),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array(np.zeros(n, dtype=np.int64)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_pack_sequences_boundaries(tmp_path):
+    """Greedy contiguous packing semantics on crafted token counts
+    (capacity 10): a doc is assigned the bin its FIRST token lands in,
+    so a doc straddling a boundary stays in the earlier bin and the
+    next doc starts past it.  Forced multi-bucket so the distributed
+    prefix-scan (per-bucket totals -> driver exclusive prefix ->
+    broadcast offsets) is exercised, not the single-bucket fast case."""
+    import duckdb
+
+    from neo4j_webgraph_ray.queries_docs import PACK_SQL, q_pack_sequences
+    from tests.util import assert_result_equal
+
+    # token counts: 4, 4, 4 (straddles 10 at cum 8..12 -> bin 0), 7, 1
+    counts = [4, 4, 4, 7, 1]
+    d = _write_docs(tmp_path, [" ".join(["w"] * k) for k in counts])
+    got = q_pack_sequences(d, capacity=10, nbuckets=3).to_pandas()
+    lut = dict(zip(got["doc_id"], got["bin"]))
+    # cum_before: 0, 4, 8, 12, 19 -> bins 0, 0, 0, 1, 1
+    assert lut == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    oracle = con.sql(PACK_SQL.replace("/ 2048", "/ 10")).df()
+    assert_result_equal(got, oracle, name="pack")
+
+
+def test_pack_sequences_sparse_ids_multibucket(tmp_path):
+    """Sparse / unordered doc_ids across forced range buckets: the
+    driver prefix must skip empty buckets and the per-bucket cumsum
+    must follow doc_id order, not file order."""
+    import numpy as np
+
+    from neo4j_webgraph_ray.queries_docs import q_pack_sequences
+
+    ids = np.array([90, 5, 40, 7, 88], dtype=np.int64)
+    counts = [3, 5, 6, 2, 4]  # by file order above
+    d = _write_docs(tmp_path, [" ".join(["w"] * k) for k in counts], ids=ids)
+    got = q_pack_sequences(d, capacity=8, nbuckets=4).to_pandas()
+    lut = dict(zip(got["doc_id"], got["bin"]))
+    # doc_id order: 5(n=5), 7(n=2), 40(n=6), 88(n=4), 90(n=3)
+    # cum_before:   0,      5,      7,       13,      17
+    assert lut == {5: 0, 7: 0, 40: 0, 88: 1, 90: 2}
+
+
+def test_benchmark_contamination_semantics(tmp_path):
+    """A training doc sharing one exact word 4-gram with a benchmark
+    doc (doc_id % 20 == 0) is flagged; reordered or 3-token overlaps
+    are not; benchmark docs are excluded from the output."""
+    from neo4j_webgraph_ray.queries_docs import q_benchmark_contamination
+
+    bench = "alpha beta gamma delta epsilon"
+    texts = [
+        bench,                                   # id 0 -> benchmark
+        "x alpha beta gamma delta y",            # id 1 -> shares 4-gram
+        "beta alpha gamma delta epsilon zeta",   # id 2 -> reordered, no 4-gram
+        "alpha beta gamma q delta epsilon",      # id 3 -> only 3-gram runs
+        "totally unrelated text here now",       # id 4 -> clean
+    ]
+    d = _write_docs(tmp_path, texts)
+    got = q_benchmark_contamination(d).to_pandas()
+    lut = dict(zip(got["doc_id"], got["contaminated"]))
+    assert 0 not in lut
+    assert lut == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_repetition_metrics_semantics(tmp_path):
+    """Crafted repetition: 'a b a b a b' has top bigram ('a b') 3 of 5
+    bigrams and every trigram duplicated (4 occurrences of 2 distinct
+    trigrams, each appearing twice -> dup fraction 1.0); an
+    all-distinct doc scores (1/n_bigrams, 0.0); a 2-token doc (no
+    trigram) is dropped."""
+    import numpy as np
+
+    from neo4j_webgraph_ray.queries_docs import q_repetition_metrics
+
+    d = _write_docs(tmp_path, ["a b a b a b", "p q r s t", "u v"])
+    got = q_repetition_metrics(d).to_pandas().set_index("doc_id")
+    assert set(got.index) == {0, 1}
+    assert np.isclose(got.loc[0, "top_bigram_frac"], 0.6)
+    assert np.isclose(got.loc[0, "dup_trigram_frac"], 1.0)
+    assert np.isclose(got.loc[1, "top_bigram_frac"], 0.25)
+    assert got.loc[1, "dup_trigram_frac"] == 0.0
