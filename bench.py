@@ -200,6 +200,8 @@ def run_bench() -> dict:
             "ann_topk_pq_warm",
             "embedding_neardup",
             "embedding_neardup_clusters",
+            "kmeans_clusters",
+            "semantic_dedup",
             # actor-pool plumbing stages (VERDICT r2 #8: regressions in
             # the enrichment / multimodal actor paths must be visible)
             "enrich_social",

@@ -1229,6 +1229,37 @@ FROM toks GROUP BY 1
 """
 
 
+KMEANS_K = 10
+SEMDEDUP_TAU = 0.45  # same non-vacuous threshold as embedding_neardup
+
+
+def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
+    """Full-corpus spherical k-means assignment (k=10, 10 Lloyd
+    iterations, deterministic smallest-id init) — the embedding-space
+    partitioning step a curation pipeline runs before semantic dedup or
+    stratified selection.  Rows-only driver entry (iterative float
+    argmax is genuinely non-SQL-expressible); exact-match pure-numpy
+    oracle + label-purity sanity in pytest."""
+    from neo4j_webgraph_ray.stages.clustering import kmeans_assign
+
+    out = kmeans_assign(
+        _emb(sf_dir).materialize(), k=KMEANS_K
+    ).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup over the k-means clusters: drop any vector with a
+    smaller-id same-cluster neighbor at cosine >= tau.  Rows-only
+    driver entry; brute-force same-rule oracle in pytest."""
+    from neo4j_webgraph_ray.stages.clustering import semantic_dedup_flags
+
+    out = semantic_dedup_flags(
+        _emb(sf_dir).materialize(), tau=SEMDEDUP_TAU, k=KMEANS_K
+    ).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "token_counts": q_token_counts,
     "quality_metrics": q_quality,
@@ -1255,6 +1286,8 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "ann_topk_pq_warm": q_ann_topk_pq_warm,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_clusters": q_embedding_neardup_clusters,
+    "kmeans_clusters": q_kmeans_clusters,
+    "semantic_dedup": q_semantic_dedup,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1284,6 +1317,8 @@ DOC_ORACLES: dict[str, str] = {
     "neardup_clusters": _neardup_clusters_sql(),
     "embedding_neardup_clusters": _emb_neardup_clusters_sql(),
     # doc_fingerprints / simhash / ann_topk_lsh / ann_topk_ivf /
-    # multimodal_features: signature- or seed-dependent, genuinely
-    # non-SQL-expressible — rows-only; brute-force oracles in pytest.
+    # multimodal_features / kmeans_clusters / semantic_dedup:
+    # signature-, seed-, or iteration-dependent, genuinely
+    # non-SQL-expressible — rows-only; brute-force / exact-reference
+    # oracles in pytest.
 }

@@ -1,0 +1,255 @@
+"""Distributed embedding clustering + semantic dedup (SemDeDup-style).
+
+The reference has no clustering surface (its grouping is the Lucene
+get-or-create index, ``importer/BatchGraphImporter.java:173-197``); this
+module is the embedding-curation layer a training-data pipeline runs
+between ANN indexing and dedup: full-corpus spherical k-means
+(:func:`kmeans_assign`) and within-cluster cosine pruning
+(:func:`semantic_dedup_flags`, the SemDeDup recipe: cluster first so the
+O(n^2) comparison only ever happens inside a cluster).
+
+Scale shape (100-TB reasoning):
+
+- k-means is Lloyd's over ``map_batches`` PARTIALS: each batch emits at
+  most k rows (cluster, count, sum-vector); the driver merges
+  ``k x #blocks`` tiny rows per iteration and broadcasts the k x d
+  centroid matrix back via ``ray.put``.  The corpus itself never
+  shuffles and is read once per iteration (streaming, no
+  materialization).
+- Determinism across partitionings: per-batch sums are float64, merged
+  sums are re-rounded to 9 dp after normalization each iteration, and
+  batch cosines are rounded to 6 dp before the argmax (first-max ->
+  lowest cluster index on ties) — so a 1-ulp difference in partial-sum
+  order cannot flip an assignment.  The seed-free init (the k vectors
+  with the SMALLEST ids) is partitioning-independent by construction.
+- semantic dedup shuffles only (id, cluster, vec) triples, bucketed by
+  cluster; the in-cluster comparison reuses the blocked threshold
+  kernel (peak allocation bounded by PAIR_BLOCK_BYTES), with a logged
+  membership cap mirroring the LSH bucket protocol.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from neo4j_webgraph_ray.stages.similarity import (
+    _matrix,
+    _normalize,
+    threshold_pairs_blocked,
+)
+
+logger = logging.getLogger(__name__)
+
+KMEANS_ITERS = 10
+CENTROID_ROUND_DP = 9  # kills partial-sum-order float drift
+COS_ROUND_DP = 6  # same rounding the pair kernels use
+
+
+def _init_centroids(
+    embeddings: ray.data.Dataset, k: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Deterministic, partitioning-independent init: the (normalized)
+    vectors of the k SMALLEST ids.  Per-batch partial top-k keeps the
+    driver transfer at k rows per block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select([id_col, vec_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:k]
+        return batch.select([id_col, vec_col]).take(pa.array(take))
+
+    rows = embeddings.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    rows = rows.sort_values(id_col, kind="stable").head(k)
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in rows[vec_col].to_numpy()]
+    )
+    return np.round(_normalize(mat), CENTROID_ROUND_DP)
+
+
+def _assign_batch(m: np.ndarray, centroids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster, cosine) per row: 6-dp-rounded spherical similarity,
+    ties -> lowest cluster index (np.argmax takes the first max)."""
+    sim = np.round(m @ centroids.T, COS_ROUND_DP)
+    assign = np.argmax(sim, axis=1)
+    return assign, sim[np.arange(len(m)), assign]
+
+
+def kmeans_centroids(
+    embeddings: ray.data.Dataset, k: int = 10, n_iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Full-corpus spherical Lloyd's: per-iteration partials (<= k rows
+    per block) -> driver merge -> broadcast.  Empty clusters keep their
+    previous centroid (deterministic; no resample at full-corpus
+    scale).  Returns the (k, d) normalized, 9-dp-rounded centroids."""
+    centroids = _init_centroids(embeddings, k, id_col, vec_col)
+    kk = len(centroids)
+    for _ in range(n_iters):
+        cref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            dim = c.shape[1]
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.list_(pa.float64(), dim)),
+                    }
+                )
+            m = _normalize(_matrix(batch, vec_col))
+            assign, _ = _assign_batch(m, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            cnt = np.bincount(assign, minlength=len(c))
+            nz = np.flatnonzero(cnt)
+            return pa.table(
+                {
+                    "cluster": pa.array(nz.astype(np.int64)),
+                    "cnt": pa.array(cnt[nz].astype(np.int64)),
+                    "vsum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums[nz].ravel(), type=pa.float64()), dim
+                    ),
+                }
+            )
+
+        parts = embeddings.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()  # <= k rows per block, tiny by construction
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(kk, dtype=np.int64)
+        if len(parts):
+            cl = parts["cluster"].to_numpy().astype(np.int64)
+            vs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in parts["vsum"].to_numpy()]
+            )
+            # merge in cluster-major order so the reduction order is
+            # independent of block arrival order
+            order = np.argsort(cl, kind="stable")
+            np.add.at(sums, cl[order], vs[order])
+            np.add.at(counts, cl, parts["cnt"].to_numpy().astype(np.int64))
+        nonempty = counts > 0
+        new = centroids.copy()
+        new[nonempty] = _normalize(sums[nonempty])
+        centroids = np.round(new, CENTROID_ROUND_DP)
+    return centroids
+
+
+def kmeans_assign(
+    embeddings: ray.data.Dataset, k: int = 10, n_iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    emit_vectors: bool = False,
+) -> ray.data.Dataset:
+    """(id, cluster, cos) per vector — the final assignment pass over
+    the trained centroids.  ``emit_vectors`` additionally carries the
+    normalized vector (consumed by :func:`semantic_dedup_flags` so the
+    dedup shuffle doesn't re-read + re-normalize the corpus)."""
+    centroids = kmeans_centroids(embeddings, k, n_iters, id_col, vec_col)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        dim = c.shape[1]
+        if batch.num_rows == 0:
+            cols = {
+                id_col: pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+            if emit_vectors:
+                cols["vec"] = pa.array([], pa.list_(pa.float64(), dim))
+            return pa.table(cols)
+        m = _normalize(_matrix(batch, vec_col))
+        a, cos = _assign_batch(m, c)
+        cols = {
+            id_col: batch[id_col],
+            "cluster": pa.array(a.astype(np.int64)),
+            "cos": pa.array(cos),
+        }
+        if emit_vectors:
+            cols["vec"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), type=pa.float64()), dim
+            )
+        return pa.table(cols)
+
+    return embeddings.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def semantic_dedup_flags(
+    embeddings: ray.data.Dataset, tau: float, k: int = 10,
+    n_iters: int = KMEANS_ITERS, id_col: str = "vec_id",
+    vec_col: str = "embedding", num_buckets: int = 64,
+    max_cluster: int = 20_000,
+) -> ray.data.Dataset:
+    """SemDeDup: keep a vector unless SOME SMALLER-id vector in its
+    k-means cluster has cosine >= tau with it (min-id representative
+    per near-dup neighborhood — deterministic, order-free, no
+    sequential greedy pass).  Returns (id, cluster, keep).
+
+    The cluster groupby shuffles only (id, cluster, vec) triples; the
+    in-cluster comparison is the blocked threshold kernel (peak
+    allocation bounded), and clusters beyond ``max_cluster`` members
+    are truncated with a logged drop — the same honest-degradation
+    protocol as the LSH bucket cap (excess members are KEPT, never
+    silently dropped from the output)."""
+    assigned = kmeans_assign(
+        embeddings, k, n_iters, id_col, vec_col, emit_vectors=True
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_cl, out_keep = [], [], []
+        for cl, g in df.groupby("cluster", sort=False):
+            ids = g[id_col].to_numpy()
+            keep = np.ones(len(ids), dtype=bool)
+            if len(ids) > max_cluster:
+                logger.warning(
+                    "semantic_dedup: cluster %s has %d members; only the "
+                    "%d smallest-id members are compared (excess kept)",
+                    cl, len(ids), max_cluster,
+                )
+                order = np.argsort(ids, kind="stable")[:max_cluster]
+            else:
+                order = np.arange(len(ids))
+            sub_ids = ids[order]
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in g["vec"].to_numpy()[order]]
+            )
+            _, b, _ = threshold_pairs_blocked(sub_ids, m, tau)
+            if len(b):
+                removed = np.unique(b)  # b is always the LARGER id
+                keep[order] = ~np.isin(sub_ids, removed)
+            out_ids.append(ids)
+            out_cl.append(np.full(len(ids), cl, dtype=np.int64))
+            out_keep.append(keep)
+        if not out_ids:
+            return pd.DataFrame(
+                {id_col: np.empty(0, np.int64),
+                 "cluster": np.empty(0, np.int64),
+                 "keep": np.empty(0, bool)}
+            )
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate(out_ids),
+                "cluster": np.concatenate(out_cl),
+                "keep": np.concatenate(out_keep),
+            }
+        )
+
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    return bucketed_groupby(
+        assigned, ["cluster"], prune,
+        num_buckets=num_buckets, local_combine=False,
+    )

@@ -393,3 +393,137 @@ def test_lsh_tables_for_fallback_warns():
     with pytest.warns(RuntimeWarning, match="falling back"):
         b, L = lsh_tables_for(0.05, 0.98, 8, 4)
     assert (b, L) == (1, 4)
+
+
+# -- clustering / semantic dedup ---------------------------------------------
+
+
+def _kmeans_reference(ids, mat, k, n_iters):
+    """Pure-numpy single-machine reference implementing EXACTLY the
+    distributed algorithm's determinism contract (smallest-id init,
+    9-dp centroid rounding, 6-dp cosine rounding, first-max ties,
+    empty clusters keep their centroid)."""
+    import numpy as np
+
+    from neo4j_webgraph_ray.stages.similarity import _normalize
+
+    order = np.argsort(ids, kind="stable")
+    c = np.round(_normalize(mat[order[:k]].astype(np.float64)), 9)
+    for _ in range(n_iters):
+        m = _normalize(mat.astype(np.float64))
+        sim = np.round(m @ c.T, 6)
+        assign = np.argmax(sim, axis=1)
+        new = c.copy()
+        for j in range(len(c)):
+            sel = assign == j
+            if sel.any():
+                new[j] = _normalize(m[sel].sum(axis=0)[None, :])[0]
+        c = np.round(new, 9)
+    m = _normalize(mat.astype(np.float64))
+    sim = np.round(m @ c.T, 6)
+    return np.argmax(sim, axis=1), c
+
+
+def _load_emb(sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in
+                    t["embedding"].to_numpy(zero_copy_only=False)])
+    return ids, mat
+
+
+def test_kmeans_assign_matches_reference(sf_smoke):
+    """Distributed Lloyd's (partial-sum merge + broadcast) must equal
+    the single-machine reference EXACTLY — the rounding contract makes
+    partial-summation order invisible."""
+    import numpy as np
+    import ray.data
+
+    from neo4j_webgraph_ray.stages.clustering import kmeans_assign
+
+    ids, mat = _load_emb(sf_smoke)
+    ref_assign, _ = _kmeans_reference(ids, mat, k=10, n_iters=10)
+    got = (
+        kmeans_assign(
+            ray.data.read_parquet(f"{sf_smoke}/embeddings.parquet"), k=10
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    order = np.argsort(ids, kind="stable")
+    assert np.array_equal(got["cluster"].to_numpy(), ref_assign[order])
+
+
+def test_kmeans_improves_objective(sf_smoke):
+    """Lloyd's must improve the spherical objective (mean cosine to the
+    assigned centroid) over the smallest-id init, and every cluster
+    must be non-empty on this data.  (The synthetic labels are only
+    weakly geometric — purity ~0.17 vs 0.1 chance — so the objective,
+    not label recovery, is the meaningful invariant.)"""
+    import numpy as np
+    import ray.data
+
+    from neo4j_webgraph_ray.queries_docs import q_kmeans_clusters
+    from neo4j_webgraph_ray.stages.similarity import _normalize
+
+    got = q_kmeans_clusters(sf_smoke)
+    assert got["cluster"].nunique() == 10
+
+    ids, mat = _load_emb(sf_smoke)
+    m = _normalize(mat)
+    order = np.argsort(ids, kind="stable")
+    c0 = np.round(_normalize(mat[order[:10]].astype(np.float64)), 9)
+    obj_init = np.round(m @ c0.T, 6).max(axis=1).mean()
+    obj_final = got.sort_values("vec_id")["cos"].mean()
+    assert obj_final > obj_init
+
+
+def test_semantic_dedup_matches_bruteforce(sf_smoke):
+    """Distributed SemDeDup equals the brute-force same-rule oracle:
+    drop iff some smaller-id SAME-CLUSTER vector has 6-dp-rounded
+    cosine >= tau."""
+    import numpy as np
+    import ray.data
+
+    from neo4j_webgraph_ray.stages.clustering import semantic_dedup_flags
+    from neo4j_webgraph_ray.stages.similarity import _normalize
+
+    tau = 0.45
+    ids, mat = _load_emb(sf_smoke)
+    ref_assign, _ = _kmeans_reference(ids, mat, k=10, n_iters=10)
+    m = _normalize(mat)
+    cos = np.round(m @ m.T, 6)
+    same = ref_assign[:, None] == ref_assign[None, :]
+    smaller = ids[None, :] < ids[:, None]
+    ref_keep = ~((cos >= tau) & same & smaller).any(axis=1)
+
+    got = (
+        semantic_dedup_flags(
+            ray.data.read_parquet(f"{sf_smoke}/embeddings.parquet"),
+            tau=tau, k=10,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    order = np.argsort(ids, kind="stable")
+    assert np.array_equal(got["keep"].to_numpy(), ref_keep[order])
+    assert np.array_equal(got["cluster"].to_numpy(), ref_assign[order])
+    assert (~ref_keep).sum() >= 0  # non-vacuity checked at sf0.01 below
+
+
+def test_semantic_dedup_nonvacuous_sf001():
+    """At sf0.01 and tau=0.45 the prune must actually drop something
+    (guards against a vacuous always-keep result)."""
+    import ray.data
+
+    from neo4j_webgraph_ray.stages.clustering import semantic_dedup_flags
+
+    got = semantic_dedup_flags(
+        ray.data.read_parquet("/root/testdata/sf0.01/embeddings.parquet"),
+        tau=0.45, k=10,
+    ).to_pandas()
+    assert (~got["keep"]).sum() > 0
+    assert got["keep"].sum() > 0
