@@ -1025,24 +1025,33 @@ def q_benchmark_contamination(sf_dir: str) -> ray.data.Dataset:
 
     from neo4j_webgraph_ray.functions.text import word_ngrams_flat
 
+    from neo4j_webgraph_ray.ids import hash64
+
     docs = _docs(sf_dir)
 
+    # membership runs on 64-bit siphashes of the gram strings, not the
+    # strings: the broadcast is a flat sorted int64 array (zero-copy
+    # plasma reads, ~10x smaller than the strings) and the per-batch
+    # probe is a C-path sorted isin instead of object comparisons.  A
+    # false flag needs a corpus gram colliding with a DIFFERENT
+    # benchmark gram's hash: ~|bench|x|corpus|/2^64 (~1e-9 at 25K
+    # bench x 500K corpus grams) — far below any operational concern.
     def bench_grams(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         sub = batch.filter(pa.array(ids % CONTAM_MOD == 0))
         _, grams = word_ngrams_flat(sub["text"], CONTAM_NGRAM)
-        return pa.table({"g": pc.unique(grams)})
+        return pa.table({"h": pa.array(np.unique(hash64(grams)))})
 
     bench = np.unique(
         np.concatenate(
             [
-                b["g"].to_numpy(zero_copy_only=False)
+                b["h"].to_numpy(zero_copy_only=False)
                 for b in docs.map_batches(
                     bench_grams, batch_format="pyarrow", zero_copy_batch=True
                 ).iter_batches(batch_size=None, batch_format="pyarrow")
                 if b.num_rows
             ]
-            or [np.empty(0, dtype=object)]
+            or [np.empty(0, dtype=np.int64)]
         )
     )
     bench_ref = ray.put(bench)
@@ -1054,9 +1063,7 @@ def q_benchmark_contamination(sf_dir: str) -> ray.data.Dataset:
         hit = np.zeros(sub.num_rows, dtype=bool)
         if len(doc_idx):
             bset = ray.get(bench_ref)
-            member = np.isin(
-                grams.to_numpy(zero_copy_only=False), bset, kind="sort"
-            )
+            member = np.isin(hash64(grams), bset, kind="sort")
             hit = np.bincount(
                 doc_idx, weights=member, minlength=sub.num_rows
             ) > 0
