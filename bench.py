@@ -183,12 +183,14 @@ def run_bench() -> dict:
             "top_tokens",
             "sample_stratified",
             "tfidf_top_terms",
+            "unigram_logprob",
             "dedup_exact_docs",
             # training-data assembly family
             "pack_sequences",
             "benchmark_contamination",
             "repetition_metrics",
             "train_split",
+            "curated_corpus",
             "minhash_neardup",
             "ngram_jaccard_neardup",
             "neardup_clusters",

@@ -501,6 +501,110 @@ ORDER BY doc_id, tok
 """
 
 
+def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style LM quality proxy: per-document mean negative log2
+    probability of its tokens under the corpus unigram distribution
+    (low = boilerplate-like, high = rare-token-heavy).  Same scale
+    skeleton as TF-IDF: exact per-batch (doc, tok, tf) rows, a bucketed
+    sum for corpus token counts, a size-gated vocabulary lookup join
+    (broadcast under the gate, co-group beyond), then an algebraic
+    per-doc aggregate.  Per-token surprisals are rounded to 6 dp on
+    both engines BEFORE aggregation (the TF-IDF discipline); the
+    contract emits (n_tok, nll_sum) rather than their quotient — see
+    doc_final for why rounding the mean is boundary-unstable.  The
+    mean surprisal is nll_sum / n_tok."""
+    import pyarrow.compute as pc
+
+    from neo4j_webgraph_ray.functions.text import ws_token_lists
+    from neo4j_webgraph_ray.queries import _lookup_join
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    docs = _docs(sf_dir)
+
+    def tf_rows(batch: pa.Table) -> pd.DataFrame:
+        lists = ws_token_lists(batch["text"])
+        lens = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+            zero_copy_only=False
+        )
+        toks = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), lens)
+        mask = toks != ""
+        d = pd.DataFrame({"doc_id": ids[mask], "tok": toks[mask]})
+        return d.groupby(["doc_id", "tok"], sort=False).size().reset_index(
+            name="tf"
+        )
+
+    tf = docs.map_batches(
+        tf_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # feeds both the vocab aggregation and the join
+
+    def cnt_partial(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("tok", as_index=False, sort=False)["tf"].sum()
+
+    vocab = bucketed_groupby(
+        tf.map_batches(cnt_partial, batch_format="pandas"),
+        ["tok"], cnt_partial, num_buckets=16,
+    ).materialize()
+    total = float(vocab.sum("tf"))
+
+    joined = _lookup_join(
+        tf, "tok", vocab, "tok", "tf", "n",
+        carry_cols=["doc_id", "tf"], val_default=np.int64(1),
+    )
+
+    def doc_partial(d: pd.DataFrame) -> pd.DataFrame:
+        lp = np.round(
+            -np.log2(d["n"].to_numpy(np.float64) / total), 6
+        )
+        tfv = d["tf"].to_numpy(np.float64)
+        g = pd.DataFrame(
+            {"doc_id": d["doc_id"].to_numpy(), "s": lp * tfv, "c": tfv}
+        )
+        return g.groupby("doc_id", as_index=False, sort=False)[["s", "c"]].sum()
+
+    def doc_final(d: pd.DataFrame) -> pd.DataFrame:
+        m = d.groupby("doc_id", as_index=False, sort=False)[["s", "c"]].sum()
+        # the compared contract emits the 6-dp-lattice SUM plus the
+        # token count, NOT their quotient: the sum of 6-dp surprisals
+        # is a lattice point (ulp summation-order noise rounds away),
+        # while a lattice-sum / small-count quotient lands exactly on
+        # half-microunit rounding boundaries ~1/count of the time,
+        # where numpy's half-even and SQL round()'s tie rule diverge —
+        # measured 0.4-1.2% of docs flipping at 6 dp.  Callers wanting
+        # the mean surprisal divide nll_sum / n_tok themselves.
+        return pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].to_numpy(),
+                "n_tok": m["c"].to_numpy().astype(np.int64),
+                "nll_sum": np.round(m["s"].to_numpy(), 6),
+            }
+        )
+
+    parts = joined.map_batches(doc_partial, batch_format="pandas")
+    out = bucketed_groupby(
+        parts, ["doc_id"], doc_final, num_buckets=16, local_combine=False,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                x -> x <> '')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+surprisal AS (
+  SELECT toks.doc_id,
+         round(-log2(vocab.n / tot.t), 6) AS lp
+  FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_tok, round(sum(lp), 6) AS nll_sum
+FROM surprisal GROUP BY doc_id
+"""
+
+
 def q_neardup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-duplicate CLUSTERS — the operator a training-data pipeline
     actually runs dedup for: MinHash near-dup pairs (word 3-shingles,
@@ -1236,6 +1340,135 @@ FROM toks GROUP BY 1
 """
 
 
+def q_curated_corpus(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end curation composition — the pipeline a training-data
+    run actually executes, chained from the already-oracled pieces in
+    ONE pass over the corpus plus one dedup shuffle:
+
+    keep a document iff (a) it passes the C4-style quality gate
+    (q_quality_filter's thresholds), (b) it is the min-doc_id
+    representative of its exact-text group (dedup against the FULL
+    corpus, q_dedup_exact_docs semantics), and (c) it is neither a
+    benchmark member nor contaminated (q_benchmark_contamination
+    semantics).
+
+    Scale shape: the per-doc flags are computed in the same batch pass
+    that hashes the text, so only (hash, id, flags) ever crosses the
+    dedup shuffle — the text itself moves zero times; the benchmark
+    grams are the same sorted-int64 broadcast the contamination entry
+    uses."""
+    import pyarrow.compute as pc
+
+    from neo4j_webgraph_ray.functions.text import word_ngrams_flat
+    from neo4j_webgraph_ray.ids import hash64
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    docs = _docs(sf_dir)
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % CONTAM_MOD == 0))
+        _, grams = word_ngrams_flat(sub["text"], CONTAM_NGRAM)
+        return pa.table({"h": pa.array(np.unique(hash64(grams)))})
+
+    bench = np.unique(
+        np.concatenate(
+            [
+                b["h"].to_numpy(zero_copy_only=False)
+                for b in docs.map_batches(
+                    bench_grams, batch_format="pyarrow", zero_copy_batch=True
+                ).iter_batches(batch_size=None, batch_format="pyarrow")
+                if b.num_rows
+            ]
+            or [np.empty(0, dtype=np.int64)]
+        )
+    )
+    bench_ref = ray.put(bench)
+
+    def flags(batch: pa.Table) -> pd.DataFrame:
+        q = quality_metrics(batch)
+        quality_ok = (
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(q["n_word_tokens"], 10),
+                    pc.less_equal(q["avg_token_len"], 12.0),
+                ),
+                pc.and_(
+                    pc.greater_equal(q["stop_ratio"], 0.05),
+                    pc.less_equal(q["stop_ratio"], 0.7),
+                ),
+            )
+            .to_numpy(zero_copy_only=False)
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        doc_idx, grams = word_ngrams_flat(batch["text"], CONTAM_NGRAM)
+        contam = np.zeros(batch.num_rows, dtype=bool)
+        if len(doc_idx):
+            member = np.isin(hash64(grams), ray.get(bench_ref), kind="sort")
+            contam = np.bincount(
+                doc_idx, weights=member, minlength=batch.num_rows
+            ) > 0
+        return pd.DataFrame(
+            {
+                "h": hash64(batch["text"].to_numpy(zero_copy_only=False)),
+                "doc_id": ids,
+                "n_word_tokens": q["n_word_tokens"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "ok": quality_ok
+                & ~contam
+                & (ids % CONTAM_MOD != 0),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # min-doc_id row per text group, carrying ITS flags (algebraic:
+        # the min of mins is the min)
+        return (
+            df.sort_values("doc_id", kind="stable")
+            .groupby("h", sort=False, as_index=False)
+            .head(1)
+        )
+
+    reps = bucketed_groupby(
+        docs.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"], combine, num_buckets=_doc_buckets(sf_dir),
+    )
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["ok"]]
+        return out[["doc_id", "n_word_tokens"]]
+
+    return reps.map_batches(emit, batch_format="pandas")
+
+
+CURATED_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+bench AS (
+  SELECT DISTINCT array_to_string(t[i:i+{CONTAM_NGRAM - 1}], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t)-{CONTAM_NGRAM - 1}, 0))) AS u(i)
+  WHERE doc_id % {CONTAM_MOD} = 0
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{CONTAM_NGRAM - 1}], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t)-{CONTAM_NGRAM - 1}, 0))) AS u(i)
+),
+contaminated AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench)),
+reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+quality AS ({{quality_sql}})
+SELECT q.doc_id, q.n_word_tokens
+FROM quality q
+JOIN reps r USING (doc_id)
+LEFT JOIN contaminated c USING (doc_id)
+WHERE q.n_word_tokens >= 10 AND q.avg_token_len <= 12.0
+  AND q.stop_ratio BETWEEN 0.05 AND 0.7
+  AND c.doc_id IS NULL
+  AND q.doc_id % {CONTAM_MOD} <> 0
+"""
+
+
 KMEANS_K = 10
 SEMDEDUP_TAU = 0.45  # same non-vacuous threshold as embedding_neardup
 
@@ -1275,9 +1508,11 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "top_tokens": q_top_tokens,
     "sample_stratified": q_sample_stratified,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "unigram_logprob": q_unigram_logprob,
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "pack_sequences": q_pack_sequences,
     "benchmark_contamination": q_benchmark_contamination,
+    "curated_corpus": q_curated_corpus,
     "repetition_metrics": q_repetition_metrics,
     "train_split": q_train_split,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1309,9 +1544,11 @@ DOC_ORACLES: dict[str, str] = {
     "top_tokens": TOP_TOKENS_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL.format(lang_id_sql=LANG_ID_SQL),
     "tfidf_top_terms": TFIDF_SQL,
+    "unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "token_quantiles_by_lang": TOKEN_QUANTILES_SQL,
     "pack_sequences": PACK_SQL,
     "benchmark_contamination": CONTAM_SQL,
+    "curated_corpus": CURATED_SQL.format(quality_sql=QUALITY_SQL),
     "repetition_metrics": REPETITION_SQL,
     "train_split": TRAIN_SPLIT_SQL,
     "dedup_exact_docs": (
