@@ -90,7 +90,11 @@ def kmeans_centroids(
     """Full-corpus spherical Lloyd's: per-iteration partials (<= k rows
     per block) -> driver merge -> broadcast.  Empty clusters keep their
     previous centroid (deterministic; no resample at full-corpus
-    scale).  Returns the (k, d) normalized, 9-dp-rounded centroids."""
+    scale).  Stops early at a FIXED POINT — when the 9-dp-rounded
+    centroids repeat, every later iteration reproduces them exactly, so
+    the early stop is assignment-identical to running all ``n_iters``
+    (the pure-numpy reference test mirrors the same rule).  Returns the
+    (k, d) normalized, 9-dp-rounded centroids."""
     centroids = _init_centroids(embeddings, k, id_col, vec_col)
     kk = len(centroids)
     for _ in range(n_iters):
@@ -141,7 +145,10 @@ def kmeans_centroids(
         nonempty = counts > 0
         new = centroids.copy()
         new[nonempty] = _normalize(sums[nonempty])
-        centroids = np.round(new, CENTROID_ROUND_DP)
+        new = np.round(new, CENTROID_ROUND_DP)
+        if np.array_equal(new, centroids):  # fixed point: converged
+            return new
+        centroids = new
     return centroids
 
 

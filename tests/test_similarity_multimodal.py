@@ -418,7 +418,10 @@ def _kmeans_reference(ids, mat, k, n_iters):
             sel = assign == j
             if sel.any():
                 new[j] = _normalize(m[sel].sum(axis=0)[None, :])[0]
-        c = np.round(new, 9)
+        new = np.round(new, 9)
+        if np.array_equal(new, c):  # same fixed-point rule as the engine
+            break
+        c = new
     m = _normalize(mat.astype(np.float64))
     sim = np.round(m @ c.T, 6)
     return np.argmax(sim, axis=1), c
