@@ -83,9 +83,69 @@ def _assign_batch(m: np.ndarray, centroids: np.ndarray) -> tuple[np.ndarray, np.
     return assign, sim[np.arange(len(m)), assign]
 
 
+def _load_kmeans_checkpoint(
+    workdir: str, params: dict, sig: list | None
+) -> tuple[np.ndarray | None, int, bool]:
+    """(centroids, iters_done, fixed_point) from a matching checkpoint,
+    or (None, 0, False).  Reuse requires the SAME params AND a non-None
+    matching input signature — the PQ-codes staleness protocol
+    (similarity.py): a regenerated corpus at the same path must
+    invalidate, and an unverifiable input is never trusted."""
+    from neo4j_webgraph_ray.state import fsio
+
+    meta_path = fsio.join(workdir, "kmeans_meta.json")
+    if sig is None or not fsio.exists(meta_path):
+        return None, 0, False
+    meta = fsio.read_json(meta_path)
+    if meta.get("params") != params or meta.get("signature") != sig:
+        return None, 0, False
+    t = fsio.read_table(fsio.join(workdir, "centroids.parquet"))
+    order = np.argsort(t["cluster"].to_numpy(zero_copy_only=False))
+    c = np.stack(
+        [
+            np.asarray(v, dtype=np.float64)
+            for v in t["c"].to_numpy(zero_copy_only=False)[order]
+        ]
+    )
+    return c, int(meta["iters_done"]), bool(meta.get("fixed_point"))
+
+
+def _write_kmeans_checkpoint(
+    workdir: str, params: dict, sig: list, centroids: np.ndarray,
+    iters_done: int, fixed_point: bool,
+) -> None:
+    from neo4j_webgraph_ray.state import fsio
+
+    fsio.makedirs(workdir)
+    dim = centroids.shape[1]
+    fsio.write_table_atomic(
+        pa.table(
+            {
+                "cluster": pa.array(
+                    np.arange(len(centroids), dtype=np.int64)
+                ),
+                "c": pa.FixedSizeListArray.from_arrays(
+                    pa.array(centroids.ravel(), type=pa.float64()), dim
+                ),
+            }
+        ),
+        fsio.join(workdir, "centroids.parquet"),
+    )
+    fsio.write_json_atomic(
+        {
+            "params": params,
+            "signature": sig,
+            "iters_done": iters_done,
+            "fixed_point": fixed_point,
+        },
+        fsio.join(workdir, "kmeans_meta.json"),
+    )
+
+
 def kmeans_centroids(
     embeddings: ray.data.Dataset, k: int = 10, n_iters: int = KMEANS_ITERS,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    workdir: str | None = None, checkpoint_every: int = 1,
 ) -> np.ndarray:
     """Full-corpus spherical Lloyd's: per-iteration partials (<= k rows
     per block) -> driver merge -> broadcast.  Empty clusters keep their
@@ -94,10 +154,40 @@ def kmeans_centroids(
     centroids repeat, every later iteration reproduces them exactly, so
     the early stop is assignment-identical to running all ``n_iters``
     (the pure-numpy reference test mirrors the same rule).  Returns the
-    (k, d) normalized, 9-dp-rounded centroids."""
-    centroids = _init_centroids(embeddings, k, id_col, vec_col)
+    (k, d) normalized, 9-dp-rounded centroids.
+
+    ``workdir`` (optional, pyarrow.fs path/URI) makes the loop
+    RESUMABLE: centroids are checkpointed every ``checkpoint_every``
+    iterations (atomic write + JSON meta carrying params, input
+    signature, iteration count, fixed-point flag), and a matching
+    checkpoint restarts the loop mid-algorithm — at the 10^9-vector
+    regime each Lloyd iteration is a full corpus pass, so losing 30
+    iterations to a preemption is real money.  Because every
+    iteration's math is rounded, a resumed run is bit-identical to an
+    uninterrupted one (asserted in pytest)."""
+    from neo4j_webgraph_ray.stages.similarity import _input_signature
+
+    # n_iters is deliberately NOT identity: centroids after iteration i
+    # are budget-independent, so an interrupted 4-iteration run resumes
+    # cleanly under a 10-iteration budget
+    params = {
+        "k": k, "id_col": id_col, "vec_col": vec_col,
+        "round_dp": CENTROID_ROUND_DP, "cos_dp": COS_ROUND_DP,
+    }
+    sig = _input_signature(embeddings) if workdir else None
+    start_iter = 0
+    centroids = None
+    if workdir:
+        centroids, start_iter, fixed = _load_kmeans_checkpoint(
+            workdir, params, sig
+        )
+        if centroids is not None and (fixed or start_iter >= n_iters):
+            return centroids
+    if centroids is None:
+        centroids = _init_centroids(embeddings, k, id_col, vec_col)
+        start_iter = 0
     kk = len(centroids)
-    for _ in range(n_iters):
+    for it in range(start_iter, n_iters):
         cref = ray.put(centroids)
 
         def partial(batch: pa.Table) -> pa.Table:
@@ -146,7 +236,12 @@ def kmeans_centroids(
         new = centroids.copy()
         new[nonempty] = _normalize(sums[nonempty])
         new = np.round(new, CENTROID_ROUND_DP)
-        if np.array_equal(new, centroids):  # fixed point: converged
+        fixed = np.array_equal(new, centroids)  # fixed point: converged
+        if workdir and sig is not None and (
+            fixed or it == n_iters - 1 or (it + 1) % checkpoint_every == 0
+        ):
+            _write_kmeans_checkpoint(workdir, params, sig, new, it + 1, fixed)
+        if fixed:
             return new
         centroids = new
     return centroids
@@ -155,13 +250,17 @@ def kmeans_centroids(
 def kmeans_assign(
     embeddings: ray.data.Dataset, k: int = 10, n_iters: int = KMEANS_ITERS,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    emit_vectors: bool = False,
+    emit_vectors: bool = False, workdir: str | None = None,
 ) -> ray.data.Dataset:
     """(id, cluster, cos) per vector — the final assignment pass over
     the trained centroids.  ``emit_vectors`` additionally carries the
     normalized vector (consumed by :func:`semantic_dedup_flags` so the
-    dedup shuffle doesn't re-read + re-normalize the corpus)."""
-    centroids = kmeans_centroids(embeddings, k, n_iters, id_col, vec_col)
+    dedup shuffle doesn't re-read + re-normalize the corpus);
+    ``workdir`` enables mid-training resume (see
+    :func:`kmeans_centroids`)."""
+    centroids = kmeans_centroids(
+        embeddings, k, n_iters, id_col, vec_col, workdir=workdir
+    )
     cref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:

@@ -530,3 +530,53 @@ def test_semantic_dedup_nonvacuous_sf001():
     ).to_pandas()
     assert (~got["keep"]).sum() > 0
     assert got["keep"].sum() > 0
+
+
+def test_kmeans_resume_bit_identical(tmp_path, sf_smoke, monkeypatch):
+    """An interrupted run (4-iteration budget) resumed under the full
+    budget must produce BIT-IDENTICAL centroids to an uninterrupted
+    run, must skip the init on resume, and a regenerated input at the
+    same path must invalidate the checkpoint."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    import neo4j_webgraph_ray.stages.clustering as cl
+
+    src = f"{sf_smoke}/embeddings.parquet"
+    wd = str(tmp_path / "wd")
+
+    def emb():
+        return ray.data.read_parquet(src)
+
+    direct = cl.kmeans_centroids(emb(), k=10, n_iters=10)
+    part = cl.kmeans_centroids(emb(), k=10, n_iters=4, workdir=wd)
+    assert not np.array_equal(part, direct)
+
+    # resume must not re-run the init (budget-independent identity)
+    def boom(*a, **k):
+        raise AssertionError("init re-ran on resume")
+
+    monkeypatch.setattr(cl, "_init_centroids", boom)
+    resumed = cl.kmeans_centroids(emb(), k=10, n_iters=10, workdir=wd)
+    monkeypatch.undo()
+    assert np.array_equal(resumed, direct)
+
+    # re-invoking at the full budget is a pure checkpoint read
+    monkeypatch.setattr(cl, "_init_centroids", boom)
+    again = cl.kmeans_centroids(emb(), k=10, n_iters=10, workdir=wd)
+    monkeypatch.undo()
+    assert np.array_equal(again, direct)
+
+    # staleness: a DIFFERENT input at a new path with the same workdir
+    # params but mismatched signature must retrain from scratch
+    t = pq.read_table(src)
+    perm = np.random.default_rng(0).permutation(t.num_rows)
+    t2 = t.take(pa.array(perm[: t.num_rows // 2]))
+    src2 = str(tmp_path / "embeddings.parquet")
+    pq.write_table(t2, src2)
+    fresh = cl.kmeans_centroids(
+        ray.data.read_parquet(src2), k=10, n_iters=10, workdir=wd
+    )
+    assert not np.array_equal(fresh, direct)
