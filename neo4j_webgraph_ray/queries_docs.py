@@ -501,6 +501,102 @@ ORDER BY doc_id, tok
 """
 
 
+DUP_WINDOW_W = 10  # word-window width for substring-level dup detection
+
+
+def q_dup_window_counts(sf_dir: str) -> pd.DataFrame:
+    """Substring-level duplication profile (the Lee-et-al exact
+    substring dedup signal, window = {DUP_WINDOW_W} word tokens): per
+    document, how many of its sliding windows occur MORE THAN ONCE in
+    the whole corpus — high counts mark boilerplate / templated docs
+    that document-level dedup misses.  Docs shorter than the window
+    have no windows and drop (inner-join semantics, same as the
+    repetition metrics).
+
+    Scale shape: windows are hashed per batch (one vectorized n-gram
+    expansion + one siphash call); the (doc, hash) pair table is
+    materialized once (16 B/window), global window counts come from a
+    bucketed sum over per-batch partials (shuffle volume = distinct
+    hashes per batch, never windows), and the dup flag is attached
+    back with the size-gated lookup join — the broadcast side is ONLY
+    the duplicated hashes, which deduped corpora keep small by
+    construction.  Hash collisions merging two distinct windows are
+    the exact_text_dedup-documented ~n^2/2^65 risk."""
+    from neo4j_webgraph_ray.functions.text import word_ngrams_flat
+    from neo4j_webgraph_ray.ids import hash64
+    from neo4j_webgraph_ray.queries import _lookup_join
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    docs = _docs(sf_dir)
+
+    def window_rows(batch: pa.Table) -> pd.DataFrame:
+        doc_idx, grams = word_ngrams_flat(batch["text"], DUP_WINDOW_W)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"doc_id": ids[doc_idx], "h": hash64(grams)})
+
+    win = docs.map_batches(
+        window_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # feeds both the count aggregation and the join
+
+    def cnt_partial(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("h", as_index=False, sort=False).size()
+        return g.rename(columns={"size": "c"})
+
+    def cnt_combine(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("h", as_index=False, sort=False)["c"].sum()
+
+    counts = bucketed_groupby(
+        win.map_batches(cnt_partial, batch_format="pandas"),
+        ["h"], cnt_combine, num_buckets=16, local_combine=False,
+    )
+    dup = counts.map_batches(
+        lambda df: df[df["c"] > 1], batch_format="pandas"
+    ).materialize()
+
+    flagged = _lookup_join(
+        win, "h", dup, "h", "c", "dupc",
+        carry_cols=["doc_id"], keep_unmatched=True,
+        unmatched_value=np.int64(0),
+    )
+
+    def per_doc(d: pd.DataFrame) -> pd.DataFrame:
+        is_dup = (d["dupc"].to_numpy() > 1).astype(np.int64)
+        g = pd.DataFrame({"doc_id": d["doc_id"].to_numpy(), "d": is_dup})
+        m = g.groupby("doc_id", as_index=False, sort=False).agg(
+            n_windows=("d", "size"), n_dup_windows=("d", "sum")
+        )
+        return m
+
+    def per_doc_final(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("doc_id", as_index=False, sort=False)[
+            ["n_windows", "n_dup_windows"]
+        ].sum()
+
+    out = bucketed_groupby(
+        flagged.map_batches(per_doc, batch_format="pandas"),
+        ["doc_id"], per_doc_final, num_buckets=16, local_combine=False,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DUP_WINDOW_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{DUP_WINDOW_W - 1}], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t)-{DUP_WINDOW_W - 1}, 0))) AS u(i)
+),
+gc AS (SELECT g, count(*) AS c FROM grams GROUP BY g)
+SELECT doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN gc.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_windows
+FROM grams JOIN gc USING (g)
+GROUP BY doc_id
+"""
+
+
 def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     """CCNet-style LM quality proxy: per-document mean negative log2
     probability of its tokens under the corpus unigram distribution
@@ -1509,6 +1605,7 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "sample_stratified": q_sample_stratified,
     "tfidf_top_terms": q_tfidf_top_terms,
     "unigram_logprob": q_unigram_logprob,
+    "dup_window_counts": q_dup_window_counts,
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "pack_sequences": q_pack_sequences,
     "benchmark_contamination": q_benchmark_contamination,
@@ -1545,6 +1642,7 @@ DOC_ORACLES: dict[str, str] = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL.format(lang_id_sql=LANG_ID_SQL),
     "tfidf_top_terms": TFIDF_SQL,
     "unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "dup_window_counts": DUP_WINDOW_SQL,
     "token_quantiles_by_lang": TOKEN_QUANTILES_SQL,
     "pack_sequences": PACK_SQL,
     "benchmark_contamination": CONTAM_SQL,
