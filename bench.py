@@ -205,6 +205,8 @@ def run_bench() -> dict:
             "embedding_neardup_clusters",
             "kmeans_clusters",
             "semantic_dedup",
+            "label_noise",
+            "shuffle_shards",
             # actor-pool plumbing stages (VERDICT r2 #8: regressions in
             # the enrichment / multimodal actor paths must be visible)
             "enrich_social",

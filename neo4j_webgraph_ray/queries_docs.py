@@ -1596,6 +1596,139 @@ def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_label_noise(sf_dir: str) -> ray.data.Dataset:
+    """Nearest-class-centroid label-noise detection over the labeled
+    embedding table: per-class mean-vector centroids (two streaming
+    passes, <= L-row partials + one broadcast matmul pass — see
+    ``label_centroid_noise``), flag rows whose 9-dp-rounded cosine
+    argmax disagrees with their own label.  Non-vacuous on the
+    testdata (313/500 flagged at sf0.001)."""
+    from neo4j_webgraph_ray.stages.clustering import label_centroid_noise
+
+    return label_centroid_noise(_emb(sf_dir))
+
+
+LABEL_NOISE_SQL = """
+WITH u AS (
+  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+cent AS (
+  SELECT clabel, list(cx ORDER BY i) AS cvec
+  FROM (SELECT label AS clabel, i, avg(x) AS cx FROM u GROUP BY label, i)
+  GROUP BY clabel
+),
+scored AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 9) AS cos
+  FROM embeddings e CROSS JOIN cent c
+),
+ranked AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+  FROM scored
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(clabel AS BIGINT) AS pred_label,
+       CAST(label <> clabel AS BIGINT) AS mislabeled
+FROM ranked WHERE rn = 1
+"""
+
+
+SHUFFLE_NSHARDS = 8
+SHUFFLE_MULT = 2654435761  # Knuth multiplicative hash; odd -> bijective mod 2^32
+
+
+def q_shuffle_shards(
+    sf_dir: str, n_shards: int = SHUFFLE_NSHARDS, nbuckets: int | None = None
+) -> ray.data.Dataset:
+    """Deterministic shuffle-to-shards for training export: rank every
+    document by a multiplicative hash of its id (a seedless,
+    partitioning-independent permutation) and deal ranks round-robin
+    into ``n_shards`` shards with a within-shard position — the
+    (shard, pos) layout a dataloader consumes, |shard size| difference
+    <= 1 by construction.
+
+    The global rank is the same distributed-scan shape as
+    ``q_pack_sequences``, but RANGE-bucketed on the hash key itself:
+    hash keys are uniform on [0, 2^32), so equal-width key ranges give
+    balanced buckets no matter how the input is partitioned; per-bucket
+    counts (one int per bucket) go to the driver for the exclusive
+    prefix, and each bucket sorts locally by (key, id) and finishes its
+    own ranks.  Only (doc_id, skey, bucket) triples ever move — the
+    corpus text is never read (column-pruned to doc_id)."""
+    from neo4j_webgraph_ray.queries import _scale_cap
+
+    if nbuckets is None:
+        nbuckets = min(_scale_cap(), max(8, _doc_buckets(sf_dir)))
+    width = np.uint64(2**32 // nbuckets + 1)
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = ray.data.read_parquet(path, columns=["doc_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        skey = (
+            ids.astype(np.uint64) * np.uint64(SHUFFLE_MULT)
+        ) % np.uint64(2**32)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "skey": pa.array(skey.astype(np.int64)),
+                "rb": pa.array((skey // width).astype(np.int64)),
+            }
+        )
+
+    kd = docs.map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # feeds the count pass AND the rank pass
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        rb = batch["rb"].to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(rb, return_counts=True)
+        return pa.table({"rb": pa.array(u), "n": pa.array(cnt.astype(np.int64))})
+
+    parts = kd.map_batches(
+        bucket_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    totals = parts.groupby("rb", sort=True)["n"].sum()
+    offsets = np.zeros(nbuckets, dtype=np.int64)
+    idx = totals.index.to_numpy()
+    offsets[idx] = np.concatenate([[0], np.cumsum(totals.to_numpy())[:-1]])
+    off_ref = ray.put(offsets)
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        skey = df["skey"].to_numpy()
+        order = np.lexsort((ids, skey))
+        base = int(ray.get(off_ref)[int(df["rb"].iloc[0])])
+        rnk = np.empty(len(ids), dtype=np.int64)
+        rnk[order] = base + np.arange(len(ids), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "shard": rnk % n_shards,
+                "pos": rnk // n_shards,
+            }
+        )
+
+    return kd.groupby("rb").map_groups(rank, batch_format="pandas")
+
+
+SHUFFLE_SHARDS_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         (CAST(doc_id AS HUGEINT) * {SHUFFLE_MULT}) % 4294967296 AS skey
+  FROM documents
+),
+r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY skey, doc_id) - 1 AS rnk FROM k
+)
+SELECT doc_id,
+       CAST(rnk % {SHUFFLE_NSHARDS} AS BIGINT) AS shard,
+       CAST(rnk // {SHUFFLE_NSHARDS} AS BIGINT) AS pos
+FROM r
+"""
+
+
 DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "token_counts": q_token_counts,
     "quality_metrics": q_quality,
@@ -1627,6 +1760,8 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "embedding_neardup_clusters": q_embedding_neardup_clusters,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
+    "label_noise": q_label_noise,
+    "shuffle_shards": q_shuffle_shards,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1658,6 +1793,8 @@ DOC_ORACLES: dict[str, str] = {
     "ngram_jaccard_neardup": NGRAM_NEARDUP_SQL,
     "neardup_clusters": _neardup_clusters_sql(),
     "embedding_neardup_clusters": _emb_neardup_clusters_sql(),
+    "label_noise": LABEL_NOISE_SQL,
+    "shuffle_shards": SHUFFLE_SHARDS_SQL,
     # doc_fingerprints / simhash / ann_topk_lsh / ann_topk_ivf /
     # multimodal_features / kmeans_clusters / semantic_dedup:
     # signature-, seed-, or iteration-dependent, genuinely

@@ -359,3 +359,118 @@ def semantic_dedup_flags(
         assigned, ["cluster"], prune,
         num_buckets=num_buckets, local_combine=False,
     )
+
+
+LABEL_COS_ROUND_DP = 9  # matches the oracle's round(list_cosine_similarity, 9)
+
+
+def label_centroid_noise(
+    embeddings: ray.data.Dataset, id_col: str = "vec_id",
+    vec_col: str = "embedding", label_col: str = "label",
+) -> ray.data.Dataset:
+    """Label-noise detection by nearest-class-centroid (the
+    Confident-Learning-style first pass a curation pipeline runs over a
+    labeled embedding table): each class's centroid is the mean of its
+    RAW vectors, every vector is scored against every centroid by
+    cosine, and a row is flagged ``mislabeled`` when its own label is
+    not the argmax (9-dp-rounded cosine, ties -> smallest label).
+    Returns (id, label, pred_label, mislabeled) — label columns int64.
+
+    Scale shape (same partial/broadcast discipline as
+    :func:`kmeans_centroids`): the centroid pass streams the corpus
+    once, each block emitting <= L rows of (label, count, float64
+    sum-vector) partials; the driver merges L x #blocks tiny rows in
+    label-major order (reduction order independent of block arrival)
+    and broadcasts the L x d centroid matrix via ``ray.put``; the
+    scoring pass streams the corpus a second time — one matmul per
+    batch, nothing shuffles.  L is the number of distinct labels
+    (~10-10^4 for any real label space), so driver state is bounded.
+
+    The reference has no model-quality surface; this generalizes its
+    per-type aggregate counters (``importer/TransactionalGraphImporter
+    .java:371-379``) from count-per-class to mean-vector-per-class."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        m = _matrix(batch, vec_col)  # raw float64, NOT normalized
+        u, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(u), m.shape[1]))
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        dim = m.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(u),
+                "cnt": pa.array(cnt),
+                "vsum": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel(), type=pa.float64()), dim
+                ),
+            }
+        )
+
+    parts = embeddings.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # <= L rows per block — tiny by construction
+    if not len(parts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "pred_label": pa.array([], pa.int64()),
+                    "mislabeled": pa.array([], pa.int64()),
+                }
+            )
+        )
+    pl = parts["label"].to_numpy().astype(np.int64)
+    labs = np.unique(pl)
+    pos = np.searchsorted(labs, pl)
+    vs = np.stack([np.asarray(v, dtype=np.float64) for v in parts["vsum"].to_numpy()])
+    sums = np.zeros((len(labs), vs.shape[1]))
+    counts = np.zeros(len(labs), dtype=np.int64)
+    # label-major merge order -> reduction independent of block arrival
+    order = np.argsort(pos, kind="stable")
+    np.add.at(sums, pos[order], vs[order])
+    np.add.at(counts, pos, parts["cnt"].to_numpy().astype(np.int64))
+    centroids = sums / counts[:, None]
+    cn = _normalize(centroids)
+    ref = ray.put((labs, cn))
+
+    def score(batch: pa.Table) -> pa.Table:
+        labs_, cn_ = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "pred_label": pa.array([], pa.int64()),
+                    "mislabeled": pa.array([], pa.int64()),
+                }
+            )
+        m = _normalize(_matrix(batch, vec_col))
+        cos = np.round(m @ cn_.T, LABEL_COS_ROUND_DP)
+        # argmax takes the FIRST max and labs_ is ascending -> ties
+        # resolve to the smallest label, matching the oracle's
+        # ORDER BY cos DESC, clabel
+        pred = labs_[np.argmax(cos, axis=1)]
+        own = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "label": pa.array(own),
+                "pred_label": pa.array(pred),
+                "mislabeled": pa.array((own != pred).astype(np.int64)),
+            }
+        )
+
+    return embeddings.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -580,3 +580,73 @@ def test_kmeans_resume_bit_identical(tmp_path, sf_smoke, monkeypatch):
         ray.data.read_parquet(src2), k=10, n_iters=10, workdir=wd
     )
     assert not np.array_equal(fresh, direct)
+
+
+def test_label_noise_matches_reference_and_partitioning(sf_smoke):
+    """Distributed nearest-class-centroid label noise must equal the
+    single-machine numpy reference exactly, and be invariant to input
+    partitioning (the <= L-row partial merge is label-major, so block
+    boundaries are invisible)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from neo4j_webgraph_ray.stages.clustering import label_centroid_noise
+
+    t = pq.read_table(f"{sf_smoke}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in
+                    t["embedding"].to_numpy(zero_copy_only=False)])
+    labs = np.unique(labels)
+    cent = np.stack([mat[labels == l].mean(axis=0) for l in labs])
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    pred = labs[np.argmax(np.round(mn @ cn.T, 9), axis=1)]
+
+    ds = ray.data.read_parquet(f"{sf_smoke}/embeddings.parquet")
+    got = label_centroid_noise(ds).to_pandas().sort_values("vec_id")
+    order = np.argsort(ids, kind="stable")
+    assert np.array_equal(got["pred_label"].to_numpy(), pred[order])
+    assert np.array_equal(
+        got["mislabeled"].to_numpy(), (pred != labels).astype(np.int64)[order]
+    )
+    # non-vacuous on the testdata: some but not all rows flagged
+    n_mis = int(got["mislabeled"].sum())
+    assert 0 < n_mis < len(got)
+
+    rep = label_centroid_noise(ds.repartition(7)).to_pandas().sort_values("vec_id")
+    assert np.array_equal(
+        rep["pred_label"].to_numpy(), got["pred_label"].to_numpy()
+    )
+
+
+def test_shuffle_shards_invariants(sf_smoke):
+    """shuffle_shards: exact permutation (each doc once), balanced
+    shards (size spread <= 1), contiguous 0..n-1 positions per shard,
+    and bucket-count invariance (the range-bucketed rank cannot depend
+    on how many buckets split the key space)."""
+    import numpy as np
+
+    from neo4j_webgraph_ray.queries_docs import q_shuffle_shards
+
+    got = q_shuffle_shards(sf_smoke, nbuckets=13).to_pandas()
+    n = len(got)
+    assert got["doc_id"].is_unique
+    sizes = got.groupby("shard").size()
+    assert sizes.max() - sizes.min() <= 1
+    for _, g in got.groupby("shard"):
+        assert np.array_equal(
+            np.sort(g["pos"].to_numpy()), np.arange(len(g))
+        )
+    # rank = shard-major recomposition must be a permutation of 0..n-1
+    rnk = got["pos"].to_numpy() * len(sizes) + got["shard"].to_numpy()
+    assert np.array_equal(np.sort(rnk), np.arange(n))
+
+    alt = (
+        q_shuffle_shards(sf_smoke, nbuckets=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert alt.equals(got.sort_values("doc_id").reset_index(drop=True))
