@@ -1729,6 +1729,112 @@ FROM r
 """
 
 
+QBUDGET_FRAC = 0.25
+
+
+def q_quality_budget(
+    sf_dir: str, frac: float = QBUDGET_FRAC, nbuckets: int | None = None
+) -> ray.data.Dataset:
+    """Token-budget quality pruning: keep the highest-quality documents
+    (score = English stopword ratio, the strongest single signal in the
+    quality family) until their cumulative word-token count reaches
+    ``frac`` of the corpus total — the "best X% of tokens" selection a
+    data-constrained training run makes.
+
+    No global sort: the score domain is [0, 1], so equal-width RANGE
+    buckets on (1 - score) give a bucket order consistent with the
+    global score-descending order (ties can never straddle a bucket
+    boundary — equal scores hash to equal buckets).  Per-bucket token
+    totals (one int per bucket) fund the driver-side exclusive prefix
+    AND the corpus total that fixes the budget; each bucket then sorts
+    locally by (score desc, doc_id) and applies its own cumsum cutoff.
+    The text is read once; only (doc_id, score, n_tokens, bucket)
+    quadruples are ever re-scanned."""
+    from neo4j_webgraph_ray.queries import _scale_cap
+
+    if nbuckets is None:
+        nbuckets = min(_scale_cap(), max(8, _doc_buckets(sf_dir)))
+    nb = nbuckets
+
+    def scored(batch: pa.Table) -> pa.Table:
+        q = quality_metrics(batch)
+        s = q["stop_ratio"].to_numpy(zero_copy_only=False)
+        rb = np.minimum(
+            (np.maximum(1.0 - s, 0.0) * nb).astype(np.int64), nb - 1
+        )
+        return pa.table(
+            {
+                "doc_id": q["doc_id"],
+                "score": pa.array(s),
+                "n_word_tokens": q["n_word_tokens"],
+                "rb": pa.array(rb),
+            }
+        )
+
+    sc = _docs(sf_dir).map_batches(
+        scored, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # 28 B/row; feeds the count pass AND the rank pass
+
+    def bucket_sums(batch: pa.Table) -> pa.Table:
+        rb = batch["rb"].to_numpy(zero_copy_only=False)
+        n = batch["n_word_tokens"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(rb, return_inverse=True)
+        return pa.table(
+            {
+                "rb": pa.array(u),
+                "tok": pa.array(np.bincount(inv, weights=n).astype(np.int64)),
+            }
+        )
+
+    parts = sc.map_batches(
+        bucket_sums, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    totals = parts.groupby("rb", sort=True)["tok"].sum()
+    total = int(totals.sum())
+    budget = int(np.floor(total * frac))
+    offsets = np.zeros(nb, dtype=np.int64)
+    idx = totals.index.to_numpy()
+    offsets[idx] = np.concatenate([[0], np.cumsum(totals.to_numpy())[:-1]])
+    off_ref = ray.put((offsets, budget))
+
+    def cutoff(df: pd.DataFrame) -> pd.DataFrame:
+        offs, bud = ray.get(off_ref)
+        base = int(offs[int(df["rb"].iloc[0])])
+        if base > bud:  # whole bucket past the budget — nothing survives
+            return pd.DataFrame(
+                {
+                    "doc_id": np.empty(0, np.int64),
+                    "score": np.empty(0, np.float64),
+                    "n_word_tokens": np.empty(0, np.int64),
+                }
+            )
+        ids = df["doc_id"].to_numpy()
+        s = df["score"].to_numpy()
+        n = df["n_word_tokens"].to_numpy()
+        order = np.lexsort((ids, -s))
+        cum = base + np.cumsum(n[order])
+        keep = order[cum <= bud]
+        return pd.DataFrame(
+            {"doc_id": ids[keep], "score": s[keep], "n_word_tokens": n[keep]}
+        )
+
+    return sc.groupby("rb").map_groups(cutoff, batch_format="pandas")
+
+
+def _quality_budget_sql() -> str:
+    return f"""
+WITH q0 AS ({QUALITY_SQL}),
+b AS (SELECT CAST(FLOOR(sum(n_word_tokens) * {QBUDGET_FRAC}) AS BIGINT) AS budget FROM q0),
+r AS (
+  SELECT doc_id, stop_ratio AS score, n_word_tokens,
+         SUM(n_word_tokens) OVER (ORDER BY stop_ratio DESC, doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q0
+)
+SELECT doc_id, score, n_word_tokens FROM r, b WHERE cum <= budget
+"""
+
+
 DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "token_counts": q_token_counts,
     "quality_metrics": q_quality,
@@ -1762,6 +1868,7 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "semantic_dedup": q_semantic_dedup,
     "label_noise": q_label_noise,
     "shuffle_shards": q_shuffle_shards,
+    "quality_budget": q_quality_budget,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1795,6 +1902,7 @@ DOC_ORACLES: dict[str, str] = {
     "embedding_neardup_clusters": _emb_neardup_clusters_sql(),
     "label_noise": LABEL_NOISE_SQL,
     "shuffle_shards": SHUFFLE_SHARDS_SQL,
+    "quality_budget": _quality_budget_sql(),
     # doc_fingerprints / simhash / ann_topk_lsh / ann_topk_ivf /
     # multimodal_features / kmeans_clusters / semantic_dedup:
     # signature-, seed-, or iteration-dependent, genuinely

@@ -557,3 +557,36 @@ def test_tfidf_null_text_is_zero_tokens(tmp_path):
     assert set(out["doc_id"]) == {0, 2}
     top0 = out[out["doc_id"] == 0].sort_values("score", ascending=False)
     assert top0.iloc[0]["tok"] == "beta"  # tf=2, df=1
+
+
+def test_quality_budget_invariants(sf_smoke):
+    """quality_budget: the selected set is exactly the global
+    score-descending prefix whose cumulative tokens fit the budget —
+    verified against a single-machine reference — and is invariant to
+    the range-bucket count (ties share a bucket by construction, so
+    bucket boundaries cannot cut the prefix)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from neo4j_webgraph_ray.functions.text import quality_metrics
+    from neo4j_webgraph_ray.queries_docs import QBUDGET_FRAC, q_quality_budget
+
+    t = pq.read_table(
+        f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"]
+    )
+    q = quality_metrics(t)
+    ids = q["doc_id"].to_numpy()
+    s = q["stop_ratio"].to_numpy()
+    n = q["n_word_tokens"].to_numpy()
+    budget = int(np.floor(n.sum() * QBUDGET_FRAC))
+    order = np.lexsort((ids, -s))
+    cum = np.cumsum(n[order])
+    ref = np.sort(ids[order[cum <= budget]])
+
+    got = q_quality_budget(sf_smoke, nbuckets=11).to_pandas()
+    assert np.array_equal(np.sort(got["doc_id"].to_numpy()), ref)
+    assert 0 < len(got) < len(ids)  # non-vacuous selection
+    assert int(got["n_word_tokens"].sum()) <= budget
+
+    alt = q_quality_budget(sf_smoke, nbuckets=3).to_pandas()
+    assert np.array_equal(np.sort(alt["doc_id"].to_numpy()), ref)
