@@ -282,6 +282,7 @@ def run_bench() -> dict:
             "label_noise",
             "shuffle_shards",
             "quality_budget",
+            "source_report",
             # actor-pool plumbing stages (VERDICT r2 #8: regressions in
             # the enrichment / multimodal actor paths must be visible)
             "enrich_social",

@@ -1835,6 +1835,70 @@ SELECT doc_id, score, n_word_tokens FROM r, b WHERE cum <= budget
 """
 
 
+def q_source_report(sf_dir: str) -> pd.DataFrame:
+    """Per-source curation report — the composition dashboard a corpus
+    owner reads before fixing mixture weights: per `source`, document
+    count, how many pass the C4-style quality gate (the same
+    thresholds as `quality_filter`), total word tokens, and the mean
+    stopword ratio (6-dp rounded, both engines).
+
+    Pure partial aggregation, NO shuffle: each batch groups locally by
+    source and emits (source, n_docs, n_pass, tok_sum, sr_sum)
+    partials; the driver merges #blocks x #sources tiny rows.  Source
+    cardinality is corpus-catalog sized (~10-10^4), so driver state is
+    bounded the same way as `train_split`'s 3-row partials."""
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        q = quality_metrics(batch)
+        src = batch["source"].to_numpy(zero_copy_only=False).astype(object)
+        n_tok = q["n_word_tokens"].to_numpy(zero_copy_only=False)
+        atl = q["avg_token_len"].to_numpy(zero_copy_only=False)
+        sr = q["stop_ratio"].to_numpy(zero_copy_only=False)
+        ok = (n_tok >= 10) & (atl <= 12.0) & (sr >= 0.05) & (sr <= 0.7)
+        u, inv = np.unique(src, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "source": u,
+                "n_docs": np.bincount(inv, minlength=len(u)).astype(np.int64),
+                "n_quality_pass": np.bincount(
+                    inv, weights=ok, minlength=len(u)
+                ).astype(np.int64),
+                "total_word_tokens": np.bincount(
+                    inv, weights=n_tok, minlength=len(u)
+                ).astype(np.int64),
+                "sr_sum": np.bincount(inv, weights=sr, minlength=len(u)),
+            }
+        )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text", "source"])
+    parts = docs.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = parts.groupby("source", as_index=False, sort=True).agg(
+        n_docs=("n_docs", "sum"),
+        n_quality_pass=("n_quality_pass", "sum"),
+        total_word_tokens=("total_word_tokens", "sum"),
+        sr_sum=("sr_sum", "sum"),
+    )
+    out["mean_stop_ratio"] = np.round(out["sr_sum"] / out["n_docs"], 6)
+    return out.drop(columns=["sr_sum"])
+
+
+def _source_report_sql() -> str:
+    return f"""
+WITH q0 AS ({QUALITY_SQL})
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_word_tokens >= 10 AND avg_token_len <= 12.0
+                      AND stop_ratio >= 0.05 AND stop_ratio <= 0.7
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+       CAST(sum(n_word_tokens) AS BIGINT) AS total_word_tokens,
+       round(sum(stop_ratio) / count(*), 6) AS mean_stop_ratio
+FROM documents d JOIN q0 USING (doc_id)
+GROUP BY d.source
+"""
+
+
 DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "token_counts": q_token_counts,
     "quality_metrics": q_quality,
@@ -1869,6 +1933,7 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "label_noise": q_label_noise,
     "shuffle_shards": q_shuffle_shards,
     "quality_budget": q_quality_budget,
+    "source_report": q_source_report,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1903,6 +1968,7 @@ DOC_ORACLES: dict[str, str] = {
     "label_noise": LABEL_NOISE_SQL,
     "shuffle_shards": SHUFFLE_SHARDS_SQL,
     "quality_budget": _quality_budget_sql(),
+    "source_report": _source_report_sql(),
     # doc_fingerprints / simhash / ann_topk_lsh / ann_topk_ivf /
     # multimodal_features / kmeans_clusters / semantic_dedup:
     # signature-, seed-, or iteration-dependent, genuinely

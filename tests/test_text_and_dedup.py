@@ -590,3 +590,18 @@ def test_quality_budget_invariants(sf_smoke):
 
     alt = q_quality_budget(sf_smoke, nbuckets=3).to_pandas()
     assert np.array_equal(np.sort(alt["doc_id"].to_numpy()), ref)
+
+
+def test_source_report_invariants(sf_smoke):
+    """source_report: partial-merge result is partitioning-invariant
+    and non-vacuous (the quality gate discriminates within sources)."""
+    import numpy as np
+    import ray.data
+
+    from neo4j_webgraph_ray.queries_docs import q_source_report
+
+    got = q_source_report(sf_smoke)
+    assert (got["n_docs"] > 0).all()
+    assert (got["n_quality_pass"] <= got["n_docs"]).all()
+    assert (got["n_quality_pass"] < got["n_docs"]).any()  # gate bites
+    assert int(got["n_quality_pass"].sum()) > 0  # and passes something
