@@ -283,6 +283,7 @@ def run_bench() -> dict:
             "shuffle_shards",
             "quality_budget",
             "source_report",
+            "embedding_outliers",
             # actor-pool plumbing stages (VERDICT r2 #8: regressions in
             # the enrichment / multimodal actor paths must be visible)
             "enrich_social",

@@ -1835,6 +1835,37 @@ SELECT doc_id, score, n_word_tokens FROM r, b WHERE cum <= budget
 """
 
 
+OUTLIER_TAU = -0.2  # flags 15/500 (sf0.001) and 8/500 (sf0.01) — non-vacuous
+
+
+def q_embedding_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Global-centroid embedding outlier screen: cosine of each vector
+    against the corpus mean (9-dp), flagged below OUTLIER_TAU.  Two
+    streaming passes, one (count, sum-vector) row per block to the
+    driver, no shuffle — see ``centroid_outliers``."""
+    from neo4j_webgraph_ray.stages.clustering import centroid_outliers
+
+    return centroid_outliers(_emb(sf_dir), threshold=OUTLIER_TAU)
+
+
+def _embedding_outliers_sql() -> str:
+    return f"""
+WITH u AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+cent AS (
+  SELECT list(cx ORDER BY i) AS cvec
+  FROM (SELECT i, avg(x) AS cx FROM u GROUP BY i)
+)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 9) AS cos_centroid,
+       CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 9)
+            < {OUTLIER_TAU} AS BIGINT) AS is_outlier
+FROM embeddings e CROSS JOIN cent c
+"""
+
+
 def q_source_report(sf_dir: str) -> pd.DataFrame:
     """Per-source curation report — the composition dashboard a corpus
     owner reads before fixing mixture weights: per `source`, document
@@ -1934,6 +1965,7 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "shuffle_shards": q_shuffle_shards,
     "quality_budget": q_quality_budget,
     "source_report": q_source_report,
+    "embedding_outliers": q_embedding_outliers,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1969,6 +2001,7 @@ DOC_ORACLES: dict[str, str] = {
     "shuffle_shards": SHUFFLE_SHARDS_SQL,
     "quality_budget": _quality_budget_sql(),
     "source_report": _source_report_sql(),
+    "embedding_outliers": _embedding_outliers_sql(),
     # doc_fingerprints / simhash / ann_topk_lsh / ann_topk_ivf /
     # multimodal_features / kmeans_clusters / semantic_dedup:
     # signature-, seed-, or iteration-dependent, genuinely

@@ -364,6 +364,81 @@ def semantic_dedup_flags(
 LABEL_COS_ROUND_DP = 9  # matches the oracle's round(list_cosine_similarity, 9)
 
 
+def centroid_outliers(
+    embeddings: ray.data.Dataset, threshold: float,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Global-centroid outlier scoring: cosine of every vector against
+    the corpus mean vector (9-dp rounded), flagged ``is_outlier`` when
+    below ``threshold`` — the cheap embedding-space anomaly screen a
+    curation pipeline runs before the per-class / per-cluster passes.
+    Two streaming passes, no shuffle: per-block (count, sum-vector)
+    partials (one row per block), driver mean, broadcast dot pass —
+    the degenerate L=1 case of :func:`label_centroid_noise`'s shape."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"cnt": pa.array([], pa.int64()),
+                 "vsum": pa.array([], pa.list_(pa.float64()))}
+            )
+        m = _matrix(batch, vec_col)
+        s = m.sum(axis=0)
+        return pa.table(
+            {
+                "cnt": pa.array([batch.num_rows], pa.int64()),
+                "vsum": pa.FixedSizeListArray.from_arrays(
+                    pa.array(s, type=pa.float64()), len(s)
+                ),
+            }
+        )
+
+    parts = embeddings.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # one row per block
+    if not len(parts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cos_centroid": pa.array([], pa.float64()),
+                    "is_outlier": pa.array([], pa.int64()),
+                }
+            )
+        )
+    vs = np.stack([np.asarray(v, dtype=np.float64) for v in parts["vsum"].to_numpy()])
+    # lexicographic partial order -> reduction independent of block
+    # arrival order (same discipline as the kmeans label-major merge)
+    vs = vs[np.lexsort(tuple(vs.T[::-1]))]
+    centroid = vs.sum(axis=0) / int(parts["cnt"].sum())
+    cn = centroid / np.linalg.norm(centroid)
+    ref = ray.put(cn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cos_centroid": pa.array([], pa.float64()),
+                    "is_outlier": pa.array([], pa.int64()),
+                }
+            )
+        m = _normalize(_matrix(batch, vec_col))
+        cos = np.round(m @ c, LABEL_COS_ROUND_DP)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cos_centroid": pa.array(cos),
+                "is_outlier": pa.array((cos < threshold).astype(np.int64)),
+            }
+        )
+
+    return embeddings.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def label_centroid_noise(
     embeddings: ray.data.Dataset, id_col: str = "vec_id",
     vec_col: str = "embedding", label_col: str = "label",

@@ -650,3 +650,36 @@ def test_shuffle_shards_invariants(sf_smoke):
         .reset_index(drop=True)
     )
     assert alt.equals(got.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_embedding_outliers_matches_reference_and_partitioning(sf_smoke):
+    """centroid_outliers must equal the single-machine reference and be
+    partitioning-invariant (lexicographically ordered partial merge)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from neo4j_webgraph_ray.queries_docs import OUTLIER_TAU
+    from neo4j_webgraph_ray.stages.clustering import centroid_outliers
+
+    ids, mat = _load_emb(sf_smoke)
+    c = mat.mean(axis=0)
+    cn = c / np.linalg.norm(c)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = np.round(mn @ cn, 9)
+
+    ds = ray.data.read_parquet(f"{sf_smoke}/embeddings.parquet")
+    got = centroid_outliers(ds, threshold=OUTLIER_TAU).to_pandas().sort_values("vec_id")
+    order = np.argsort(ids, kind="stable")
+    assert np.array_equal(got["cos_centroid"].to_numpy(), cos[order])
+    n_out = int(got["is_outlier"].sum())
+    assert 0 < n_out < len(got)  # threshold discriminates
+
+    rep = (
+        centroid_outliers(ds.repartition(7), threshold=OUTLIER_TAU)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert np.array_equal(
+        rep["cos_centroid"].to_numpy(), got["cos_centroid"].to_numpy()
+    )
