@@ -248,6 +248,7 @@ def run_bench() -> dict:
             "degree_threshold",
             "count_by_kind",
             "cross_kind_pattern",
+            "event_props_stats",
             "pagerank",
             "connected_components",
             "label_propagation",

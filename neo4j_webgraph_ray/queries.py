@@ -860,6 +860,54 @@ SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p
 """
 
 
+def q_event_props_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured payload stats: per event type, count plus
+    6-dp-rounded means of the numeric ``value`` column and of the
+    integer extracted from the ``props`` JSON payload (the same
+    regex-scalar path the events→transcripts adapter uses,
+    ``sources/transcripts.py:52,71`` — here surfaced as a first-class
+    query).  Pure partial aggregation: per-batch local groupby emits
+    (type, n, sum, sum_k) rows, the driver merges #blocks x #types
+    tiny rows in type-major order; nothing shuffles.  Reference
+    analog: the per-type index counts of A3
+    (``importer/TransactionalGraphImporter.java:371-379``) widened
+    from count to count+moments."""
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["event_type", "value", "props"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r"([0-9]+)", expand=False).astype("int64")
+        g = df.assign(k=k).groupby("event_type", sort=False).agg(
+            n_events=("value", "size"), sv=("value", "sum"), sk=("k", "sum")
+        )
+        return g.reset_index()
+
+    parts = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    agg = parts.groupby("event_type", sort=True).agg(
+        n_events=("n_events", "sum"), sv=("sv", "sum"), sk=("sk", "sum")
+    )
+    return pd.DataFrame(
+        {
+            "event_type": agg.index,
+            "n_events": agg["n_events"].astype("int64").to_numpy(),
+            "mean_value": np.round(
+                agg["sv"].to_numpy() / agg["n_events"].to_numpy(), 6
+            ),
+            "mean_k": np.round(
+                agg["sk"].to_numpy() / agg["n_events"].to_numpy(), 6
+            ),
+        }
+    ).reset_index(drop=True)
+
+
+EVENT_PROPS_STATS_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value) / count(*), 6) AS mean_value,
+       round(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) / count(*), 6) AS mean_k
+FROM events GROUP BY event_type
+"""
+
+
 # --- graph analytics (PageRank / CC / LPA / triangles) ---------------------
 
 
@@ -1735,6 +1783,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "error_context": q_error_context,
     "rolling_user_activity": q_rolling_user_activity,
     "conversion_funnel": q_conversion_funnel,
+    "event_props_stats": q_event_props_stats,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -1761,6 +1810,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "error_context": ERROR_CONTEXT_SQL,
     "rolling_user_activity": ROLLING_USER_ACTIVITY_SQL,
     "conversion_funnel": CONVERSION_FUNNEL_SQL,
+    "event_props_stats": EVENT_PROPS_STATS_SQL,
     "cross_kind_pattern": GRAPH_SQL_PRELUDE
     + """
     SELECT e.src_key AS conv_key, e.dst_key AS tool_key
