@@ -883,6 +883,9 @@ def q_event_props_stats(sf_dir: str) -> pd.DataFrame:
         return g.reset_index()
 
     parts = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    # (type, sv) merge order -> float reduction independent of block
+    # arrival order (equal keys commute exactly)
+    parts = parts.sort_values(["event_type", "sv"], kind="stable")
     agg = parts.groupby("event_type", sort=True).agg(
         n_events=("n_events", "sum"), sv=("sv", "sum"), sk=("sk", "sum")
     )

@@ -1116,6 +1116,45 @@ CONTAM_MOD = 20  # doc_id % CONTAM_MOD == 0 -> benchmark member
 CONTAM_NGRAM = 4  # word n-gram size for the overlap test
 
 
+def _bucket_prefix_offsets(
+    ds: ray.data.Dataset, nbuckets: int, weight_col: str | None = None,
+    rb_col: str = "rb",
+) -> tuple[np.ndarray, int]:
+    """Driver-side exclusive prefix over per-range-bucket totals — the
+    shared scaffolding of every distributed-scan operator here
+    (`q_pack_sequences` / `q_shuffle_shards` / `q_quality_budget`):
+    each block emits <= nbuckets (bucket, total) partial rows (row
+    count when ``weight_col`` is None, weighted sum otherwise), the
+    driver holds ONE int per bucket, and buckets absent from the input
+    keep offset 0 and contribute nothing.  Returns
+    ``(offsets[nbuckets], grand_total)``; int64 weights stay exact
+    (bincount's float64 accumulator is lossless below 2^53)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rb = batch[rb_col].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(rb, return_inverse=True)
+        if weight_col is None:
+            tot = np.bincount(inv)
+        else:
+            tot = np.bincount(
+                inv, weights=batch[weight_col].to_numpy(zero_copy_only=False)
+            )
+        return pa.table(
+            {"rb": pa.array(u), "w": pa.array(tot.astype(np.int64))}
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    offsets = np.zeros(nbuckets, dtype=np.int64)
+    if not len(parts):
+        return offsets, 0
+    totals = parts.groupby("rb", sort=True)["w"].sum()
+    idx = totals.index.to_numpy()
+    offsets[idx] = np.concatenate([[0], np.cumsum(totals.to_numpy())[:-1]])
+    return offsets, int(totals.sum())
+
+
 def q_pack_sequences(
     sf_dir: str, capacity: int = PACK_CAPACITY, nbuckets: int | None = None
 ) -> ray.data.Dataset:
@@ -1161,26 +1200,8 @@ def q_pack_sequences(
         tokens, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    def bucket_partials(batch: pa.Table) -> pa.Table:
-        rb = batch["rb"].to_numpy(zero_copy_only=False)
-        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
-        u, inv = np.unique(rb, return_inverse=True)
-        return pa.table(
-            {
-                "rb": pa.array(u),
-                "tok_sum": pa.array(np.bincount(inv, weights=n).astype(np.int64)),
-            }
-        )
-
     # driver-side prefix over <= nbuckets rows (the tiny all-reduce)
-    parts = tok.map_batches(
-        bucket_partials, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    totals = parts.groupby("rb", sort=True)["tok_sum"].sum()
-    offsets = np.zeros(nbuckets, dtype=np.int64)
-    idx = totals.index.to_numpy()
-    csum = np.concatenate([[0], np.cumsum(totals.to_numpy())[:-1]])
-    offsets[idx] = csum
+    offsets, _ = _bucket_prefix_offsets(tok, nbuckets, weight_col="n_tokens")
     off_ref = ray.put(offsets)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
@@ -1681,18 +1702,7 @@ def q_shuffle_shards(
         keyed, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # feeds the count pass AND the rank pass
 
-    def bucket_counts(batch: pa.Table) -> pa.Table:
-        rb = batch["rb"].to_numpy(zero_copy_only=False)
-        u, cnt = np.unique(rb, return_counts=True)
-        return pa.table({"rb": pa.array(u), "n": pa.array(cnt.astype(np.int64))})
-
-    parts = kd.map_batches(
-        bucket_counts, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    totals = parts.groupby("rb", sort=True)["n"].sum()
-    offsets = np.zeros(nbuckets, dtype=np.int64)
-    idx = totals.index.to_numpy()
-    offsets[idx] = np.concatenate([[0], np.cumsum(totals.to_numpy())[:-1]])
+    offsets, _ = _bucket_prefix_offsets(kd, nbuckets)
     off_ref = ray.put(offsets)
 
     def rank(df: pd.DataFrame) -> pd.DataFrame:
@@ -1775,26 +1785,10 @@ def q_quality_budget(
         scored, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # 28 B/row; feeds the count pass AND the rank pass
 
-    def bucket_sums(batch: pa.Table) -> pa.Table:
-        rb = batch["rb"].to_numpy(zero_copy_only=False)
-        n = batch["n_word_tokens"].to_numpy(zero_copy_only=False)
-        u, inv = np.unique(rb, return_inverse=True)
-        return pa.table(
-            {
-                "rb": pa.array(u),
-                "tok": pa.array(np.bincount(inv, weights=n).astype(np.int64)),
-            }
-        )
-
-    parts = sc.map_batches(
-        bucket_sums, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    totals = parts.groupby("rb", sort=True)["tok"].sum()
-    total = int(totals.sum())
+    offsets, total = _bucket_prefix_offsets(
+        sc, nb, weight_col="n_word_tokens"
+    )
     budget = int(np.floor(total * frac))
-    offsets = np.zeros(nb, dtype=np.int64)
-    idx = totals.index.to_numpy()
-    offsets[idx] = np.concatenate([[0], np.cumsum(totals.to_numpy())[:-1]])
     off_ref = ray.put((offsets, budget))
 
     def cutoff(df: pd.DataFrame) -> pd.DataFrame:
@@ -1866,7 +1860,7 @@ FROM embeddings e CROSS JOIN cent c
 """
 
 
-def q_source_report(sf_dir: str) -> pd.DataFrame:
+def q_source_report(sf_dir: str, num_blocks: int | None = None) -> pd.DataFrame:
     """Per-source curation report — the composition dashboard a corpus
     owner reads before fixing mixture weights: per `source`, document
     count, how many pass the C4-style quality gate (the same
@@ -1902,10 +1896,16 @@ def q_source_report(sf_dir: str) -> pd.DataFrame:
         )
 
     path = os.path.join(sf_dir, "documents.parquet")
-    docs = ray.data.read_parquet(path, columns=["doc_id", "text", "source"])
+    docs = ray.data.read_parquet(
+        path, columns=["doc_id", "text", "source"],
+        override_num_blocks=num_blocks,
+    )
     parts = docs.map_batches(
         partials, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
+    # (source, sr_sum) merge order -> the float reduction is
+    # independent of block arrival order (equal keys commute exactly)
+    parts = parts.sort_values(["source", "sr_sum"], kind="stable")
     out = parts.groupby("source", as_index=False, sort=True).agg(
         n_docs=("n_docs", "sum"),
         n_quality_pass=("n_quality_pass", "sum"),

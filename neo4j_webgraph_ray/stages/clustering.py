@@ -384,12 +384,13 @@ def centroid_outliers(
             )
         m = _matrix(batch, vec_col)
         s = m.sum(axis=0)
+        # variable-length list on BOTH branches: an empty batch can't
+        # know dim, and mixing list<->fixed_size_list across blocks
+        # makes Ray warn about inconsistent schemas
         return pa.table(
             {
                 "cnt": pa.array([batch.num_rows], pa.int64()),
-                "vsum": pa.FixedSizeListArray.from_arrays(
-                    pa.array(s, type=pa.float64()), len(s)
-                ),
+                "vsum": pa.array([s], type=pa.list_(pa.float64())),
             }
         )
 
@@ -480,14 +481,13 @@ def label_centroid_noise(
         sums = np.zeros((len(u), m.shape[1]))
         np.add.at(sums, inv, m)
         cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
-        dim = m.shape[1]
+        # variable-length list on BOTH branches (empty batches can't
+        # know dim; mixed list/fixed_size_list schemas make Ray warn)
         return pa.table(
             {
                 "label": pa.array(u),
                 "cnt": pa.array(cnt),
-                "vsum": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sums.ravel(), type=pa.float64()), dim
-                ),
+                "vsum": pa.array(list(sums), type=pa.list_(pa.float64())),
             }
         )
 
@@ -511,8 +511,11 @@ def label_centroid_noise(
     vs = np.stack([np.asarray(v, dtype=np.float64) for v in parts["vsum"].to_numpy()])
     sums = np.zeros((len(labs), vs.shape[1]))
     counts = np.zeros(len(labs), dtype=np.int64)
-    # label-major merge order -> reduction independent of block arrival
-    order = np.argsort(pos, kind="stable")
+    # (label, vsum-lexicographic) merge order -> reduction independent
+    # of block arrival: label alone leaves same-label partials in
+    # arrival order, which is nondeterministic under Ray's unordered
+    # block collection
+    order = np.lexsort((*vs.T[::-1], pos))
     np.add.at(sums, pos[order], vs[order])
     np.add.at(counts, pos, parts["cnt"].to_numpy().astype(np.int64))
     centroids = sums / counts[:, None]

@@ -605,3 +605,12 @@ def test_source_report_invariants(sf_smoke):
     assert (got["n_quality_pass"] <= got["n_docs"]).all()
     assert (got["n_quality_pass"] < got["n_docs"]).any()  # gate bites
     assert int(got["n_quality_pass"].sum()) > 0  # and passes something
+
+    # partitioning invariance: the (source, sr_sum)-ordered float merge
+    # makes the result exactly equal under a different block count
+    alt = q_source_report(sf_smoke, num_blocks=7)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        alt.reset_index(drop=True), got.reset_index(drop=True)
+    )
