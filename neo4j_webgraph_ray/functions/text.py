@@ -33,7 +33,13 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 
 def _count_regex(text: pa.ChunkedArray | pa.Array, pattern: str) -> np.ndarray:
-    return pc.count_substring_regex(text, pattern).to_numpy(zero_copy_only=False)
+    # null text counts zero tokens (the list_flatten/null-skip semantics
+    # every oracle-facing operator uses); without the fill a null slot
+    # becomes NaN and a downstream astype(int64) silently produces
+    # INT64_MIN
+    return pc.fill_null(
+        pc.count_substring_regex(text, pattern), 0
+    ).to_numpy(zero_copy_only=False)
 
 
 def ws_token_lists(text) -> pa.Array:
@@ -47,10 +53,15 @@ def ws_token_lists(text) -> pa.Array:
 
 def ws_token_count(text) -> np.ndarray:
     """Whitespace tokens, identical to DuckDB
-    ``len(string_split_regex(trim(text), '\\s+'))``."""
-    return pc.list_value_length(ws_token_lists(text)).to_numpy(
-        zero_copy_only=False
-    )
+    ``len(string_split_regex(trim(text), '\\s+'))`` — with null text
+    counting ZERO tokens (matching ``list_flatten``'s null-skipping,
+    the convention q_top_tokens and the tfidf null fix establish;
+    without it the NaN length turns into INT64_MIN at the first
+    ``astype(int64)`` and silently corrupts any prefix sum or
+    histogram built on it)."""
+    return pc.fill_null(
+        pc.list_value_length(ws_token_lists(text)), 0
+    ).to_numpy(zero_copy_only=False)
 
 
 def word_token_count(text) -> np.ndarray:
@@ -110,7 +121,9 @@ def quality_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
     plus derived ratios (IEEE float division — bit-identical to the SQL
     oracle's expression)."""
     text = batch[text_col]
-    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_chars = pc.fill_null(pc.utf8_length(text), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
     n_ws = ws_token_count(text).astype(np.int64)
     n_words = word_token_count(text).astype(np.int64)
     n_punct = punct_count(text).astype(np.int64)

@@ -1232,31 +1232,22 @@ FROM toks
 """
 
 
-def q_benchmark_contamination(sf_dir: str) -> ray.data.Dataset:
-    """Decontamination check: flag every training document sharing ANY
-    word {CONTAM_NGRAM}-gram with the benchmark set (here the
-    deterministic subset ``doc_id % CONTAM_MOD == 0`` stands in for a
-    held-out eval suite).  Scale shape: benchmark suites are small by
-    construction (MBs against a 100-TB corpus), so their distinct grams
-    are collected once, sorted, and broadcast via ``ray.put``; the
-    corpus-side pass is one vectorized n-gram expansion + sorted
-    ``np.isin`` membership per batch — the corpus text itself never
-    shuffles."""
-    import pyarrow.compute as pc
+def _bench_gram_ref(docs: ray.data.Dataset):
+    """Collect + broadcast the benchmark subset's distinct word-n-gram
+    hashes — the shared front half of ``q_benchmark_contamination``
+    and ``q_curated_corpus`` (one implementation so their
+    contamination semantics cannot drift).
 
+    Membership runs on 64-bit siphashes of the gram strings, not the
+    strings: the broadcast is a flat sorted int64 array (zero-copy
+    plasma reads, ~10x smaller than the strings) and the per-batch
+    probe is a C-path sorted isin instead of object comparisons.  A
+    false flag needs a corpus gram colliding with a DIFFERENT
+    benchmark gram's hash: ~|bench|x|corpus|/2^64 (~1e-9 at 25K
+    bench x 500K corpus grams) — far below any operational concern."""
     from neo4j_webgraph_ray.functions.text import word_ngrams_flat
-
     from neo4j_webgraph_ray.ids import hash64
 
-    docs = _docs(sf_dir)
-
-    # membership runs on 64-bit siphashes of the gram strings, not the
-    # strings: the broadcast is a flat sorted int64 array (zero-copy
-    # plasma reads, ~10x smaller than the strings) and the per-batch
-    # probe is a C-path sorted isin instead of object comparisons.  A
-    # false flag needs a corpus gram colliding with a DIFFERENT
-    # benchmark gram's hash: ~|bench|x|corpus|/2^64 (~1e-9 at 25K
-    # bench x 500K corpus grams) — far below any operational concern.
     def bench_grams(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         sub = batch.filter(pa.array(ids % CONTAM_MOD == 0))
@@ -1275,7 +1266,24 @@ def q_benchmark_contamination(sf_dir: str) -> ray.data.Dataset:
             or [np.empty(0, dtype=np.int64)]
         )
     )
-    bench_ref = ray.put(bench)
+    return ray.put(bench)
+
+
+def q_benchmark_contamination(sf_dir: str) -> ray.data.Dataset:
+    """Decontamination check: flag every training document sharing ANY
+    word {CONTAM_NGRAM}-gram with the benchmark set (here the
+    deterministic subset ``doc_id % CONTAM_MOD == 0`` stands in for a
+    held-out eval suite).  Scale shape: benchmark suites are small by
+    construction (MBs against a 100-TB corpus), so their distinct grams
+    are collected once, sorted, and broadcast via ``ray.put``
+    (``_bench_gram_ref``); the corpus-side pass is one vectorized
+    n-gram expansion + sorted ``np.isin`` membership per batch — the
+    corpus text itself never shuffles."""
+    from neo4j_webgraph_ray.functions.text import word_ngrams_flat
+    from neo4j_webgraph_ray.ids import hash64
+
+    docs = _docs(sf_dir)
+    bench_ref = _bench_gram_ref(docs)
 
     def flag(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -1481,26 +1489,7 @@ def q_curated_corpus(sf_dir: str) -> ray.data.Dataset:
     from neo4j_webgraph_ray.stages.core import bucketed_groupby
 
     docs = _docs(sf_dir)
-
-    def bench_grams(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        sub = batch.filter(pa.array(ids % CONTAM_MOD == 0))
-        _, grams = word_ngrams_flat(sub["text"], CONTAM_NGRAM)
-        return pa.table({"h": pa.array(np.unique(hash64(grams)))})
-
-    bench = np.unique(
-        np.concatenate(
-            [
-                b["h"].to_numpy(zero_copy_only=False)
-                for b in docs.map_batches(
-                    bench_grams, batch_format="pyarrow", zero_copy_batch=True
-                ).iter_batches(batch_size=None, batch_format="pyarrow")
-                if b.num_rows
-            ]
-            or [np.empty(0, dtype=np.int64)]
-        )
-    )
-    bench_ref = ray.put(bench)
+    bench_ref = _bench_gram_ref(docs)
 
     def flags(batch: pa.Table) -> pd.DataFrame:
         q = quality_metrics(batch)

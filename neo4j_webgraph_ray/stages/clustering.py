@@ -107,7 +107,27 @@ def _load_kmeans_checkpoint(
             for v in t["c"].to_numpy(zero_copy_only=False)[order]
         ]
     )
+    # torn-pair guard: centroids and meta are two separate atomic
+    # writes, so a crash between them can leave NEWER centroids under
+    # OLDER meta — resuming that pair re-runs iterations from the
+    # wrong state and silently breaks the bit-identical-resume
+    # contract.  The meta (written LAST, the commit point) carries a
+    # fingerprint of the centroids it describes; mismatch -> the
+    # checkpoint is torn -> retrain from scratch.
+    if meta.get("centroids_fp") != _centroids_fp(c):
+        return None, 0, False
     return c, int(meta["iters_done"]), bool(meta.get("fixed_point"))
+
+
+def _centroids_fp(centroids: np.ndarray) -> str:
+    """Content fingerprint binding kmeans_meta.json to the exact
+    centroids.parquet it was written with (rounded values are already
+    deterministic, so hashing the bytes is stable)."""
+    import hashlib
+
+    return hashlib.sha256(
+        np.ascontiguousarray(centroids, dtype=np.float64).tobytes()
+    ).hexdigest()[:32]
 
 
 def _write_kmeans_checkpoint(
@@ -137,6 +157,9 @@ def _write_kmeans_checkpoint(
             "signature": sig,
             "iters_done": iters_done,
             "fixed_point": fixed_point,
+            # written LAST: binds this meta to the centroid file above,
+            # so a crash between the two writes is detectable on load
+            "centroids_fp": _centroids_fp(centroids),
         },
         fsio.join(workdir, "kmeans_meta.json"),
     )

@@ -439,9 +439,15 @@ def derive_edge_ids(
             if adj.any()
             else np.empty((0, 2), dtype=np.int64)
         )
-        has_succ = np.r_[adj, False]
-        has_pred = np.r_[False, adj]
-        bnd = ~(has_succ & has_pred)
+        if len(cid):
+            has_succ = np.r_[adj, False]
+            has_pred = np.r_[False, adj]
+            bnd = ~(has_succ & has_pred)
+        else:
+            # np.r_[empty, False] is length 1, which a boolean index
+            # against the length-0 arrays would reject — empty batches
+            # (over-split reads, upstream filters) emit zero rows
+            bnd = np.zeros(0, dtype=bool)
         pair = np.concatenate([ct_pairs, ra_pairs])
         n_b, n_p = int(bnd.sum()), len(pair)
         return pa.table(

@@ -48,12 +48,16 @@ def threshold_pairs_blocked(
     )
     if n < 2:
         return empty
-    block_rows = max(1, int(block_bytes // (8 * n)))
+    # 9 bytes per cell: the float64 block (rounded IN PLACE — a second
+    # np.round output array would double the peak and make the real
+    # footprint ~2x the stated budget) plus the bool hits mask
+    block_rows = max(1, int(block_bytes // (9 * n)))
     col = np.arange(n)
     xs, ys, cs = [], [], []
     for i0 in range(0, n - 1, block_rows):
         i1 = min(i0 + block_rows, n)
-        cos = np.round(m[i0:i1] @ m.T, 6)
+        cos = m[i0:i1] @ m.T
+        np.round(cos, 6, out=cos)
         hits = cos >= tau
         hits &= col[None, :] > np.arange(i0, i1)[:, None]  # j > i only
         bi, bj = np.nonzero(hits)

@@ -125,9 +125,14 @@ def derive_edge_ids_wide(
             if adj.any()
             else np.empty((0, 4), dtype=np.int64)
         )
-        has_succ = np.r_[adj, False]
-        has_pred = np.r_[False, adj]
-        bnd = ~(has_succ & has_pred)
+        if len(cid_hi):
+            has_succ = np.r_[adj, False]
+            has_pred = np.r_[False, adj]
+            bnd = ~(has_succ & has_pred)
+        else:
+            # empty batch: np.r_[empty, False] is length 1 and would
+            # fail as a boolean index on the length-0 key arrays
+            bnd = np.zeros(0, dtype=bool)
         pair = np.concatenate([ct_pairs, ra_pairs])
         n_b, n_p = int(bnd.sum()), len(pair)
         z = np.zeros(n_p, dtype=np.int64)

@@ -263,3 +263,47 @@ def test_content_merge_skips_null_text_across_partitions():
     for nb in (1, 4):
         _, v = graph_of(rows, num_buckets=nb)
         assert v.loc[("conv", "a"), "content"] == "real text", nb
+
+
+def test_derive_edge_ids_empty_blocks():
+    """Code-review r5: an empty block (over-split read, upstream
+    filter) must produce zero rows, not an IndexError from the
+    boundary-mask construction — both the 64-bit and wide paths."""
+    import pandas as pd
+    import ray.data
+
+    from neo4j_webgraph_ray.stages.core import exact_distinct
+    from neo4j_webgraph_ray.stages.derive import derive_edge_ids
+    from neo4j_webgraph_ray.stages.wide_ids import derive_edge_ids_collision_free
+
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": pd.array([0, 1, 0], dtype="int32"),
+            "role": ["user", "assistant", "user"],
+            "text": ["a", "b", "c"],
+            "tool": [None, "search", None],
+            "ts": pd.Timestamp("2025-01-01"),
+        }
+    )
+    # 3 rows into 10 partitions -> at least 7 empty blocks
+    split = ray.data.from_pandas(rows).repartition(10)
+    whole = ray.data.from_pandas(rows)
+
+    def edge_set(ds):
+        df = exact_distinct(
+            derive_edge_ids(ds, num_buckets=4), ["src", "dst"], num_buckets=4
+        ).to_pandas()
+        return set(zip(df["src"], df["dst"]))
+
+    assert edge_set(split) == edge_set(whole)
+    assert len(edge_set(whole)) > 0
+
+    e_w, _ = derive_edge_ids_collision_free(split, num_buckets=4)
+    e_n, _ = derive_edge_ids_collision_free(whole, num_buckets=4)
+    sw = set(map(tuple, e_w.to_pandas()[["src", "dst"]].values))
+    sn = set(map(tuple, e_n.to_pandas()[["src", "dst"]].values))
+    assert len(sn) > 0
+    # dense-rank ids are a pure function of the pair set, so the edge
+    # sets are identical regardless of input partitioning
+    assert sw == sn

@@ -683,3 +683,56 @@ def test_embedding_outliers_matches_reference_and_partitioning(sf_smoke):
     assert np.array_equal(
         rep["cos_centroid"].to_numpy(), got["cos_centroid"].to_numpy()
     )
+
+
+def test_kmeans_checkpoint_torn_pair_rejected(tmp_path, sf_smoke):
+    """Code-review r5: centroids.parquet and kmeans_meta.json are two
+    separate atomic writes; a crash between them leaves newer centroids
+    under older meta.  The meta's centroid fingerprint must detect the
+    torn pair and force a cold retrain (preserving the bit-identical
+    guarantee) instead of silently resuming from mismatched state."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    import neo4j_webgraph_ray.stages.clustering as cl
+
+    src = f"{sf_smoke}/embeddings.parquet"
+    wd = str(tmp_path / "km")
+
+    def emb():
+        return ray.data.read_parquet(src)
+
+    direct = cl.kmeans_centroids(emb(), k=10, n_iters=10)
+    cl.kmeans_centroids(emb(), k=10, n_iters=4, workdir=wd)
+
+    # simulate the torn window: centroids advanced, meta not yet
+    t = pq.read_table(f"{wd}/centroids.parquet")
+    c = np.stack([np.asarray(v) for v in t["c"].to_numpy(zero_copy_only=False)])
+    torn = np.round(c + 0.25, 9)
+    pq.write_table(
+        pa.table(
+            {
+                "cluster": t["cluster"],
+                "c": pa.FixedSizeListArray.from_arrays(
+                    pa.array(torn.ravel(), type=pa.float64()), c.shape[1]
+                ),
+            }
+        ),
+        f"{wd}/centroids.parquet",
+    )
+    from neo4j_webgraph_ray.stages.similarity import _input_signature
+
+    loaded, start, fixed = cl._load_kmeans_checkpoint(
+        wd,
+        {"k": 10, "id_col": "vec_id", "vec_col": "embedding",
+         "round_dp": cl.CENTROID_ROUND_DP, "cos_dp": cl.COS_ROUND_DP},
+        _input_signature(emb()),
+    )
+    assert loaded is None and start == 0  # torn pair rejected
+
+    # end-to-end: a full-budget run on the torn workdir retrains and
+    # still reaches the uninterrupted result exactly
+    again = cl.kmeans_centroids(emb(), k=10, n_iters=10, workdir=wd)
+    assert np.array_equal(again, direct)

@@ -614,3 +614,48 @@ def test_source_report_invariants(sf_smoke):
     pd.testing.assert_frame_equal(
         alt.reset_index(drop=True), got.reset_index(drop=True)
     )
+
+
+def test_null_text_zero_tokens_everywhere(tmp_path):
+    """Code-review r5: ws_token_count / word counts on a NULL text row
+    must yield ZERO, not NaN->INT64_MIN — the silent-corruption class
+    that would poison token_quantiles' histogram, pack_sequences'
+    prefix sum, and train_split's totals."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from neo4j_webgraph_ray.functions.text import (
+        quality_metrics,
+        ws_token_count,
+    )
+    from neo4j_webgraph_ray.queries_docs import (
+        q_pack_sequences,
+        q_train_split,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(["alpha beta", None, "gamma", "d e f g"]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s0"] * 4),
+            "n_chars": pa.array([10, 0, 5, 7], type=pa.int64()),
+        }
+    )
+    n = ws_token_count(t["text"]).astype(np.int64)
+    assert n.tolist() == [2, 0, 1, 4]
+    q = quality_metrics(t)
+    assert q["n_ws_tokens"].to_pylist() == [2, 0, 1, 4]
+    assert q["n_chars"].to_pylist()[1] == 0
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    packed = q_pack_sequences(str(d), capacity=4).to_pandas()
+    packed = packed.sort_values("doc_id")
+    # cumulative word-token prefix: 0,2,2,3 -> bins 0,0,0,0 at cap 4;
+    # the null doc contributes zero, nothing goes negative
+    assert (packed["bin"] >= 0).all()
+    assert len(packed) == 4
+    split = q_train_split(str(d))
+    assert int(split["total_tokens"].sum()) == 7  # 2+0+1+4
