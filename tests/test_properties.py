@@ -133,3 +133,78 @@ def test_grouped_headk_is_algebraic(rows, n_parts, k):
     merged = pd.concat([headk(p) for p in parts], ignore_index=True)
     got = headk(merged).sort_values(["lang", "doc_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(want, got)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.integers(0, 2**63 - 1), min_size=0, max_size=80, unique=True
+    ),
+    st.integers(1, 13),
+    st.integers(1, 9),
+)
+def test_shuffle_rank_is_permutation_and_bucket_invariant(ids, nbuckets, n_shards):
+    """The shuffle_shards rank kernel: the multiplicative-hash key is
+    deterministic (uint64 wrap == HUGEINT product mod 2^32 for any
+    int64 doc_id), the per-bucket (offset + local sort) rank is a
+    permutation of 0..n-1, and the result is independent of the bucket
+    count — for arbitrary ids including > 2^32 (where skey collides
+    and the doc_id tiebreak decides)."""
+    from neo4j_webgraph_ray.queries_docs import SHUFFLE_MULT
+
+    ids = np.asarray(sorted(ids), dtype=np.int64)
+    n = len(ids)
+    skey = (
+        ids.astype(np.uint64) * np.uint64(SHUFFLE_MULT)
+    ) % np.uint64(2**32)
+
+    def rank_with(nb: int) -> np.ndarray:
+        width = np.uint64(2**32 // nb + 1)
+        rb = (skey // width).astype(np.int64)
+        counts = np.bincount(rb, minlength=nb) if n else np.zeros(nb, int)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rnk = np.empty(n, dtype=np.int64)
+        for b in np.unique(rb):
+            sel = np.flatnonzero(rb == b)
+            order = np.lexsort((ids[sel], skey[sel]))
+            rnk[sel[order]] = offsets[b] + np.arange(len(sel))
+        return rnk
+
+    rnk = rank_with(nbuckets)
+    # permutation property
+    assert np.array_equal(np.sort(rnk), np.arange(n))
+    # global-order property: rank order == lexicographic (skey, id)
+    order = np.lexsort((ids, skey))
+    assert np.array_equal(rnk[order], np.arange(n))
+    # bucket-count invariance
+    assert np.array_equal(rnk, rank_with(1))
+    # shard deal is balanced
+    if n:
+        sizes = np.bincount(rnk % n_shards, minlength=n_shards)
+        assert sizes.max() - sizes.min() <= 1
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 50)), max_size=60),
+    st.integers(1, 10),
+)
+def test_bucket_prefix_offsets_reference(pairs, nbuckets):
+    """_bucket_prefix_offsets' driver math: for any (bucket, weight)
+    multiset, offsets[b] == total weight of all buckets < b, and the
+    grand total is the plain sum — the exclusive-prefix contract the
+    pack/shard/budget operators rely on."""
+    rb = np.asarray([p[0] % nbuckets for p in pairs], dtype=np.int64)
+    w = np.asarray([p[1] for p in pairs], dtype=np.int64)
+    # pure-numpy mirror of the driver merge in _bucket_prefix_offsets
+    offsets = np.zeros(nbuckets, dtype=np.int64)
+    if len(rb):
+        totals = pd.Series(w).groupby(rb).sum().sort_index()
+        idx = totals.index.to_numpy()
+        offsets[idx] = np.concatenate(
+            [[0], np.cumsum(totals.to_numpy())[:-1]]
+        )
+    # exact exclusive-prefix for every PRESENT bucket (absent buckets
+    # keep offset 0 and are never visited by the per-bucket finisher)
+    for b in np.unique(rb):
+        assert offsets[b] == w[rb < b].sum()
