@@ -54,39 +54,7 @@ def run_bench() -> dict:
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    # self-calibrating host-health probe, recorded with every artifact:
-    # this sandbox's host has time-varying degradation episodes (vCPU
-    # demotion after idle; RPC/scheduling latency inflated up to ~20x —
-    # an empty 16-actor wave measured 22-36 ms during one episode vs
-    # 2-5 ms healthy).  Recording the probe lets a reader separate
-    # engine regressions from host episodes when comparing artifacts.
-    def _host_health() -> dict:
-        import numpy as _np
-
-        @ray.remote(num_cpus=0)
-        class _Ping:
-            def ping(self) -> int:
-                return 1
-
-        actors = [_Ping.remote() for _ in range(16)]
-        ray.get([a.ping.remote() for a in actors])  # spawn, untimed
-        t0 = time.perf_counter()
-        for _ in range(10):
-            ray.get([a.ping.remote() for a in actors])
-        wave_ms = (time.perf_counter() - t0) / 10 * 1000
-        for a in actors:
-            ray.kill(a)
-        x = _np.random.rand(10_000_000)
-        _np.sort(x)  # first touch pays any vCPU promotion, untimed
-        t0 = time.perf_counter()
-        _np.sort(x)
-        sort_s = time.perf_counter() - t0
-        return {
-            "actor_wave_ms": round(wave_ms, 1),
-            "sort10m_sec": round(sort_s, 3),
-        }
-
-    out_health = _host_health()
+    out_health = host_health_probe()
 
     from neo4j_webgraph_ray.pipelines.algorithms import PageRankProgram
     from neo4j_webgraph_ray.sources.transcripts import (
@@ -361,11 +329,59 @@ def run_prepared() -> dict:
     }
 
 
+def host_health_probe() -> dict:
+    """Self-calibrating host-health probe, recorded with every artifact:
+    this sandbox's host has time-varying degradation episodes (vCPU
+    demotion after idle; RPC/scheduling latency inflated up to ~20x —
+    an empty 16-actor wave measured 22-122 ms during episodes vs
+    single-digit ms healthy).  Recording the probe lets a reader
+    separate engine regressions from host episodes when comparing
+    artifacts.  Requires an initialized Ray session."""
+    import numpy as _np
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class _Ping:
+        def ping(self) -> int:
+            return 1
+
+    actors = [_Ping.remote() for _ in range(16)]
+    ray.get([a.ping.remote() for a in actors])  # spawn, untimed
+    t0 = time.perf_counter()
+    for _ in range(10):
+        ray.get([a.ping.remote() for a in actors])
+    wave_ms = (time.perf_counter() - t0) / 10 * 1000
+    for a in actors:
+        ray.kill(a)
+    x = _np.random.rand(10_000_000)
+    _np.sort(x)  # first touch pays any vCPU promotion, untimed
+    t0 = time.perf_counter()
+    _np.sort(x)
+    sort_s = time.perf_counter() - t0
+    return {
+        "actor_wave_ms": round(wave_ms, 1),
+        "sort10m_sec": round(sort_s, 3),
+    }
+
+
 def run_scaling() -> dict:
     """N vs 4N evidence: prepare the partitioned graph once, then run
     the identical superstep job at 8 and 32 CPUs in fresh processes on
     copies of the same prepared workdir."""
     import shutil
+
+    import ray
+
+    # probe in a short-lived session BEFORE the subprocess runs, so the
+    # recorded scaling artifact carries the same host-state evidence as
+    # the main bench (an episode hitting one CPU level but not the
+    # other would otherwise masquerade as a scaling regression)
+    ray.init(
+        address="local", num_cpus=8, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    health = host_health_probe()
+    ray.shutdown()
 
     n_convs = int(os.environ.get("NWR_SCALING_CONVS", "2000000"))
     num_parts = int(os.environ.get("NWR_NUM_PARTS", "32"))
@@ -425,6 +441,7 @@ def run_scaling() -> dict:
         "metric": METRIC
         + f"; scaling efficiency N->4N ({lo_cpu} vs {hi_cpu} CPUs)",
         "unit": "sec",
+        "host_health": health,
         "value": hi["value"],
         "n_convs": n_convs,
         "num_partitions": num_parts,
