@@ -253,6 +253,7 @@ def run_bench() -> dict:
             "quality_budget",
             "source_report",
             "embedding_outliers",
+            "mixture_sample",
             # actor-pool plumbing stages (VERDICT r2 #8: regressions in
             # the enrichment / multimodal actor paths must be visible)
             "enrich_social",

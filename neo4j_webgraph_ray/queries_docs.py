@@ -1606,6 +1606,46 @@ def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_mixture_sample(sf_dir: str) -> ray.data.Dataset:
+    """Weighted per-source mixture subsampling — the step that APPLIES
+    the mixture weights a curation run derives from ``source_report``:
+    keep each document with its source's probability (here a fixed
+    demo rule: 0.75 for even-suffixed sources, 0.25 odd), decided by a
+    seedless uniform from the same multiplicative hash
+    ``shuffle_shards`` ranks by, so the sample is deterministic,
+    partitioning-independent, and reproducible without any RNG state.
+    Pure filter pass: no shuffle, no driver state, text never read
+    (column-pruned to doc_id+source)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = ray.data.read_parquet(path, columns=["doc_id", "source"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False).astype(object)
+        u = (
+            (ids.astype(np.uint64) * np.uint64(SHUFFLE_MULT))
+            % np.uint64(2**32)
+        ).astype(np.float64) / 2**32
+        last = np.array([s[-1] for s in src]).astype(np.int64)
+        w = np.where(last % 2 == 0, 0.75, 0.25)
+        return batch.filter(pa.array(u < w))
+
+    return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _mixture_sample_sql() -> str:
+    return f"""
+WITH k AS (
+  SELECT doc_id, source,
+         ((CAST(doc_id AS HUGEINT) * {SHUFFLE_MULT}) % 4294967296) / 4294967296.0 AS u,
+         CASE WHEN CAST(substr(source, length(source), 1) AS INT) % 2 = 0
+              THEN 0.75 ELSE 0.25 END AS w
+  FROM documents
+)
+SELECT doc_id, source FROM k WHERE u < w
+"""
+
+
 def q_label_noise(sf_dir: str) -> ray.data.Dataset:
     """Nearest-class-centroid label-noise detection over the labeled
     embedding table: per-class mean-vector centroids (two streaming
@@ -1955,6 +1995,7 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "quality_budget": q_quality_budget,
     "source_report": q_source_report,
     "embedding_outliers": q_embedding_outliers,
+    "mixture_sample": q_mixture_sample,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1991,6 +2032,7 @@ DOC_ORACLES: dict[str, str] = {
     "quality_budget": _quality_budget_sql(),
     "source_report": _source_report_sql(),
     "embedding_outliers": _embedding_outliers_sql(),
+    "mixture_sample": _mixture_sample_sql(),
     # doc_fingerprints / simhash / ann_topk_lsh / ann_topk_ivf /
     # multimodal_features / kmeans_clusters / semantic_dedup:
     # signature-, seed-, or iteration-dependent, genuinely

@@ -659,3 +659,22 @@ def test_null_text_zero_tokens_everywhere(tmp_path):
     assert len(packed) == 4
     split = q_train_split(str(d))
     assert int(split["total_tokens"].sum()) == 7  # 2+0+1+4
+
+
+def test_mixture_sample_weights_and_determinism(sf_smoke):
+    """mixture_sample: per-source keep rates track the weight rule
+    (0.75 even-suffix / 0.25 odd), the sample is deterministic, and
+    repartitioning cannot change it (pure per-row hash decision)."""
+    import numpy as np
+
+    from neo4j_webgraph_ray.queries_docs import q_mixture_sample
+
+    a = q_mixture_sample(sf_smoke).to_pandas().sort_values("doc_id")
+    b = q_mixture_sample(sf_smoke).to_pandas().sort_values("doc_id")
+    assert np.array_equal(a["doc_id"].to_numpy(), b["doc_id"].to_numpy())
+    assert 0 < len(a)
+    even = a["source"].str[-1].astype(int) % 2 == 0
+    # both weight classes present and ordered correctly in aggregate
+    n_even_kept = int(even.sum())
+    n_odd_kept = int((~even).sum())
+    assert n_even_kept > n_odd_kept > 0
