@@ -1620,14 +1620,21 @@ def q_mixture_sample(sf_dir: str) -> ray.data.Dataset:
     docs = ray.data.read_parquet(path, columns=["doc_id", "source"])
 
     def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        src = batch["source"].to_numpy(zero_copy_only=False).astype(object)
         u = (
             (ids.astype(np.uint64) * np.uint64(SHUFFLE_MULT))
             % np.uint64(2**32)
         ).astype(np.float64) / 2**32
-        last = np.array([s[-1] for s in src]).astype(np.int64)
-        w = np.where(last % 2 == 0, 0.75, 0.25)
+        # vectorized last-char parity (no per-row Python)
+        last = pc.utf8_slice_codeunits(
+            pc.utf8_reverse(batch["source"]), 0, 1
+        )
+        even = pc.is_in(last, value_set=pa.array(list("02468"))).to_numpy(
+            zero_copy_only=False
+        )
+        w = np.where(even, 0.75, 0.25)
         return batch.filter(pa.array(u < w))
 
     return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
