@@ -218,8 +218,11 @@ def run_bench() -> dict:
             "cross_kind_pattern",
             "event_props_stats",
             "pagerank",
+            "personalized_pagerank",
             "connected_components",
             "label_propagation",
+            "bfs_distance",
+            "kcore",
             "triangle_count",
             "tool_cooccurrence",
             # LLM-training-data family over the documents/embeddings tables

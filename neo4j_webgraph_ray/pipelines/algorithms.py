@@ -187,6 +187,193 @@ class LabelPropagationProgram(VertexProgram):
         return m.get("n_changed", 1) == 0
 
 
+class PersonalizedPageRankProgram(VertexProgram):
+    """Personalized PageRank: teleport mass goes to a seed distribution
+    instead of uniformly to all vertices.
+
+    rank' = (1-d)*pref(v) + d*(sum_in + dangling*pref(v)), where pref is
+    1/|S| on the seed set and 0 elsewhere — the standard PPR recurrence
+    with dangling mass redistributed to the seeds (so total mass is
+    conserved and the iterate stays a distribution).  Seeds ship as a
+    sorted int64 id array inside the program (a few ids — not a
+    broadcast concern); membership per partition is one searchsorted.
+    """
+
+    name = "ppr"
+    undirected = False
+    mode = "sum"
+
+    def __init__(self, seed_ids: np.ndarray, damping: float = 0.85,
+                 tol: float = 1e-6):
+        self.seed_ids = np.sort(np.asarray(seed_ids, dtype=np.int64))
+        if len(self.seed_ids) == 0:
+            raise ValueError("personalized pagerank needs >= 1 seed id")
+        self.damping = damping
+        self.tol = tol
+
+    def config(self):
+        return {
+            "damping": self.damping, "tol": self.tol,
+            "seeds": [int(s) for s in self.seed_ids],
+        }
+
+    def _pref(self, ids: np.ndarray) -> np.ndarray:
+        s = self.seed_ids
+        pos = np.minimum(np.searchsorted(s, ids), len(s) - 1)
+        is_seed = s[pos] == ids
+        return np.where(is_seed, 1.0 / len(s), 0.0)
+
+    def init_state(self, ids, out_deg, ctx):
+        pref = self._pref(ids.astype(np.int64))
+        return pd.DataFrame(
+            {
+                "id": ids.astype(np.int64),
+                "out_deg": out_deg.astype(np.int64),
+                "pref": pref,
+                "rank": pref.copy(),
+            }
+        )
+
+    def init_metrics(self, state):
+        return {"dangling": float(
+            state.loc[state["out_deg"] == 0, "rank"].sum())}
+
+    def payload_stats(self, state):
+        return {"dangling": float(
+            state.loc[state["out_deg"] == 0, "rank"].sum())}
+
+    def scatter_values(self, state):
+        out_deg = state["out_deg"].to_numpy().astype(np.float64)
+        rank = state["rank"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(out_deg > 0, rank / out_deg, 0.0)
+
+    def gather_update(self, state, reduced, ctx):
+        d = self.damping
+        dangling_in = ctx.get("dangling", 0.0)
+        sums = _aligned_agg(state, reduced, np.float64(0.0))
+        pref = state["pref"].to_numpy()
+        old = state["rank"].to_numpy()
+        new = (1.0 - d) * pref + d * (sums + dangling_in * pref)
+        out = state.copy(deep=False)
+        out["rank"] = new
+        delta = float(np.max(np.abs(new - old))) if len(new) else 0.0
+        dangling_out = float(new[state["out_deg"].to_numpy() == 0].sum())
+        return out, {"max_delta": delta, "dangling": dangling_out}
+
+    def converged(self, m):
+        return m.get("max_delta", np.inf) < self.tol
+
+    def update_ctx(self, ctx, step_metrics):
+        if "dangling" in step_metrics:
+            ctx["dangling"] = step_metrics["dangling"]
+
+
+#: "not reached yet" distance sentinel — far above any real hop count,
+#: far below int64 max so min_in + 1 can never wrap.
+BFS_UNREACHED = np.int64(1) << 62
+
+
+class BFSDistanceProgram(VertexProgram):
+    """Single-source hop distance over the undirected graph (min-mode
+    frontier relaxation): dist' = min(dist, min_in + 1).  Vertices never
+    reached keep :data:`BFS_UNREACHED`; converges when no distance
+    changes (<= diameter+1 supersteps)."""
+
+    name = "bfs"
+    undirected = True
+    mode = "min"
+
+    def __init__(self, seed_ids: np.ndarray):
+        self.seed_ids = np.sort(np.asarray(seed_ids, dtype=np.int64))
+        if len(self.seed_ids) == 0:
+            raise ValueError("bfs needs >= 1 seed id")
+
+    def config(self):
+        return {"seeds": [int(s) for s in self.seed_ids]}
+
+    def init_state(self, ids, out_deg, ctx):
+        ids64 = ids.astype(np.int64)
+        s = self.seed_ids
+        pos = np.minimum(np.searchsorted(s, ids64), len(s) - 1)
+        is_seed = s[pos] == ids64
+        return pd.DataFrame(
+            {
+                "id": ids64,
+                "dist": np.where(is_seed, np.int64(0), BFS_UNREACHED),
+            }
+        )
+
+    def scatter_values(self, state):
+        return state["dist"].to_numpy()
+
+    def gather_update(self, state, reduced, ctx):
+        incoming = _aligned_agg(state, reduced, BFS_UNREACHED).astype(np.int64)
+        old = state["dist"].to_numpy()
+        new = np.minimum(old, np.minimum(incoming + 1, BFS_UNREACHED))
+        out = state.copy(deep=False)
+        out["dist"] = new
+        return out, {"n_changed": int((new != old).sum())}
+
+    def converged(self, m):
+        return m.get("n_changed", 1) == 0
+
+
+class KCoreProgram(VertexProgram):
+    """k-core membership by distributed iterative peeling.
+
+    State per vertex: residual degree within the surviving subgraph and
+    an alive flag.  Each superstep, vertices that died in the previous
+    step scatter a unit "I left" message along their (undirected,
+    multiset — matching prepare's undirected doubling) edges; gather
+    subtracts the incoming count from the residual degree and kills any
+    survivor that drops below k.  Fixpoint = no deaths; survivors are
+    exactly the k-core (maximal subgraph with min degree >= k)."""
+
+    name = "kcore"
+    undirected = True
+    mode = "sum"
+
+    def __init__(self, k: int = 2):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = int(k)
+
+    def config(self):
+        return {"k": self.k}
+
+    def init_state(self, ids, out_deg, ctx):
+        deg = out_deg.astype(np.int64)  # symmetrized degree (undirected)
+        alive = deg >= self.k
+        return pd.DataFrame(
+            {
+                "id": ids.astype(np.int64),
+                "deg": deg,
+                "alive": alive,
+                # the initial sub-k vertices die at step 0 and announce
+                # their departure in the first scatter
+                "died_now": ~alive,
+            }
+        )
+
+    def scatter_values(self, state):
+        return state["died_now"].to_numpy().astype(np.float64)
+
+    def gather_update(self, state, reduced, ctx):
+        loss = _aligned_agg(state, reduced, np.float64(0.0))
+        deg = state["deg"].to_numpy() - loss.astype(np.int64)
+        alive = state["alive"].to_numpy()
+        newly_dead = alive & (deg < self.k)
+        out = state.copy(deep=False)
+        out["deg"] = deg
+        out["alive"] = alive & ~newly_dead
+        out["died_now"] = newly_dead
+        return out, {"n_changed": int(newly_dead.sum())}
+
+    def converged(self, m):
+        return m.get("n_changed", 1) == 0
+
+
 # -- public API -------------------------------------------------------------
 
 
@@ -252,6 +439,77 @@ def connected_components(
     """Weakly connected components: Dataset(id, label=min id in comp)."""
     engine = _make_engine(
         workdir, ConnectedComponentsProgram(), num_partitions, max_steps,
+        backend, checkpoint_every, run_metadata, filesystem,
+    )
+    if not resume:
+        engine.prepare(edges)
+    return engine.run(resume=resume)
+
+
+def personalized_pagerank(
+    edges: ray.data.Dataset,
+    workdir: str,
+    seed_ids: np.ndarray,
+    num_partitions: int = 16,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_steps: int = 100,
+    resume: bool = False,
+    backend: str = "actors",
+    checkpoint_every: int = 1,
+    run_metadata: dict | None = None,
+    filesystem=None,
+) -> ray.data.Dataset:
+    """Seed-teleport PageRank: Dataset(id, out_deg, pref, rank)."""
+    engine = _make_engine(
+        workdir, PersonalizedPageRankProgram(seed_ids, damping, tol),
+        num_partitions, max_steps, backend, checkpoint_every,
+        run_metadata, filesystem,
+    )
+    if not resume:
+        engine.prepare(edges)
+    return engine.run(resume=resume)
+
+
+def bfs_distances(
+    edges: ray.data.Dataset,
+    workdir: str,
+    seed_ids: np.ndarray,
+    num_partitions: int = 16,
+    max_steps: int = 300,
+    resume: bool = False,
+    backend: str = "actors",
+    checkpoint_every: int = 1,
+    run_metadata: dict | None = None,
+    filesystem=None,
+) -> ray.data.Dataset:
+    """Undirected hop distances from a seed set: Dataset(id, dist);
+    unreached vertices carry :data:`BFS_UNREACHED`."""
+    engine = _make_engine(
+        workdir, BFSDistanceProgram(seed_ids), num_partitions, max_steps,
+        backend, checkpoint_every, run_metadata, filesystem,
+    )
+    if not resume:
+        engine.prepare(edges)
+    return engine.run(resume=resume)
+
+
+def kcore(
+    edges: ray.data.Dataset,
+    workdir: str,
+    k: int = 2,
+    num_partitions: int = 16,
+    max_steps: int = 200,
+    resume: bool = False,
+    backend: str = "actors",
+    checkpoint_every: int = 1,
+    run_metadata: dict | None = None,
+    filesystem=None,
+) -> ray.data.Dataset:
+    """k-core membership: Dataset(id, deg, alive, died_now); ``alive``
+    marks the surviving k-core, ``deg`` its within-core degree."""
+    engine = _make_engine(
+        workdir, KCoreProgram(k), num_partitions, max_steps,
         backend, checkpoint_every, run_metadata, filesystem,
     )
     if not resume:

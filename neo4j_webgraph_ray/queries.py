@@ -26,9 +26,13 @@ import ray.data
 
 from neo4j_webgraph_ray.ids import vertex_id
 from neo4j_webgraph_ray.pipelines.algorithms import (
+    BFS_UNREACHED,
+    bfs_distances,
     connected_components,
+    kcore,
     label_propagation,
     pagerank,
+    personalized_pagerank,
 )
 from neo4j_webgraph_ray.pipelines.triangles import triangle_count
 from neo4j_webgraph_ray.sources.transcripts import (
@@ -66,11 +70,19 @@ edges AS (
     FROM edges_raw GROUP BY src_kind, src_key, dst_kind, dst_key
 ),
 vert_keys AS (
-    SELECT src_kind AS kind, src_key AS vkey FROM edges
-    UNION
-    SELECT dst_kind, dst_key FROM edges
-    UNION
-    SELECT 'conv', conv_id FROM transcripts
+    -- UNION ALL + DISTINCT rather than chained UNION: under the WITH
+    -- RECURSIVE variant of this prelude (_RECURSIVE_PRELUDE) DuckDB
+    -- mis-executes a multi-branch bare UNION in a non-recursive CTE
+    -- (branches past the first skip dedup), which silently duplicated
+    -- vertices 34x here.  The wrapped form is semantically identical
+    -- and immune.
+    SELECT DISTINCT kind, vkey FROM (
+        SELECT src_kind AS kind, src_key AS vkey FROM edges
+        UNION ALL
+        SELECT dst_kind, dst_key FROM edges
+        UNION ALL
+        SELECT 'conv', conv_id FROM transcripts
+    )
 ),
 conv_content AS (
     SELECT conv_id AS vkey, arg_min(text, turn_idx) AS content
@@ -1461,6 +1473,104 @@ def q_triangle_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_triangles": pd.array([n], dtype="int64")})
 
 
+def _seed_vkeys(sf_dir: str) -> pd.DataFrame:
+    """Deterministic seed vertices for the seeded analytics entries:
+    the lexicographically smallest key per kind among edge-endpoint
+    (degree > 0) vertices.  Per-batch partial min + a #kinds-row driver
+    merge — the vertex table itself never leaves the cluster."""
+    _, vertices = graph(sf_dir)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["in_deg"].to_numpy() + df["out_deg"].to_numpy()) > 0]
+        if not len(df):
+            return pd.DataFrame(
+                {"kind": pd.Series([], dtype=object),
+                 "key": pd.Series([], dtype=object)}
+            )
+        return df.groupby("kind", as_index=False)["key"].min()
+
+    parts = vertices.map_batches(part, batch_format="pandas").to_pandas()
+    return parts.groupby("kind", as_index=False)["key"].min()
+
+
+def q_personalized_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Personalized PageRank: teleport to the per-kind min-key seed
+    vertices (3 seeds), :data:`PAGERANK_FIXED_STEPS` synchronous
+    supersteps matching the unrolled oracle step for step; output
+    (vkey, rank) rounded to 6 dp."""
+    seeds = _seed_vkeys(sf_dir)
+    seed_ids = vertex_id(seeds["kind"].to_numpy(), seeds["key"].to_numpy())
+    edges, vertices = graph(sf_dir)
+    state = personalized_pagerank(
+        edges, _workdir(sf_dir, "ppr"), seed_ids,
+        num_partitions=_algo_parts(edges), tol=0.0,
+        max_steps=PAGERANK_FIXED_STEPS,
+        checkpoint_every=_query_checkpoint_every(),
+    )
+    out = attach_vkeys(state, vertices, ["rank"]).to_pandas()
+    out["rank"] = out["rank"].astype("float64").round(6)
+    return out[["vkey", "rank"]].sort_values("vkey").reset_index(drop=True)
+
+
+def q_bfs_distance(sf_dir: str) -> pd.DataFrame:
+    """Single-source undirected hop distance from the global min-vkey
+    edge-endpoint seed; unreachable and isolated vertices report -1.
+    The engine converges at the graph's eccentricity from the seed;
+    the oracle is an exact recursive-CTE BFS with the same step cap."""
+    edges, vertices = graph(sf_dir)
+    seeds = _seed_vkeys(sf_dir)
+    comp = (seeds["kind"] + ":" + seeds["key"]).to_numpy()
+    i = int(np.argmin(comp))
+    seed_ids = vertex_id(
+        str(seeds["kind"].iloc[i]), str(seeds["key"].iloc[i])
+    )
+    state = bfs_distances(
+        edges, _workdir(sf_dir, "bfs"), seed_ids,
+        num_partitions=_algo_parts(edges), max_steps=BFS_ORACLE_CAP,
+        checkpoint_every=_query_checkpoint_every(),
+    )
+    df = attach_vkeys(
+        state, vertices, ["dist"], keep_unmatched_vertices=True
+    ).to_pandas()
+    d = df["dist"].to_numpy().astype(np.int64)
+    df["dist"] = np.where(
+        (d == UNMATCHED_SENTINEL) | (d >= int(BFS_UNREACHED)),
+        np.int64(-1), d,
+    )
+    return df[["vkey", "dist"]].sort_values("vkey").reset_index(drop=True)
+
+
+KCORE_K = 2
+# unrolled peel rounds in the oracle; the engine's actual round count is
+# asserted <= this in tests (extra rounds are fixpoint no-ops)
+KCORE_ORACLE_ROUNDS = 40
+
+
+def q_kcore(sf_dir: str) -> pd.DataFrame:
+    """k-core membership (k=2) by distributed iterative peeling;
+    (vkey, in_core 0/1) over the full vertex table — vertices outside
+    the core (including isolated ones) report 0."""
+    edges, vertices = graph(sf_dir)
+    state = kcore(
+        edges, _workdir(sf_dir, "kcore"), k=KCORE_K,
+        num_partitions=_algo_parts(edges),
+        checkpoint_every=_query_checkpoint_every(),
+    )
+    mapped = state.map_batches(
+        lambda df: pd.DataFrame(
+            {"id": df["id"].to_numpy(),
+             "in_core": df["alive"].to_numpy().astype(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    df = attach_vkeys(
+        mapped, vertices, ["in_core"], keep_unmatched_vertices=True
+    ).to_pandas()
+    v = df["in_core"].to_numpy().astype(np.int64)
+    df["in_core"] = np.where(v == UNMATCHED_SENTINEL, np.int64(0), v)
+    return df[["vkey", "in_core"]].sort_values("vkey").reset_index(drop=True)
+
+
 def q_tool_cooccurrence(sf_dir: str) -> ray.data.Dataset:
     """Derived co-occurrence graph: tools used within the same
     conversation (distinct unordered pairs) — the J4 'linking pages'
@@ -1684,10 +1794,122 @@ def _lpa_oracle_sql(n_iter: int = 20) -> str:
     )
 
 
+_RECURSIVE_PRELUDE = GRAPH_SQL_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+def _ppr_oracle_sql(
+    n_iter: int = PAGERANK_FIXED_STEPS, damping: float = 0.85
+) -> str:
+    """Personalized PageRank unrolled like :func:`_pagerank_oracle_sql`,
+    with teleport mass on the per-kind min-vkey seeds (matching
+    :func:`_seed_vkeys` over degree>0 vertices) instead of uniform:
+    rank' = (1-d)*pref + d*(sum_in + dangling*pref).  Mirrors
+    PersonalizedPageRankProgram.gather_update exactly."""
+    d = damping
+    parts = [
+        "und AS MATERIALIZED (SELECT src_kind || ':' || src_key AS s, "
+        "dst_kind || ':' || dst_key AS d FROM edges)",
+        "od AS MATERIALIZED (SELECT s AS v, count(*) AS deg FROM und GROUP BY s)",
+        "verts0 AS MATERIALIZED (SELECT vv.v, coalesce(od.deg, 0) AS deg "
+        "FROM (SELECT s AS v FROM und UNION SELECT d FROM und) vv "
+        "LEFT JOIN od USING(v))",
+        # seeds: min composite per kind over edge-endpoint vertices —
+        # identical to the engine's _seed_vkeys selection
+        "seeds AS MATERIALIZED (SELECT min(v) AS v FROM verts0 "
+        "GROUP BY split_part(v, ':', 1))",
+        "ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds)",
+        "verts AS MATERIALIZED (SELECT verts0.v, verts0.deg, "
+        "CASE WHEN seeds.v IS NOT NULL THEN 1.0/ns.n ELSE 0.0 END AS pref "
+        "FROM verts0 LEFT JOIN seeds ON seeds.v = verts0.v CROSS JOIN ns)",
+        "r0 AS MATERIALIZED (SELECT v, deg, pref, pref AS rank FROM verts)",
+    ]
+    for k in range(n_iter):
+        parts.append(
+            f"r{k + 1} AS MATERIALIZED (\n"
+            f"  SELECT p.v, p.deg, p.pref,\n"
+            f"         (1-{d})*p.pref + {d}*(coalesce(s.m, 0.0)"
+            f" + dang.dm*p.pref) AS rank\n"
+            f"  FROM r{k} p\n"
+            f"  LEFT JOIN (SELECT und.d AS v, sum(p2.rank/p2.deg) AS m\n"
+            f"             FROM r{k} p2 JOIN und ON und.s = p2.v\n"
+            f"             WHERE p2.deg > 0 GROUP BY und.d) s ON s.v = p.v\n"
+            f"  CROSS JOIN (SELECT coalesce(sum(rank) FILTER (WHERE deg = 0), 0.0)"
+            f" AS dm FROM r{k}) dang)"
+        )
+    return (
+        GRAPH_SQL_PRELUDE
+        + ",\n"
+        + ",\n".join(parts)
+        + f'\nSELECT v AS vkey, round(rank, 6) AS "rank" FROM r{n_iter} ORDER BY vkey'
+    )
+
+
+#: BFS step cap, shared engine <-> oracle: the engine runs at most this
+#: many supersteps, the recursive oracle relaxes to the same depth —
+#: both sides therefore agree even on (pathological) graphs deeper than
+#: the cap.  Far above any real eccentricity here (asserted in tests).
+BFS_ORACLE_CAP = 300
+
+BFS_ORACLE_SQL = (
+    _RECURSIVE_PRELUDE
+    + f""",
+und AS (SELECT src_kind || ':' || src_key AS s,
+               dst_kind || ':' || dst_key AS d FROM edges),
+sym AS (SELECT s, d FROM und UNION SELECT d, s FROM und),
+sverts AS (SELECT DISTINCT s AS v FROM sym),
+seed AS (SELECT min(v) AS v FROM sverts),
+reach(v, dist) AS (
+    SELECT v, 0 FROM seed
+    UNION
+    SELECT sym.d, reach.dist + 1 FROM reach JOIN sym ON sym.s = reach.v
+    WHERE reach.dist < {BFS_ORACLE_CAP}
+),
+best AS (SELECT v, min(dist) AS dist FROM reach GROUP BY v)
+SELECT vx.kind || ':' || vx."key" AS vkey,
+       CAST(coalesce(best.dist, -1) AS BIGINT) AS dist
+FROM vertices vx LEFT JOIN best ON best.v = vx.kind || ':' || vx."key"
+ORDER BY vkey
+"""
+)
+
+
+def _kcore_oracle_sql(
+    k: int = KCORE_K, n_rounds: int = KCORE_ORACLE_ROUNDS
+) -> str:
+    """Iterative k-core peel unrolled as chained MATERIALIZED CTEs:
+    a_{i+1} = vertices of a_i with >= k (multiset, matching prepare's
+    undirected UNION ALL doubling) edges into a_i.  The engine peels to
+    fixpoint; extra unrolled rounds are no-ops, and the engine's actual
+    round count is asserted <= n_rounds in tests."""
+    parts = [
+        "und AS MATERIALIZED (SELECT src_kind || ':' || src_key AS s, "
+        "dst_kind || ':' || dst_key AS d FROM edges)",
+        "sym AS MATERIALIZED (SELECT s, d FROM und "
+        "UNION ALL SELECT d, s FROM und)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT s AS v FROM sym)",
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT sym.s AS v FROM sym "
+            f"JOIN a{i} x ON x.v = sym.s JOIN a{i} y ON y.v = sym.d "
+            f"GROUP BY sym.s HAVING count(*) >= {k})"
+        )
+    return (
+        GRAPH_SQL_PRELUDE
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT vx.kind || ':' || vx."key" AS vkey,
+       CAST(CASE WHEN a.v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core
+FROM vertices vx LEFT JOIN a{n_rounds} a ON a.v = vx.kind || ':' || vx."key"
+ORDER BY vkey"""
+    )
+
+
 PAGERANK_ORACLE_SQL = _pagerank_oracle_sql()
 LPA_ORACLE_SQL = _lpa_oracle_sql()
-
-_RECURSIVE_PRELUDE = GRAPH_SQL_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)
+PPR_ORACLE_SQL = _ppr_oracle_sql()
+KCORE_ORACLE_SQL = _kcore_oracle_sql()
 
 CC_ORACLE_SQL = (
     _RECURSIVE_PRELUDE
@@ -1746,8 +1968,11 @@ JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
 
 GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "pagerank": q_pagerank,
+    "personalized_pagerank": q_personalized_pagerank,
     "connected_components": q_connected_components,
     "label_propagation": q_label_propagation,
+    "bfs_distance": q_bfs_distance,
+    "kcore": q_kcore,
     "triangle_count": q_triangle_count,
     "tool_cooccurrence": q_tool_cooccurrence,
     "tool_cooccurrence_triangles": q_tool_cooccurrence_triangles,
@@ -1758,8 +1983,11 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
 
 GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "pagerank": PAGERANK_ORACLE_SQL,
+    "personalized_pagerank": PPR_ORACLE_SQL,
     "label_propagation": LPA_ORACLE_SQL,
     "connected_components": CC_ORACLE_SQL,
+    "bfs_distance": BFS_ORACLE_SQL,
+    "kcore": KCORE_ORACLE_SQL,
     "triangle_count": TRIANGLE_ORACLE_SQL,
     "tool_cooccurrence": TOOL_COOC_SQL,
     "tool_cooccurrence_triangles": TOOL_COOC_TRIANGLES_SQL,

@@ -103,3 +103,89 @@ def triangles_oracle(edges: list[tuple[int, int]]) -> int:
         if b in adj[a] and c in adj[a] and c in adj[b]:
             count += 1
     return count
+
+
+def ppr_oracle(
+    edges: list[tuple[int, int]],
+    seeds: list[int],
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_steps: int = 100,
+) -> dict[int, float]:
+    """Dense personalized PageRank, same update rule as
+    PersonalizedPageRankProgram: r' = (1-d)*pref + d*(A^T(r/deg)
+    + dangling(r)*pref), pref = 1/|S| on seeds, 0 elsewhere."""
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    if n == 0:
+        return {}
+    deg = np.zeros(n)
+    for s, d in edges:
+        deg[idx[s]] += 1
+    pref = np.zeros(n)
+    for s in seeds:
+        pref[idx[s]] = 1.0 / len(seeds)
+    r = pref.copy()
+    for _ in range(max_steps):
+        contrib = np.where(deg > 0, r / np.maximum(deg, 1), 0.0)
+        sums = np.zeros(n)
+        for s, d in edges:
+            sums[idx[d]] += contrib[idx[s]]
+        dangling = r[deg == 0].sum()
+        new = (1.0 - damping) * pref + damping * (sums + dangling * pref)
+        delta = np.max(np.abs(new - r))
+        r = new
+        if delta < tol:
+            break
+    return {v: r[idx[v]] for v in ids}
+
+
+def bfs_oracle(
+    edges: list[tuple[int, int]], seeds: list[int]
+) -> dict[int, int | None]:
+    """Multi-source BFS hop distance over the symmetrized graph;
+    unreached vertices map to None."""
+    ids = sorted({v for e in edges for v in e})
+    nbrs: dict[int, set[int]] = {v: set() for v in ids}
+    for s, d in edges:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    dist: dict[int, int | None] = {v: None for v in ids}
+    frontier = [s for s in seeds if s in dist]
+    for s in frontier:
+        dist[s] = 0
+    depth = 0
+    while frontier:
+        depth += 1
+        nxt = []
+        for v in frontier:
+            for u in nbrs[v]:
+                if dist[u] is None:
+                    dist[u] = depth
+                    nxt.append(u)
+        frontier = nxt
+    return dist
+
+
+def kcore_oracle(edges: list[tuple[int, int]], k: int) -> dict[int, bool]:
+    """Iterative k-core peel with MULTISET symmetrized degree (each
+    directed input edge contributes 1 to both endpoints; a self-loop
+    contributes 2 to its vertex) — matching prepare()'s undirected
+    UNION ALL doubling in KCoreProgram."""
+    ids = sorted({v for e in edges for v in e})
+    sym: list[tuple[int, int]] = []
+    for s, d in edges:
+        sym.append((s, d))
+        sym.append((d, s))
+    alive = {v: True for v in ids}
+    while True:
+        deg = {v: 0 for v in ids}
+        for s, d in sym:
+            if alive[s] and alive[d]:
+                deg[s] += 1
+        doomed = [v for v in ids if alive[v] and deg[v] < k]
+        if not doomed:
+            return alive
+        for v in doomed:
+            alive[v] = False

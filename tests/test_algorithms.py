@@ -150,3 +150,98 @@ def test_prepare_and_run_on_empty_edges(tmp_path):
     out = eng.run()
     assert out.count() == 0
     assert load_manifest(str(tmp_path / "wd")).status in ("converged", "max_steps")
+
+
+# -- seeded analytics: PPR, BFS distance, k-core -----------------------------
+
+from neo4j_webgraph_ray.pipelines.algorithms import (  # noqa: E402
+    BFS_UNREACHED,
+    bfs_distances,
+    kcore,
+    personalized_pagerank,
+)
+from tests.oracles import bfs_oracle, kcore_oracle, ppr_oracle  # noqa: E402
+
+
+def _seeds_for(pairs, n=2):
+    """Deterministic seed choice: the n smallest vertex ids."""
+    return sorted({v for e in pairs for v in e})[:n]
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_ppr_matches_oracle(gname, tmp_path):
+    pairs = GRAPHS[gname]
+    seeds = _seeds_for(pairs)
+    res = personalized_pagerank(
+        edges_ds(pairs), str(tmp_path / "ppr"), np.array(seeds), num_partitions=4
+    ).to_pandas()
+    oracle = ppr_oracle(pairs, seeds)
+    assert len(res) == len(oracle)
+    got = dict(zip(res["id"], res["rank"]))
+    for v, r in oracle.items():
+        assert abs(got[v] - r) < 1e-6, f"{gname}: vertex {v} {got[v]} vs {r}"
+    # PPR iterate stays a probability distribution (dangling mass
+    # redistributed to seeds)
+    assert abs(res["rank"].sum() - 1.0) < 1e-6
+
+
+def test_ppr_mass_concentrates_near_seeds(tmp_path):
+    """On two islands with seeds on one island, the other island gets
+    exactly zero mass."""
+    pairs = GRAPHS["g_two_islands"]
+    res = personalized_pagerank(
+        edges_ds(pairs), str(tmp_path / "ppr2"), np.array([0]), num_partitions=3
+    ).to_pandas()
+    got = dict(zip(res["id"], res["rank"]))
+    assert all(got[v] == 0.0 for v in (10, 11, 12))
+    assert all(got[v] > 0.0 for v in (0, 1, 2))
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_bfs_matches_oracle(gname, tmp_path):
+    pairs = GRAPHS[gname]
+    seeds = _seeds_for(pairs, n=1)
+    res = bfs_distances(
+        edges_ds(pairs), str(tmp_path / "bfs"), np.array(seeds), num_partitions=4
+    ).to_pandas()
+    oracle = bfs_oracle(pairs, seeds)
+    got = dict(zip(res["id"], res["dist"]))
+    assert set(got) == set(oracle)
+    for v, d in oracle.items():
+        want = int(BFS_UNREACHED) if d is None else d
+        assert got[v] == want, f"{gname}: vertex {v} {got[v]} vs {want}"
+
+
+def test_bfs_multi_source(tmp_path):
+    """Two seeds on separate islands reach everything at island-local
+    depth."""
+    pairs = GRAPHS["g_two_islands"]
+    res = bfs_distances(
+        edges_ds(pairs), str(tmp_path / "bfs2"), np.array([0, 10]), num_partitions=3
+    ).to_pandas()
+    oracle = bfs_oracle(pairs, [0, 10])
+    got = dict(zip(res["id"], res["dist"]))
+    assert got == {v: d for v, d in oracle.items()}
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+@pytest.mark.parametrize("k", [2, 3])
+def test_kcore_matches_oracle(gname, k, tmp_path):
+    pairs = GRAPHS[gname]
+    res = kcore(
+        edges_ds(pairs), str(tmp_path / "kc"), k=k, num_partitions=4
+    ).to_pandas()
+    oracle = kcore_oracle(pairs, k)
+    got = dict(zip(res["id"], res["alive"]))
+    assert got == oracle, f"{gname} k={k}"
+
+
+def test_kcore_peels_tail(tmp_path):
+    """A triangle with a pendant chain: the 2-core is exactly the
+    triangle; the chain peels off over successive rounds."""
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5)]
+    res = kcore(
+        edges_ds(pairs), str(tmp_path / "kc2"), k=2, num_partitions=2
+    ).to_pandas()
+    got = dict(zip(res["id"], res["alive"]))
+    assert got == {0: True, 1: True, 2: True, 3: False, 4: False, 5: False}
