@@ -224,6 +224,7 @@ def run_bench() -> dict:
             "bfs_distance",
             "kcore",
             "triangle_count",
+            "clustering_coefficient",
             "tool_cooccurrence",
             # LLM-training-data family over the documents/embeddings tables
             "top_tokens",

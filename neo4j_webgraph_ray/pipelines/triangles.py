@@ -148,17 +148,21 @@ def oriented_edges(edges: ray.data.Dataset, num_buckets: int = 64) -> ray.data.D
     return with_db.map_batches(orient, batch_format="pandas")
 
 
-def triangle_count_local(src: np.ndarray, dst: np.ndarray) -> int:
-    """Single-task vectorized triangle count — the broadcast path for
-    graphs whose edge list fits one worker (SURVEY.md §7.5: 'plan a
-    broadcast path for small graphs and a partitioned merge path
-    beyond').  Same semantics as the distributed pipeline."""
+def _triangle_stats_local(
+    src: np.ndarray, dst: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Single-task vectorized per-vertex triangle stats — the broadcast
+    path for graphs whose edge list fits one worker (SURVEY.md §7.5).
+    Returns (verts, tri, deg): for each vertex of the undirected simple
+    projection, the number of triangles containing it and its simple
+    degree.  Same orientation semantics as the distributed pipeline."""
     m = src != dst
     a = np.minimum(src[m], dst[m])
     b = np.maximum(src[m], dst[m])
     und = np.unique(np.stack([a, b], axis=1), axis=0)
     if len(und) == 0:
-        return 0
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy()
     # compact vertex indices so an edge packs into one int64 key
     verts, inv = np.unique(und.ravel(), return_inverse=True)
     n = len(verts)
@@ -178,13 +182,14 @@ def triangle_count_local(src: np.ndarray, dst: np.ndarray) -> int:
     group_change = np.r_[True, lo_s[1:] != lo_s[:-1]]
     group_id = np.cumsum(group_change) - 1
     counts = np.bincount(group_id)
-    total = 0
+    tri = np.zeros(n, np.int64)
     max_c = int(counts.max()) if len(counts) else 0
     for k in range(1, max_c):
         idx = np.arange(len(lo_s) - k)
         mask = group_id[idx] == group_id[idx + k]
         if not mask.any():
             break
+        w = lo_s[idx[mask]]
         x = hi_s[idx[mask]]
         y = hi_s[idx[mask] + k]
         # candidate must be keyed in the same (deg, id) orientation as
@@ -195,8 +200,19 @@ def triangle_count_local(src: np.ndarray, dst: np.ndarray) -> int:
         cand = xi * n + yi
         pos = np.searchsorted(edge_keys, cand)
         pos = np.clip(pos, 0, len(edge_keys) - 1)
-        total += int((edge_keys[pos] == cand).sum())
-    return total
+        hit = edge_keys[pos] == cand
+        if hit.any():
+            # each matched wedge (w; x, y) closes one triangle {w, x, y}
+            closed = np.r_[w[hit], x[hit], y[hit]]
+            tri += np.bincount(closed, minlength=n)
+    return verts, tri, deg.astype(np.int64)
+
+
+def triangle_count_local(src: np.ndarray, dst: np.ndarray) -> int:
+    """Global triangle count on one worker: every triangle contributes
+    one per-vertex hit at each of its 3 corners."""
+    _, tri, _ = _triangle_stats_local(src, dst)
+    return int(tri.sum()) // 3
 
 
 # a graph whose canonical edge list fits comfortably in one task's heap
@@ -270,3 +286,141 @@ def triangle_count(edges: ray.data.Dataset, num_buckets: int = 64) -> int:
     )
     counts = _cogroup(both, ["x", "y"], count_matches, num_buckets)
     return int(counts.to_pandas()["n"].sum())
+
+
+def vertex_triangles(edges: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-vertex triangle participation over the undirected simple
+    projection of ``edges``: Dataset(v, tri, deg) — for every vertex
+    with simple degree > 0, the number of triangles containing it and
+    its simple degree (the two inputs of the local clustering
+    coefficient).  Small graphs take the single-task vectorized path;
+    larger ones re-use the oriented wedge/co-group pipeline of
+    :func:`triangle_count` with the wedge center carried through, so
+    each matched candidate credits all three corners."""
+    limit_probe = edges.limit(LOCAL_TRIANGLE_EDGE_LIMIT + 1).count()
+    if limit_probe <= LOCAL_TRIANGLE_EDGE_LIMIT:
+        src_l, dst_l = [], []
+        for b in edges.select_columns(["src", "dst"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ):
+            src_l.append(b["src"].to_numpy())
+            dst_l.append(b["dst"].to_numpy())
+        if src_l:
+            verts, tri, deg = _triangle_stats_local(
+                np.concatenate(src_l), np.concatenate(dst_l)
+            )
+        else:
+            verts = tri = deg = np.empty(0, np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "v": pa.array(verts, type=pa.int64()),
+                    "tri": pa.array(tri, type=pa.int64()),
+                    "deg": pa.array(deg, type=pa.int64()),
+                }
+            )
+        )
+
+    oriented = oriented_edges(edges, num_buckets).materialize()
+
+    # simple degree: each oriented edge contributes one to both ends
+    def deg_partials(t: pa.Table) -> pa.Table:
+        ids = np.r_[t["lo"].to_numpy(), t["hi"].to_numpy()]
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table(
+            {"v": pa.array(u, type=pa.int64()), "deg": pa.array(c.astype(np.int64))}
+        )
+
+    deg = bucketed_groupby(
+        oriented.map_batches(deg_partials, batch_format="pyarrow", zero_copy_batch=True),
+        ["v"],
+        lambda df: df.groupby("v", as_index=False, sort=False)["deg"].sum(),
+        num_buckets=num_buckets,
+    )
+
+    # wedge candidates with the center w carried (same ordering rules
+    # as triangle_count's wedge_pairs)
+    def wedge_triples(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).sort_values(
+            ["lo", "hi_deg", "hi"], kind="stable"
+        )
+        h = df["hi"].to_numpy()
+        lo = df["lo"].to_numpy()
+        ai, bi = pair_indices_within_groups(lo)
+        if not len(ai):
+            return pd.DataFrame(
+                {
+                    "w": np.empty(0, np.int64),
+                    "x": np.empty(0, np.int64),
+                    "y": np.empty(0, np.int64),
+                }
+            )
+        return pd.DataFrame({"w": lo[ai], "x": h[ai], "y": h[bi]})
+
+    staged = oriented.map_batches(
+        lambda df: add_bucket_column(df, ["lo"], num_buckets), batch_format="pandas"
+    )
+    candidates = staged.groupby(BUCKET_COL).map_groups(
+        wedge_triples, batch_format="pandas"
+    )
+
+    def tag_cand(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["w", "x", "y"]].copy(deep=False)
+        out["_t"] = np.int8(0)
+        return out
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"lo": "x", "hi": "y"})[["x", "y"]].copy(deep=False)
+        out.insert(0, "w", np.int64(0))
+        out["_t"] = np.int8(1)
+        return out
+
+    # each matched wedge closes one triangle {w, x, y}: credit all
+    # three corners with a bucket-local partial count
+    def tri_partials(df: pd.DataFrame) -> pd.DataFrame:
+        es = df[df["_t"] == 1]
+        cs = df[df["_t"] == 0]
+        if not len(es) or not len(cs):
+            return pd.DataFrame(
+                {"v": np.empty(0, np.int64), "tri": np.empty(0, np.int64)}
+            )
+        merged = cs.merge(es[["x", "y"]], on=["x", "y"], how="inner")
+        ids = np.r_[
+            merged["w"].to_numpy(), merged["x"].to_numpy(), merged["y"].to_numpy()
+        ]
+        u, c = np.unique(ids, return_counts=True)
+        return pd.DataFrame({"v": u, "tri": c.astype(np.int64)})
+
+    both = candidates.map_batches(tag_cand, batch_format="pandas").union(
+        oriented.map_batches(tag_edge, batch_format="pandas")
+    )
+    tri = _cogroup(both, ["x", "y"], tri_partials, num_buckets)
+    tri = bucketed_groupby(
+        tri,
+        ["v"],
+        lambda df: df.groupby("v", as_index=False, sort=False)["tri"].sum(),
+        num_buckets=num_buckets,
+    )
+
+    # left-join triangle counts onto the degree table (vertices in no
+    # triangle get 0) — tagged union + co-group, no broadcast
+    def tag_deg2(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["v", "deg"]].copy(deep=False)
+        out["tri"] = np.int64(0)
+        out["_t"] = np.int8(0)
+        return out
+
+    def tag_tri2(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["v", "tri"]].copy(deep=False)
+        out.insert(1, "deg", np.int64(0))
+        out["_t"] = np.int8(1)
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("v", as_index=False, sort=False)[["deg", "tri"]].sum()
+        return g[["v", "tri", "deg"]]
+
+    joined = deg.map_batches(tag_deg2, batch_format="pandas").union(
+        tri.map_batches(tag_tri2, batch_format="pandas")
+    )
+    return bucketed_groupby(joined, ["v"], fold, num_buckets=num_buckets, local_combine=False)

@@ -34,7 +34,7 @@ from neo4j_webgraph_ray.pipelines.algorithms import (
     pagerank,
     personalized_pagerank,
 )
-from neo4j_webgraph_ray.pipelines.triangles import triangle_count
+from neo4j_webgraph_ray.pipelines.triangles import triangle_count, vertex_triangles
 from neo4j_webgraph_ray.sources.transcripts import (
     TRANSCRIPTS_FROM_EVENTS_SQL,
     transcripts_from_events,
@@ -1473,6 +1473,38 @@ def q_triangle_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_triangles": pd.array([n], dtype="int64")})
 
 
+def q_clustering_coefficient(sf_dir: str) -> pd.DataFrame:
+    """Local clustering coefficient over the undirected simple
+    transcript graph: (vkey, tri, deg, cc) for every vertex — tri =
+    triangles containing it, deg = simple degree, cc = 2·tri /
+    (deg·(deg−1)) for deg ≥ 2 else 0, rounded to 6 dp like the other
+    float-valued analytics.  Reference parity: per-node
+    triangle/clustering metrics are the standard companion of the
+    reference's degree counters (WebGraphStats-style reporting); here
+    they ride the same oriented wedge/co-group pipeline as
+    ``triangle_count``, so the wide steps stay bucketed hash shuffles.
+    Isolated and self-loop-only vertices report (0, 0, 0)."""
+    edges, vertices = graph(sf_dir)
+    stats = vertex_triangles(edges, num_buckets=16).map_batches(
+        lambda df: df.rename(columns={"v": "id"}), batch_format="pandas"
+    )
+    df = attach_vkeys(
+        stats, vertices, ["tri", "deg"], keep_unmatched_vertices=True
+    ).to_pandas()
+    tri = df["tri"].to_numpy().astype(np.int64)
+    deg = df["deg"].to_numpy().astype(np.int64)
+    tri = np.where(tri == UNMATCHED_SENTINEL, np.int64(0), tri)
+    deg = np.where(deg == UNMATCHED_SENTINEL, np.int64(0), deg)
+    cc = np.zeros(len(df), np.float64)
+    m = deg >= 2
+    # identical IEEE op order to the oracle's 2.0 * tri / (deg * (deg - 1.0))
+    cc[m] = 2.0 * tri[m] / (deg[m] * (deg[m] - 1.0))
+    out = pd.DataFrame(
+        {"vkey": df["vkey"], "tri": tri, "deg": deg, "cc": np.round(cc, 6)}
+    )
+    return out.sort_values("vkey").reset_index(drop=True)
+
+
 def _seed_vkeys(sf_dir: str) -> pd.DataFrame:
     """Deterministic seed vertices for the seeded analytics entries:
     the lexicographically smallest key per kind among edge-endpoint
@@ -1944,6 +1976,44 @@ JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 )
 
+CLUSTERING_ORACLE_SQL = (
+    GRAPH_SQL_PRELUDE
+    + """,
+und AS (
+    SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+    FROM (SELECT src_kind || ':' || src_key AS u,
+                 dst_kind || ':' || dst_key AS v FROM edges)
+    WHERE u <> v
+),
+sdeg AS (
+    SELECT v, count(*) AS deg
+    FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+    GROUP BY v
+),
+tris AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM und e1 JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corner AS (
+    SELECT x AS v FROM tris
+    UNION ALL SELECT y AS v FROM tris
+    UNION ALL SELECT z AS v FROM tris
+),
+tcnt AS (SELECT v, count(*) AS tri FROM corner GROUP BY v)
+SELECT vx.kind || ':' || vx."key" AS vkey,
+       CAST(coalesce(t.tri, 0) AS BIGINT) AS tri,
+       CAST(coalesce(d.deg, 0) AS BIGINT) AS deg,
+       CASE WHEN coalesce(d.deg, 0) >= 2
+            THEN round(2.0 * coalesce(t.tri, 0) / (d.deg * (d.deg - 1.0)), 6)
+            ELSE 0.0 END AS cc
+FROM vertices vx
+LEFT JOIN sdeg d ON d.v = vx.kind || ':' || vx."key"
+LEFT JOIN tcnt t ON t.v = vx.kind || ':' || vx."key"
+ORDER BY vkey
+"""
+)
+
 TOOL_COOC_SQL = f"""
 WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
 ct AS (SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL)
@@ -1974,6 +2044,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "bfs_distance": q_bfs_distance,
     "kcore": q_kcore,
     "triangle_count": q_triangle_count,
+    "clustering_coefficient": q_clustering_coefficient,
     "tool_cooccurrence": q_tool_cooccurrence,
     "tool_cooccurrence_triangles": q_tool_cooccurrence_triangles,
     "enrich_social": q_enrich_social,
@@ -1989,6 +2060,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "bfs_distance": BFS_ORACLE_SQL,
     "kcore": KCORE_ORACLE_SQL,
     "triangle_count": TRIANGLE_ORACLE_SQL,
+    "clustering_coefficient": CLUSTERING_ORACLE_SQL,
     "tool_cooccurrence": TOOL_COOC_SQL,
     "tool_cooccurrence_triangles": TOOL_COOC_TRIANGLES_SQL,
     "enrich_social": ENRICH_ORACLE_SQL,

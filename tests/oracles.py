@@ -189,3 +189,24 @@ def kcore_oracle(edges: list[tuple[int, int]], k: int) -> dict[int, bool]:
             return alive
         for v in doomed:
             alive[v] = False
+
+
+def vertex_triangles_oracle(
+    edges: list[tuple[int, int]]
+) -> dict[int, tuple[int, int]]:
+    """Brute-force per-vertex (triangle count, simple degree) over the
+    undirected simple graph (self-loops and duplicates ignored) — every
+    vertex with simple degree > 0 appears; each triangle credits all
+    three corners."""
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return {v: (tri[v], len(adj[v])) for v in adj}

@@ -58,3 +58,45 @@ def test_distributed_path_matches_local(monkeypatch):
     assert tri.triangle_count(edges_ds(pairs), num_buckets=4) == expected
     monkeypatch.undo()
     assert tri.triangle_count(edges_ds(pairs), num_buckets=4) == expected
+
+
+def _vt_dict(ds):
+    df = ds.to_pandas()
+    return {int(r.v): (int(r.tri), int(r.deg)) for r in df.itertuples()}
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_vertex_triangles_matches_oracle(gname):
+    from neo4j_webgraph_ray.pipelines.triangles import vertex_triangles
+    from tests.oracles import vertex_triangles_oracle
+
+    pairs = GRAPHS[gname]
+    assert _vt_dict(vertex_triangles(edges_ds(pairs), num_buckets=4)) == (
+        vertex_triangles_oracle(pairs)
+    )
+
+
+def test_vertex_triangles_distributed_matches_local(monkeypatch):
+    """Force the wedge/co-group path and compare with the local fast
+    path + brute-force oracle, including ids above 2^53."""
+    import neo4j_webgraph_ray.pipelines.triangles as tri
+    from tests.oracles import vertex_triangles_oracle
+
+    base = (1 << 53) + 1
+    pairs = [(base + a, base + b) for a, b in seeded_graph(n=40, m=200, seed=3)]
+    expected = vertex_triangles_oracle(pairs)
+    assert any(t for t, _ in expected.values())
+    assert _vt_dict(tri.vertex_triangles(edges_ds(pairs), num_buckets=4)) == expected
+    monkeypatch.setattr(tri, "LOCAL_TRIANGLE_EDGE_LIMIT", 0)
+    assert _vt_dict(tri.vertex_triangles(edges_ds(pairs), num_buckets=4)) == expected
+
+
+def test_vertex_triangles_self_loops_and_duplicates():
+    from neo4j_webgraph_ray.pipelines.triangles import vertex_triangles
+    from tests.oracles import vertex_triangles_oracle
+
+    # triangle + a pendant, with duplicate and self-loop noise
+    pairs = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3), (3, 4), (4, 3)]
+    got = _vt_dict(vertex_triangles(edges_ds(pairs), num_buckets=2))
+    assert got == vertex_triangles_oracle(pairs)
+    assert got[1] == (1, 2) and got[4] == (0, 1)
