@@ -225,6 +225,11 @@ def run_bench() -> dict:
             "kcore",
             "triangle_count",
             "clustering_coefficient",
+            "neighborhood_function",
+            "harmonic_centrality",
+            "closeness_centrality",
+            "hyperball_nf",
+            "graph_summary",
             "tool_cooccurrence",
             # LLM-training-data family over the documents/embeddings tables
             "top_tokens",

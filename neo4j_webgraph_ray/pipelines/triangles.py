@@ -111,9 +111,13 @@ def _attach_degree(
     return _cogroup(both, ["k"], combine, num_buckets)
 
 
-def oriented_edges(edges: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
-    """Degree-ordered orientation: each undirected simple edge directed
-    from its lower-(deg, id) endpoint ``lo`` to ``hi``."""
+def undirected_with_degrees(
+    edges: ray.data.Dataset, num_buckets: int = 64
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """((a, b, deg_a, deg_b), (v, c)) — the undirected simple edge list
+    with both endpoint simple degrees attached (two bucketed hash
+    joins), plus the degree table itself.  Shared by the degree-ordered
+    orientation and the graph-summary statistics."""
     und = undirected_simple(edges, num_buckets)
 
     def deg_rows(t: pa.Table) -> pa.Table:
@@ -130,6 +134,13 @@ def oriented_edges(edges: ray.data.Dataset, num_buckets: int = 64) -> ray.data.D
 
     with_da = _attach_degree(und, deg, "a", ["b"], "deg_a", num_buckets)
     with_db = _attach_degree(with_da, deg, "b", ["a", "deg_a"], "deg_b", num_buckets)
+    return with_db, deg
+
+
+def oriented_edges(edges: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+    """Degree-ordered orientation: each undirected simple edge directed
+    from its lower-(deg, id) endpoint ``lo`` to ``hi``."""
+    with_db, _ = undirected_with_degrees(edges, num_buckets)
 
     def orient(df: pd.DataFrame) -> pd.DataFrame:
         a = df["a"].to_numpy()

@@ -34,6 +34,7 @@ from neo4j_webgraph_ray.pipelines.algorithms import (
     pagerank,
     personalized_pagerank,
 )
+from neo4j_webgraph_ray.pipelines.neighborhood import ball_profile
 from neo4j_webgraph_ray.pipelines.triangles import triangle_count, vertex_triangles
 from neo4j_webgraph_ray.sources.transcripts import (
     TRANSCRIPTS_FROM_EVENTS_SQL,
@@ -1505,6 +1506,177 @@ def q_clustering_coefficient(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vkey").reset_index(drop=True)
 
 
+#: exact-bitset neighborhood-function gate: below this many vertices the
+#: exact path runs (vec_width ≤ 1 KB, pre-aggregated exchange ≤
+#: P·n·vec_width ≈ 128 MB/superstep at the gate); beyond it the
+#: HyperBall HLL sketch is THE path (state O(n·m), the 10^9 regime).
+EXACT_NF_VERTEX_LIMIT = 8192
+#: step cap shared engine <-> oracle (far above any real diameter here;
+#: asserted in tests) — both sides agree even on graphs deeper than it.
+NF_ORACLE_CAP = 64
+
+
+def _endpoint_ids(edges: ray.data.Dataset) -> np.ndarray:
+    """Sorted unique edge-endpoint vertex ids, collected driver-side.
+    Callers gate on the vertex count FIRST (EXACT_NF_VERTEX_LIMIT), so
+    the collect is bounded."""
+    parts = []
+    for b in edges.select_columns(["src", "dst"]).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        parts.append(np.unique(np.r_[b["src"].to_numpy(), b["dst"].to_numpy()]))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def q_neighborhood_function(sf_dir: str) -> pd.DataFrame:
+    """Neighborhood function over the undirected transcript graph:
+    (hop, nf) for hop 0..diameter, nf = number of ordered vertex pairs
+    within that many hops (self-pairs included at hop 0) — the
+    HyperBall-family distance-distribution analytic (Boldi–Vigna).
+    Exact bitset path below EXACT_NF_VERTEX_LIMIT vertices (always, at
+    driver scales); the HyperBall HLL sketch beyond."""
+    edges, vertices = graph(sf_dir)
+    exact_ids = (
+        _endpoint_ids(edges) if vertices.count() <= EXACT_NF_VERTEX_LIMIT else None
+    )
+    hops, _ = ball_profile(
+        edges, _workdir(sf_dir, "nf"), exact_ids=exact_ids,
+        num_partitions=_algo_parts(edges), max_steps=NF_ORACLE_CAP,
+    )
+    if exact_ids is not None:
+        hops["nf"] = hops["nf"].astype(np.int64)  # exact counts < 2^53 at the gate
+    else:
+        hops["nf"] = hops["nf"].round(6)
+    return hops.sort_values("hop").reset_index(drop=True)
+
+
+def q_harmonic_centrality(sf_dir: str) -> pd.DataFrame:
+    """Harmonic centrality HC(v) = Σ_{u≠v reachable} 1/d(u,v) over the
+    undirected transcript graph, exact (bitset ball profile) at driver
+    scales; (vkey, hc) rounded to 6 dp, isolated vertices 0.  Both the
+    engine and the oracle fold the per-hop terms c_t/t in ascending-t
+    order, so the float sums agree bit-for-bit."""
+    edges, vertices = graph(sf_dir)
+    exact_ids = (
+        _endpoint_ids(edges) if vertices.count() <= EXACT_NF_VERTEX_LIMIT else None
+    )
+    _, state = ball_profile(
+        edges, _workdir(sf_dir, "hc"), exact_ids=exact_ids,
+        num_partitions=_algo_parts(edges), max_steps=NF_ORACLE_CAP,
+    )
+    df = attach_vkeys(
+        state, vertices, ["hc"], keep_unmatched_vertices=True
+    ).to_pandas()
+    v = df["hc"].to_numpy().astype(np.float64)
+    df["hc"] = np.round(np.where(v == float(UNMATCHED_SENTINEL), 0.0, v), 6)
+    return df[["vkey", "hc"]].sort_values("vkey").reset_index(drop=True)
+
+
+def q_closeness_centrality(sf_dir: str) -> pd.DataFrame:
+    """Closeness centrality C(v) = (r−1) / Σ_u d(v,u) over the
+    undirected transcript graph (r = reachable vertices incl. v; 0 when
+    v reaches nothing), exact at driver scales via the bitset ball
+    profile's sum-of-distances accumulator; (vkey, closeness) rounded
+    to 6 dp, isolated vertices 0.  Both sides compute ONE float
+    division over exact integer terms, so the values agree
+    bit-for-bit."""
+    edges, vertices = graph(sf_dir)
+    exact_ids = (
+        _endpoint_ids(edges) if vertices.count() <= EXACT_NF_VERTEX_LIMIT else None
+    )
+    _, state = ball_profile(
+        edges, _workdir(sf_dir, "clo"), exact_ids=exact_ids,
+        num_partitions=_algo_parts(edges), max_steps=NF_ORACLE_CAP,
+    )
+    mapped = state.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "id": df["id"].to_numpy(),
+                "closeness": np.where(
+                    df["sd"].to_numpy() > 0,
+                    (df["cnt"].to_numpy() - 1.0)
+                    / np.where(df["sd"].to_numpy() > 0, df["sd"].to_numpy(), 1.0),
+                    0.0,
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    df = attach_vkeys(
+        mapped, vertices, ["closeness"], keep_unmatched_vertices=True
+    ).to_pandas()
+    v = df["closeness"].to_numpy().astype(np.float64)
+    df["closeness"] = np.round(np.where(v == float(UNMATCHED_SENTINEL), 0.0, v), 6)
+    return df[["vkey", "closeness"]].sort_values("vkey").reset_index(drop=True)
+
+
+def q_hyperball_nf(sf_dir: str) -> pd.DataFrame:
+    """HyperBall estimate of the neighborhood function — the scale path
+    exercised unconditionally (128 HLL registers/vertex, ~9% per-ball
+    error): (hop, nf) with nf rounded to 6 dp.  Deterministic (fixed
+    splitmix64 element hash) but sketch-valued, hence rows-only for the
+    driver; pytest holds it to the exact series within error bounds."""
+    edges, _ = graph(sf_dir)
+    hops, _ = ball_profile(
+        edges, _workdir(sf_dir, "hbnf"), exact_ids=None, log2m=7,
+        num_partitions=_algo_parts(edges), max_steps=NF_ORACLE_CAP,
+    )
+    hops["nf"] = hops["nf"].round(6)
+    return hops.sort_values("hop").reset_index(drop=True)
+
+
+def q_graph_summary(sf_dir: str) -> pd.DataFrame:
+    """One-row whole-graph statistics over the undirected simple view:
+    endpoint vertex count, simple edge count, average degree, and
+    degree assortativity (Pearson correlation of endpoint degrees over
+    the symmetrically-doubled edge list, Newman 2002) — the
+    WebGraphStats-style reporting companion of the reference's degree
+    counters.  All sums are exact int64 partials (order-independent);
+    the two final float expressions mirror the oracle's op order, so
+    the 6-dp values agree bit-for-bit.  int64 partials bound the exact
+    range to Σdeg² < 2^63 — beyond that (10^12-edge hubs) switch the
+    partials to float and drop the bit-exactness claim."""
+    from neo4j_webgraph_ray.pipelines.triangles import undirected_with_degrees
+
+    edges, _ = graph(sf_dir)
+    und_deg, deg = undirected_with_degrees(edges, num_buckets=16)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["deg_a"].to_numpy()
+        y = df["deg_b"].to_numpy()
+        return pd.DataFrame(
+            [
+                {
+                    "m": np.int64(len(df)),
+                    "sx": (x + y).sum(dtype=np.int64),
+                    "sxx": (x * x + y * y).sum(dtype=np.int64),
+                    "sxy": (2 * x * y).sum(dtype=np.int64),
+                }
+            ]
+        )
+
+    s = und_deg.map_batches(partials, batch_format="pandas").to_pandas()
+    n_v = int(deg.count())
+    m = int(s["m"].sum())
+    sx, sxx, sxy = (float(s[c].sum()) for c in ("sx", "sxx", "sxy"))
+    n2 = float(2 * m)
+    den = n2 * sxx - sx * sx
+    assort = (n2 * sxy - sx * sx) / den if den != 0.0 else 0.0
+    avg_deg = n2 / n_v if n_v else 0.0
+    return pd.DataFrame(
+        [
+            {
+                "n_vertices": np.int64(n_v),
+                "n_edges": np.int64(m),
+                "avg_degree": round(avg_deg, 6),
+                "assortativity": round(assort, 6),
+            }
+        ]
+    )
+
+
 def _seed_vkeys(sf_dir: str) -> pd.DataFrame:
     """Deterministic seed vertices for the seeded analytics entries:
     the lexicographically smallest key per kind among edge-endpoint
@@ -2014,6 +2186,114 @@ ORDER BY vkey
 """
 )
 
+#: shared skeleton for the exact all-pairs-distance oracles: recursive
+#: CTE over the symmetrized edge view, relaxed to the SAME step cap the
+#: engine runs under (NF_ORACLE_CAP), min-dist per ordered pair.
+_ALLPAIRS_DIST_SQL = f""",
+und AS (SELECT src_kind || ':' || src_key AS s,
+               dst_kind || ':' || dst_key AS d FROM edges),
+sym AS (SELECT s, d FROM und UNION SELECT d, s FROM und),
+sverts AS (SELECT DISTINCT s AS v FROM sym),
+reach(src, v, dist) AS (
+    SELECT v, v, 0 FROM sverts
+    UNION
+    SELECT reach.src, sym.d, reach.dist + 1 FROM reach JOIN sym ON sym.s = reach.v
+    WHERE reach.dist < {NF_ORACLE_CAP}
+),
+best AS (SELECT src, v, min(dist) AS dist FROM reach GROUP BY src, v)
+"""
+
+NF_ORACLE_SQL = (
+    _RECURSIVE_PRELUDE
+    + _ALLPAIRS_DIST_SQL
+    + """,
+hops AS (SELECT DISTINCT dist AS hop FROM best)
+-- every hop 0..diameter is realized: a shortest path of length D
+-- contains pairs at every distance 1..D, and self-pairs give 0
+SELECT CAST(hop AS BIGINT) AS hop,
+       CAST((SELECT count(*) FROM best WHERE best.dist <= hops.hop)
+            AS BIGINT) AS nf
+FROM hops ORDER BY hop
+"""
+)
+
+CLOSENESS_ORACLE_SQL = (
+    _RECURSIVE_PRELUDE
+    + _ALLPAIRS_DIST_SQL
+    + """,
+agg AS (SELECT src,
+               count(*) AS r,
+               sum(dist) AS sd
+        FROM best GROUP BY src),
+clo AS (SELECT src,
+               CASE WHEN sd > 0
+                    THEN (CAST(r AS DOUBLE) - 1.0) / sd
+                    ELSE 0.0 END AS closeness
+        FROM agg)
+SELECT vx.kind || ':' || vx."key" AS vkey,
+       round(coalesce(clo.closeness, 0.0), 6) AS closeness
+FROM vertices vx
+LEFT JOIN clo ON clo.src = vx.kind || ':' || vx."key"
+ORDER BY vkey
+"""
+)
+
+HC_ORACLE_SQL = (
+    _RECURSIVE_PRELUDE
+    + _ALLPAIRS_DIST_SQL
+    + """,
+perhop AS (SELECT src, dist, count(*) AS c FROM best
+           WHERE dist > 0 GROUP BY src, dist),
+hcv AS (SELECT src,
+               list_sum(list(CAST(c AS DOUBLE) / dist ORDER BY dist)) AS hc
+        FROM perhop GROUP BY src)
+SELECT vx.kind || ':' || vx."key" AS vkey,
+       round(coalesce(hcv.hc, 0.0), 6) AS hc
+FROM vertices vx
+LEFT JOIN hcv ON hcv.src = vx.kind || ':' || vx."key"
+ORDER BY vkey
+"""
+)
+
+GRAPH_SUMMARY_SQL = (
+    GRAPH_SQL_PRELUDE
+    + """,
+und AS (
+    SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+    FROM (SELECT src_kind || ':' || src_key AS u,
+                 dst_kind || ':' || dst_key AS v FROM edges)
+    WHERE u <> v
+),
+deg AS (
+    SELECT v, count(*) AS c
+    FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+    GROUP BY v
+),
+j AS (SELECT da.c AS x, db.c AS y
+      FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+s AS (SELECT count(*) AS m,
+             coalesce(sum(x + y), 0) AS sx,
+             coalesce(sum(x * x + y * y), 0) AS sxx,
+             coalesce(sum(2 * x * y), 0) AS sxy
+      FROM j),
+nv AS (SELECT count(*) AS n FROM deg)
+SELECT CAST(nv.n AS BIGINT) AS n_vertices,
+       CAST(s.m AS BIGINT) AS n_edges,
+       round(CASE WHEN nv.n > 0
+                  THEN CAST(2 * s.m AS DOUBLE) / nv.n ELSE 0.0 END,
+             6) AS avg_degree,
+       round(CASE WHEN CAST(2 * s.m AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                       - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) <> 0
+                  THEN (CAST(2 * s.m AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+                        - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))
+                       / (CAST(2 * s.m AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                          - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))
+                  ELSE 0.0 END,
+             6) AS assortativity
+FROM s, nv
+"""
+)
+
 TOOL_COOC_SQL = f"""
 WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
 ct AS (SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL)
@@ -2045,6 +2325,11 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "kcore": q_kcore,
     "triangle_count": q_triangle_count,
     "clustering_coefficient": q_clustering_coefficient,
+    "neighborhood_function": q_neighborhood_function,
+    "harmonic_centrality": q_harmonic_centrality,
+    "closeness_centrality": q_closeness_centrality,
+    "hyperball_nf": q_hyperball_nf,
+    "graph_summary": q_graph_summary,
     "tool_cooccurrence": q_tool_cooccurrence,
     "tool_cooccurrence_triangles": q_tool_cooccurrence_triangles,
     "enrich_social": q_enrich_social,
@@ -2061,6 +2346,12 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "kcore": KCORE_ORACLE_SQL,
     "triangle_count": TRIANGLE_ORACLE_SQL,
     "clustering_coefficient": CLUSTERING_ORACLE_SQL,
+    "neighborhood_function": NF_ORACLE_SQL,
+    "harmonic_centrality": HC_ORACLE_SQL,
+    "closeness_centrality": CLOSENESS_ORACLE_SQL,
+    "graph_summary": GRAPH_SUMMARY_SQL,
+    # hyperball_nf: sketch-valued (rows-only) — pytest holds it to the
+    # exact series within HLL error bounds
     "tool_cooccurrence": TOOL_COOC_SQL,
     "tool_cooccurrence_triangles": TOOL_COOC_TRIANGLES_SQL,
     "enrich_social": ENRICH_ORACLE_SQL,

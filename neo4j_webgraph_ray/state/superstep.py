@@ -59,13 +59,25 @@ def part_of(ids: np.ndarray, num_partitions: int) -> np.ndarray:
 
 class VertexProgram:
     """Base vertex program.  Subclasses set ``name``, ``undirected``,
-    ``mode`` ('sum' | 'min' | 'mode') and implement the four hooks.
-    State DataFrames are always sorted by ``id`` within a partition.
+    ``mode`` ('sum' | 'min' | 'mode' | 'vecmax' | 'vecor') and implement
+    the four hooks.  State DataFrames are always sorted by ``id``
+    within a partition.
+
+    Vector modes (HyperBall-family sketches): ``scatter_values`` returns
+    a contiguous 2-D ``uint8`` array of shape (n_vertices, vec_width);
+    messages are elementwise-``max`` (vecmax — HLL registers) or
+    bitwise-``or`` (vecor — exact bitsets) combined, shipped as
+    ``fixed_size_binary(vec_width)``.  ``gather_update`` receives
+    ``reduced`` as a DataFrame with column ``id`` plus the combined
+    (k, vec_width) uint8 matrix in ``reduced.attrs["vec"]`` (aligned
+    row-for-row with ``id``).  Vector programs run on the Dataset
+    backend only.
     """
 
     name: str = "base"
     undirected: bool = False
     mode: str = "sum"
+    vec_width: int = 0  # bytes per message vector (vecmax/vecor only)
 
     def config(self) -> dict[str, Any]:
         return {}
@@ -154,6 +166,24 @@ def _scatter_batch(
                         "dst_part": pa.array(part_of(dst_u, num_partitions)),
                     }
                 )
+            elif program.mode in ("vecmax", "vecor"):
+                # evals is (E, vec_width) uint8; run-boundary combine
+                # along axis 0 keeps the exchange one pre-aggregated
+                # vector per (partition, dst)
+                op = np.maximum if program.mode == "vecmax" else np.bitwise_or
+                agg = np.ascontiguousarray(op.reduceat(evals, starts, axis=0))
+                vec = pa.Array.from_buffers(
+                    pa.binary(program.vec_width),
+                    len(dst_u),
+                    [None, pa.py_buffer(agg.tobytes())],
+                )
+                t = pa.table(
+                    {
+                        "dst": pa.array(dst_u, type=pa.int64()),
+                        "vec": vec,
+                        "dst_part": pa.array(part_of(dst_u, num_partitions)),
+                    }
+                )
             else:  # mode-aggregation: pre-sum weights per (dst, label)
                 pairs = pd.DataFrame({"dst": dst, "lab": evals.astype(np.int64)})
                 cnt = pairs.groupby(["dst", "lab"], sort=False).size().reset_index(name="wt")
@@ -169,17 +199,23 @@ def _scatter_batch(
                 )
             outs.append(t)
     if not outs:
-        return _marker_table(np.empty(0, dtype=np.int32), program.mode)
+        return _marker_table(
+            np.empty(0, dtype=np.int32), program.mode, program.vec_width
+        )
     return pa.concat_tables(outs)
 
 
-def _marker_table(parts: np.ndarray, mode: str) -> pa.Table:
+def _marker_table(parts: np.ndarray, mode: str, vec_width: int = 0) -> pa.Table:
     n = len(parts)
     cols = {
         "dst": pa.array(np.full(n, SENTINEL_DST, dtype=np.int64)),
     }
     if mode == "sum":
         cols["fval"] = pa.array(np.zeros(n, dtype=np.float64))
+    elif mode in ("vecmax", "vecor"):
+        cols["vec"] = pa.Array.from_buffers(
+            pa.binary(vec_width), n, [None, pa.py_buffer(bytes(n * vec_width))]
+        )
     else:
         cols["lab"] = pa.array(np.zeros(n, dtype=np.int64))
         if mode == "mode":
@@ -203,6 +239,24 @@ def _gather_group(
     if program.mode == "sum":
         reduced = df.groupby("dst", sort=True, as_index=False)["fval"].sum()
         reduced = reduced.rename(columns={"dst": "id", "fval": "agg"})
+    elif program.mode in ("vecmax", "vecor"):
+        m_w = program.vec_width
+        dsts = df["dst"].to_numpy()
+        if len(dsts):
+            vecs = np.frombuffer(
+                b"".join(df["vec"].tolist()), dtype=np.uint8
+            ).reshape(len(dsts), m_w)
+            order = np.argsort(dsts, kind="stable")
+            dsts = dsts[order]
+            vecs = vecs[order]
+            starts = np.flatnonzero(np.r_[True, dsts[1:] != dsts[:-1]])
+            op = np.maximum if program.mode == "vecmax" else np.bitwise_or
+            agg = op.reduceat(vecs, starts, axis=0)
+            reduced = pd.DataFrame({"id": dsts[starts]})
+        else:
+            agg = np.empty((0, m_w), dtype=np.uint8)
+            reduced = pd.DataFrame({"id": np.empty(0, dtype=np.int64)})
+        reduced.attrs["vec"] = agg
     elif program.mode == "min":
         reduced = df.groupby("dst", sort=True, as_index=False)["lab"].min()
         reduced = reduced.rename(columns={"dst": "id", "lab": "agg"})
@@ -500,7 +554,7 @@ class SuperstepEngine:
                 },
             )
             markers = ray.data.from_arrow(
-                _marker_table(np.arange(P, dtype=np.int32), mode)
+                _marker_table(np.arange(P, dtype=np.int32), mode, program.vec_width)
             )
             fsio.makedirs(state_dir(workdir, step + 1), fs=self.fs)
             ctx_snapshot = dict(self.ctx)
@@ -521,6 +575,10 @@ class SuperstepEngine:
                 .to_pandas()
             )
             wall = time.perf_counter() - t0
+            # fixed summation order for float metric partials: map_groups
+            # output order is not guaranteed, and a varying fold order
+            # would make float metrics (nf_sum, dangling) run-dependent
+            metrics_df = metrics_df.sort_values("part")
             step_metrics: dict[str, Any] = {
                 "step": step + 1,
                 "n_msgs": int(metrics_df["n_msgs"].sum()),

@@ -418,6 +418,11 @@ class ActorSuperstepEngine(SuperstepEngine):
     ):
         if num_partitions < 2:
             raise ValueError("actor backend needs num_partitions >= 2")
+        if program.mode in ("vecmax", "vecor"):
+            raise NotImplementedError(
+                "vector-message programs (HyperBall family) run on the "
+                "Dataset backend only — pass backend='dataset'"
+            )
         super().__init__(
             workdir, program, num_partitions, max_steps,
             run_metadata=run_metadata, filesystem=filesystem,

@@ -210,3 +210,70 @@ def vertex_triangles_oracle(
             tri[b] += 1
             tri[c] += 1
     return {v: (tri[v], len(adj[v])) for v in adj}
+
+
+def ball_distances_oracle(
+    edges: list[tuple[int, int]]
+) -> dict[int, dict[int, int]]:
+    """All-pairs hop distances over the symmetrized view of ``edges``
+    (self-loops kept as vertices; duplicates irrelevant): BFS from every
+    endpoint vertex.  d[u][u] == 0."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    out: dict[int, dict[int, int]] = {}
+    for src in adj:
+        dist = {src: 0}
+        frontier = [src]
+        t = 0
+        while frontier:
+            t += 1
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = t
+                        nxt.append(v)
+            frontier = nxt
+        out[src] = dist
+    return out
+
+
+def neighborhood_function_oracle(edges: list[tuple[int, int]]) -> list[int]:
+    """Exact N(t) for t = 0..diameter: ordered pairs (u, v) with
+    d(u, v) <= t, self-pairs included at t = 0."""
+    dists = ball_distances_oracle(edges)
+    alld = [d for m in dists.values() for d in m.values()]
+    if not alld:
+        return []
+    diam = max(alld)
+    return [sum(1 for d in alld if d <= t) for t in range(diam + 1)]
+
+
+def harmonic_centrality_oracle(edges: list[tuple[int, int]]) -> dict[int, float]:
+    """HC(v) = sum over reachable u != v of 1/d(v, u), folding the
+    per-hop terms c_t/t in ascending-t order (the engine's IEEE fold)."""
+    dists = ball_distances_oracle(edges)
+    out = {}
+    for v, m in dists.items():
+        per_hop: dict[int, int] = {}
+        for u, d in m.items():
+            if d > 0:
+                per_hop[d] = per_hop.get(d, 0) + 1
+        acc = 0.0
+        for t in sorted(per_hop):
+            acc += per_hop[t] / t
+        out[v] = acc
+    return out
+
+
+def closeness_oracle(edges: list[tuple[int, int]]) -> dict[int, float]:
+    """C(v) = (r - 1) / sum of distances to reachable vertices (r =
+    reachable incl. self); 0 when v reaches nothing beyond itself."""
+    dists = ball_distances_oracle(edges)
+    out = {}
+    for v, m in dists.items():
+        sd = sum(m.values())
+        out[v] = (len(m) - 1.0) / sd if sd > 0 else 0.0
+    return out

@@ -100,3 +100,36 @@ def test_vertex_triangles_self_loops_and_duplicates():
     got = _vt_dict(vertex_triangles(edges_ds(pairs), num_buckets=2))
     assert got == vertex_triangles_oracle(pairs)
     assert got[1] == (1, 2) and got[4] == (0, 1)
+
+
+def test_undirected_with_degrees_and_assortativity():
+    """Degree attach matches brute force, and the exact-integer-sum
+    assortativity formula equals np.corrcoef over the doubled edge
+    list (Newman 2002)."""
+    import numpy as np
+
+    from neo4j_webgraph_ray.pipelines.triangles import undirected_with_degrees
+
+    pairs = seeded_graph(n=25, m=90, seed=13)
+    und_deg, deg = undirected_with_degrees(edges_ds(pairs), num_buckets=4)
+    df = und_deg.to_pandas()
+    # brute-force degrees over the simple undirected projection
+    und = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    bd: dict[int, int] = {}
+    for a, b in und:
+        bd[a] = bd.get(a, 0) + 1
+        bd[b] = bd.get(b, 0) + 1
+    assert set(zip(df["a"], df["b"])) == und
+    assert all(bd[a] == da and bd[b] == dbv
+               for a, b, da, dbv in zip(df["a"], df["b"], df["deg_a"], df["deg_b"]))
+    assert dict(zip(deg.to_pandas()["v"], deg.to_pandas()["c"])) == bd
+
+    x = df["deg_a"].to_numpy()
+    y = df["deg_b"].to_numpy()
+    n2 = float(2 * len(df))
+    sx = float((x + y).sum())
+    sxx = float((x * x + y * y).sum())
+    sxy = float((2 * x * y).sum())
+    r = (n2 * sxy - sx * sx) / (n2 * sxx - sx * sx)
+    ref = np.corrcoef(np.r_[x, y], np.r_[y, x])[0, 1]
+    assert abs(r - ref) < 1e-12
