@@ -319,6 +319,110 @@ class BFSDistanceProgram(VertexProgram):
         return m.get("n_changed", 1) == 0
 
 
+class HITSProgram(VertexProgram):
+    """HITS hubs & authorities (Kleinberg) as power iteration on the
+    bipartite DOUBLED graph.
+
+    The superstep engine scatters in one fixed edge direction per run,
+    but each HITS iteration needs both directions (auth gathers hub
+    scores over in-edges, hub gathers auth scores over out-edges).
+    Instead of a second reversed CSR, callers feed the doubled graph:
+    every original edge (u, v) becomes
+
+        2u   -> 2v+1   (hub side of u feeds the auth side of v)
+        2v+1 -> 2u     (auth side of v feeds the hub side of u)
+
+    over DENSE vertex ranks (so 2r+1 cannot overflow int64 — the query
+    layer reuses LPA's distributed dense_rank_vkeys remap).  One
+    superstep on the doubled graph is then exactly one simultaneous
+    HITS update — power iteration on the block matrix [[0, E], [E^T, 0]]:
+
+        a_{t+1}(v) = sum_{u->v} h_t(u) / ||h_t||_1
+        h_{t+1}(u) = sum_{u->v} a_t(v) / ||a_t||_1
+
+    with L1 normalization applied lazily at gather time: the per-side
+    sums ride the manifest-metrics channel exactly like PageRank's
+    dangling mass (``payload-free``: gather emits the side sums of the
+    NEW values as step metrics, the engine sums them across partitions,
+    ``update_ctx`` makes them the next step's divisors).  Values stay
+    non-negative, and every doubled node has in-degree >= 1 by
+    construction, so the side sums stay strictly positive on any graph
+    with >= 1 edge (divisors still guarded).
+
+    Reference contrast: the reference's Cypher surface ranks pages by
+    raw in-degree only (``/root/reference/README.md:72-166``); HITS is
+    the canonical webgraph refinement of that query.  Run with
+    ``tol=0.0`` + a fixed step budget for oracle-parity (same pattern
+    as the fixed-step PageRank entry)."""
+
+    name = "hits"
+    undirected = False
+    mode = "sum"
+
+    def __init__(self, tol: float = 0.0):
+        self.tol = tol
+
+    def config(self):
+        return {"tol": self.tol}
+
+    @staticmethod
+    def _side_sums(ids: np.ndarray, vals: np.ndarray) -> dict[str, float]:
+        odd = (ids & 1).astype(bool)
+        return {
+            "hub_sum": float(vals[~odd].sum()),
+            "auth_sum": float(vals[odd].sum()),
+        }
+
+    def init_state(self, ids, out_deg, ctx):
+        # a hub node 2u exists iff u has an out-edge, an auth node 2v+1
+        # iff v has an in-edge — so val=1 on present nodes IS the
+        # "h0=1 where outdeg>0, a0=1 where indeg>0" init the oracle uses
+        return pd.DataFrame(
+            {
+                "id": ids.astype(np.int64),
+                "val": np.ones(len(ids), dtype=np.float64),
+            }
+        )
+
+    def init_metrics(self, state):
+        return self._side_sums(state["id"].to_numpy(), state["val"].to_numpy())
+
+    def payload_stats(self, state):
+        # actors backend: gather ctx = payload stats of the CURRENT
+        # state summed over the wave's bundles (the dangling-mass
+        # channel); Dataset backend reaches the same values through
+        # update_ctx replay of the previous step's gather metrics
+        return self._side_sums(state["id"].to_numpy(), state["val"].to_numpy())
+
+    def scatter_values(self, state):
+        return state["val"].to_numpy()
+
+    def gather_update(self, state, reduced, ctx):
+        ids = state["id"].to_numpy()
+        sums = _aligned_agg(state, reduced, np.float64(0.0))
+        hsum = ctx.get("hub_sum", 0.0)
+        asum = ctx.get("auth_sum", 0.0)
+        odd = (ids & 1).astype(bool)
+        # messages INTO an auth node are hub values (divide by the hub
+        # L1 norm); messages into a hub node are auth values
+        denom = np.where(odd, hsum, asum)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            new = np.where(denom > 0, sums / denom, 0.0)
+        old = state["val"].to_numpy()
+        out = state.copy(deep=False)
+        out["val"] = new
+        delta = float(np.max(np.abs(new - old))) if len(new) else 0.0
+        return out, {"max_delta": delta, **self._side_sums(ids, new)}
+
+    def converged(self, m):
+        return m.get("max_delta", np.inf) < self.tol
+
+    def update_ctx(self, ctx, step_metrics):
+        if "hub_sum" in step_metrics:
+            ctx["hub_sum"] = step_metrics["hub_sum"]
+            ctx["auth_sum"] = step_metrics["auth_sum"]
+
+
 class KCoreProgram(VertexProgram):
     """k-core membership by distributed iterative peeling.
 
@@ -514,6 +618,33 @@ def kcore(
     )
     if not resume:
         engine.prepare(edges)
+    return engine.run(resume=resume)
+
+
+def hits(
+    doubled_edges: ray.data.Dataset,
+    workdir: str,
+    num_partitions: int = 16,
+    tol: float = 0.0,
+    max_steps: int = 50,
+    resume: bool = False,
+    backend: str = "actors",
+    checkpoint_every: int = 1,
+    run_metadata: dict | None = None,
+    filesystem=None,
+) -> ray.data.Dataset:
+    """HITS hub/authority scores: Dataset(id, val) over the DOUBLED
+    bipartite graph (see :class:`HITSProgram` — callers must pass edges
+    already doubled over dense ranks: (2u, 2v+1) and (2v+1, 2u) per
+    original edge (u, v)).  Even ids carry hub values, odd ids carry
+    authority values; both sides are L1-normalized one step behind
+    (normalize driver-side per side for the final contract result)."""
+    engine = _make_engine(
+        workdir, HITSProgram(tol), num_partitions, max_steps,
+        backend, checkpoint_every, run_metadata, filesystem,
+    )
+    if not resume:
+        engine.prepare(doubled_edges)
     return engine.run(resume=resume)
 
 

@@ -29,6 +29,7 @@ from neo4j_webgraph_ray.pipelines.algorithms import (
     BFS_UNREACHED,
     bfs_distances,
     connected_components,
+    hits,
     kcore,
     label_propagation,
     pagerank,
@@ -1467,6 +1468,97 @@ def q_label_propagation(sf_dir: str) -> pd.DataFrame:
     return out[["vkey", "community"]].sort_values("vkey").reset_index(drop=True)
 
 
+#: fixed HITS iteration budget shared engine <-> oracle (same parity
+#: pattern as PAGERANK_FIXED_STEPS; 50 simultaneous block-power steps
+#: is far past 6-dp convergence on the transcript graph)
+HITS_FIXED_STEPS = 50
+
+
+def q_hits(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs & authorities over the directed transcript graph:
+    (vkey, hub, auth), each side L1-normalized, rounded to 6 dp.
+
+    The superstep engine scatters in one direction, so the query runs
+    :class:`~neo4j_webgraph_ray.pipelines.algorithms.HITSProgram` on the
+    bipartite DOUBLED graph — per edge (u, v): (2u, 2v+1) and
+    (2v+1, 2u) over DENSE vkey ranks (LPA's distributed
+    ``dense_rank_vkeys`` remap; doubling raw int64 hash ids would
+    overflow).  One superstep = one simultaneous HITS update (power
+    iteration on [[0, E], [E^T, 0]]), run for exactly
+    :data:`HITS_FIXED_STEPS` steps to match the oracle's unroll.
+    Output rows = edge-endpoint vertices (PageRank's contract); a
+    vertex with no out-edges has hub 0, no in-edges auth 0.
+
+    Reference parity: the reference ranks pages by raw incoming-link
+    count only (``/root/reference/README.md:103-131``); HITS is the
+    canonical webgraph refinement of that surface."""
+    edges, vertices = graph(sf_dir)
+    cap = _scale_cap()
+    jb = int(np.clip(edges.count() // 100_000 + 4, 4, cap))
+    rb = int(np.clip(vertices.count() // 100_000 + 4, 4, cap))
+    ranks = dense_rank_vkeys(vertices, num_buckets=rb)
+    small = ranks.count() <= 500_000
+    id2rank = _collect_lookup_arrays(ranks, "id", "rank") if small else None
+    rank2vkey = _collect_lookup_arrays(ranks, "rank", "vkey") if small else None
+    r1 = _lookup_join(
+        edges.select_columns(["src", "dst"]), "src", ranks, "id", "rank",
+        "src_r", carry_cols=["dst"], num_buckets=jb, prebuilt_arrays=id2rank,
+    )
+    r2 = _lookup_join(r1, "dst", ranks, "id", "rank", "dst_r",
+                      carry_cols=["src_r"], num_buckets=jb,
+                      prebuilt_arrays=id2rank)
+
+    def double(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src_r"].to_numpy().astype(np.int64)
+        d = df["dst_r"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([2 * s, 2 * d + 1]),
+                "dst": np.concatenate([2 * d + 1, 2 * s]),
+            }
+        )
+
+    # pin: prepare() consumes its edge input more than once
+    doubled = r2.map_batches(double, batch_format="pandas").materialize()
+    state = hits(
+        doubled, _workdir(sf_dir, "hits"), num_partitions=_algo_parts(edges),
+        tol=0.0, max_steps=HITS_FIXED_STEPS,
+        checkpoint_every=_query_checkpoint_every(),
+    )
+
+    def unsplit(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "rank": i >> 1,
+                "side": (i & 1).astype(np.int8),
+                "val": df["val"].to_numpy(),
+            }
+        )
+
+    sided = state.map_batches(unsplit, batch_format="pandas")
+    named = _lookup_join(
+        sided, "rank", ranks, "rank", "vkey", "vkey",
+        carry_cols=["side", "val"], val_default="", num_buckets=rb,
+        prebuilt_arrays=rank2vkey,
+    ).to_pandas()
+    # side pivot ON THE CONTRACT-MATERIALIZED RESULT (<= 2 rows/vertex)
+    hub = named.loc[named["side"] == 0].set_index("vkey")["val"]
+    auth = named.loc[named["side"] == 1].set_index("vkey")["val"]
+    allv = np.sort(named["vkey"].unique())
+    h = hub.reindex(allv).fillna(0.0).to_numpy()
+    a = auth.reindex(allv).fillna(0.0).to_numpy()
+    hs, asum = float(h.sum()), float(a.sum())
+    out = pd.DataFrame(
+        {
+            "vkey": allv,
+            "hub": np.round(h / hs if hs > 0 else h, 6),
+            "auth": np.round(a / asum if asum > 0 else a, 6),
+        }
+    )
+    return out.sort_values("vkey").reset_index(drop=True)
+
+
 def q_triangle_count(sf_dir: str) -> pd.DataFrame:
     """Global triangle count of the undirected transcript graph."""
     edges, _ = graph(sf_dir)
@@ -1960,6 +2052,54 @@ def _pagerank_oracle_sql(
     )
 
 
+def _hits_oracle_sql(n_iter: int = HITS_FIXED_STEPS) -> str:
+    """Fixed-iteration simultaneous HITS unrolled as chained
+    MATERIALIZED CTEs, mirroring :class:`HITSProgram` on the doubled
+    graph exactly: per step, a' = E^T (h / ||h||_1) and
+    b' = E (a / ||a||_1) computed from the SAME previous iterate, with
+    the L1 norms applied lazily (divide at use, like the engine's
+    gather-time normalization — the stored iterate stays "raw").
+    h0 = 1 on vertices with out-edges, a0 = 1 on vertices with
+    in-edges — exactly the doubled-graph node set (a hub node exists
+    iff outdeg > 0).  Final output normalizes each side by its L1 sum;
+    both engines run the same step count, so values differ only by fp
+    summation order inside the shared 6-dp rounding."""
+    parts = [
+        "und AS MATERIALIZED (SELECT src_kind || ':' || src_key AS s, "
+        "dst_kind || ':' || dst_key AS d FROM edges)",
+        "verts AS MATERIALIZED (SELECT v, max(ho) AS ho, max(hi) AS hi "
+        "FROM (SELECT s AS v, 1 AS ho, 0 AS hi FROM und "
+        "UNION ALL SELECT d, 0, 1 FROM und) GROUP BY v)",
+        "h0 AS MATERIALIZED (SELECT v, CAST(ho AS DOUBLE) AS h, "
+        "CAST(hi AS DOUBLE) AS a FROM verts)",
+    ]
+    for k in range(n_iter):
+        parts.append(
+            f"h{k + 1} AS MATERIALIZED (\n"
+            f"  SELECT p.v, coalesce(hw.m, 0.0) AS h, coalesce(aw.m, 0.0) AS a\n"
+            f"  FROM h{k} p\n"
+            f"  LEFT JOIN (SELECT und.s AS v, sum(p2.a / n.asum) AS m\n"
+            f"             FROM h{k} p2 JOIN und ON und.d = p2.v\n"
+            f"             CROSS JOIN (SELECT sum(a) AS asum FROM h{k}) n\n"
+            f"             GROUP BY und.s) hw ON hw.v = p.v\n"
+            f"  LEFT JOIN (SELECT und.d AS v, sum(p2.h / n.hsum) AS m\n"
+            f"             FROM h{k} p2 JOIN und ON und.s = p2.v\n"
+            f"             CROSS JOIN (SELECT sum(h) AS hsum FROM h{k}) n\n"
+            f"             GROUP BY und.d) aw ON aw.v = p.v)"
+        )
+    return (
+        GRAPH_SQL_PRELUDE
+        + ",\n"
+        + ",\n".join(parts)
+        + f"\nSELECT v AS vkey,\n"
+        f"       round(coalesce(h / nullif((SELECT sum(h) FROM h{n_iter}), 0),"
+        f" 0.0), 6) AS hub,\n"
+        f"       round(coalesce(a / nullif((SELECT sum(a) FROM h{n_iter}), 0),"
+        f" 0.0), 6) AS auth\n"
+        f"FROM h{n_iter} ORDER BY vkey"
+    )
+
+
 def _lpa_oracle_sql(n_iter: int = 20) -> str:
     """Synchronous label propagation unrolled for the engine's step cap
     (label_propagation default max_steps=20; a converged run is a
@@ -2113,6 +2253,7 @@ ORDER BY vkey"""
 PAGERANK_ORACLE_SQL = _pagerank_oracle_sql()
 LPA_ORACLE_SQL = _lpa_oracle_sql()
 PPR_ORACLE_SQL = _ppr_oracle_sql()
+HITS_ORACLE_SQL = _hits_oracle_sql()
 KCORE_ORACLE_SQL = _kcore_oracle_sql()
 
 CC_ORACLE_SQL = (
@@ -2319,6 +2460,7 @@ JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
 GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "pagerank": q_pagerank,
     "personalized_pagerank": q_personalized_pagerank,
+    "hits": q_hits,
     "connected_components": q_connected_components,
     "label_propagation": q_label_propagation,
     "bfs_distance": q_bfs_distance,
@@ -2340,6 +2482,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
 GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "pagerank": PAGERANK_ORACLE_SQL,
     "personalized_pagerank": PPR_ORACLE_SQL,
+    "hits": HITS_ORACLE_SQL,
     "label_propagation": LPA_ORACLE_SQL,
     "connected_components": CC_ORACLE_SQL,
     "bfs_distance": BFS_ORACLE_SQL,

@@ -277,3 +277,32 @@ def closeness_oracle(edges: list[tuple[int, int]]) -> dict[int, float]:
         sd = sum(m.values())
         out[v] = (len(m) - 1.0) / sd if sd > 0 else 0.0
     return out
+
+
+def hits_oracle(
+    edges: list[tuple[int, int]], n_iter: int = 50
+) -> dict[int, tuple[float, float]]:
+    """Simultaneous HITS (power iteration on [[0, E], [E^T, 0]]) with
+    lazy L1 normalization, matching HITSProgram on the doubled graph:
+    h0 = 1 on vertices with out-edges, a0 = 1 on vertices with
+    in-edges; per step a' = E^T(h/||h||_1), h' = E(a/||a||_1) from the
+    SAME previous iterate.  Returns v -> (hub, auth), each side
+    L1-normalized at the end."""
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    si = np.array([idx[s] for s, _ in edges], dtype=np.int64)
+    di = np.array([idx[d] for _, d in edges], dtype=np.int64)
+    h = (np.bincount(si, minlength=n) > 0).astype(np.float64)
+    a = (np.bincount(di, minlength=n) > 0).astype(np.float64)
+    for _ in range(n_iter):
+        hs, asum = h.sum(), a.sum()
+        hn = h / hs if hs > 0 else h
+        an = a / asum if asum > 0 else a
+        new_a = np.bincount(di, weights=hn[si], minlength=n)
+        new_h = np.bincount(si, weights=an[di], minlength=n)
+        h, a = new_h, new_a
+    hs, asum = h.sum(), a.sum()
+    hub = h / hs if hs > 0 else h
+    auth = a / asum if asum > 0 else a
+    return {v: (float(hub[i]), float(auth[i])) for v, i in idx.items()}

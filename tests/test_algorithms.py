@@ -245,3 +245,79 @@ def test_kcore_peels_tail(tmp_path):
     ).to_pandas()
     got = dict(zip(res["id"], res["alive"]))
     assert got == {0: True, 1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+# -- HITS --------------------------------------------------------------------
+
+
+def doubled_ds(pairs) -> ray.data.Dataset:
+    """Bipartite doubling over small non-negative test ids (the query
+    layer dense-ranks first; here 2u/2u+1 is already overflow-safe)."""
+    t = pa.table(
+        {
+            "src": pa.array(
+                [2 * s for s, _ in pairs] + [2 * d + 1 for _, d in pairs],
+                type=pa.int64(),
+            ),
+            "dst": pa.array(
+                [2 * d + 1 for _, d in pairs] + [2 * s for s, _ in pairs],
+                type=pa.int64(),
+            ),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def _hits_result(pairs, workdir, **kw) -> dict[int, tuple[float, float]]:
+    from neo4j_webgraph_ray.pipelines.algorithms import hits
+
+    res = hits(doubled_ds(pairs), workdir, max_steps=50, **kw).to_pandas()
+    ids = res["id"].to_numpy()
+    vals = res["val"].to_numpy()
+    odd = (ids & 1).astype(bool)
+    hs, asum = vals[~odd].sum(), vals[odd].sum()
+    out: dict[int, list[float]] = {}
+    for i, v in zip(ids, vals):
+        e = out.setdefault(int(i) >> 1, [0.0, 0.0])
+        if i & 1:
+            e[1] = v / asum if asum > 0 else v
+        else:
+            e[0] = v / hs if hs > 0 else v
+    return {k: (h, a) for k, (h, a) in out.items()}
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_hits_matches_oracle(gname, tmp_path):
+    from tests.oracles import hits_oracle
+
+    pairs = GRAPHS[gname]
+    got = _hits_result(pairs, str(tmp_path / "hits"), num_partitions=4)
+    oracle = hits_oracle(pairs)
+    assert set(got) == set(oracle), gname
+    for v, (h, a) in oracle.items():
+        gh, ga = got[v]
+        assert abs(gh - h) < 1e-9, f"{gname}: hub {v} {gh} vs {h}"
+        assert abs(ga - a) < 1e-9, f"{gname}: auth {v} {ga} vs {a}"
+
+
+def test_hits_backends_and_partitioning_agree(tmp_path):
+    """Dataset vs actors backend, 2 vs 7 partitions — same scores."""
+    pairs = GRAPHS["g_random"]
+    a = _hits_result(pairs, str(tmp_path / "a"), num_partitions=2,
+                     backend="dataset")
+    b = _hits_result(pairs, str(tmp_path / "b"), num_partitions=7,
+                     backend="actors")
+    assert set(a) == set(b)
+    for v in a:
+        assert abs(a[v][0] - b[v][0]) < 1e-12
+        assert abs(a[v][1] - b[v][1]) < 1e-12
+
+
+def test_hits_star_concentrates_authority(tmp_path):
+    """In the in-star every leaf points at the hub vertex 0: vertex 0
+    takes ALL the authority mass, the leaves split hub mass evenly."""
+    got = _hits_result(GRAPHS["g_star"], str(tmp_path / "s"), num_partitions=2)
+    assert abs(got[0][1] - 1.0) < 1e-12
+    for leaf in (1, 2, 3, 4, 5):
+        assert abs(got[leaf][0] - 0.2) < 1e-12
+        assert got[leaf][1] == 0.0
