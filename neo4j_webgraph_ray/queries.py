@@ -1769,6 +1769,78 @@ def q_graph_summary(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_reciprocity(sf_dir: str) -> pd.DataFrame:
+    """Edge reciprocity of the directed transcript graph (one row:
+    n_edges, n_reciprocal, reciprocity) — the classic directed-graph
+    statistic: the fraction of non-loop directed edges whose reverse
+    edge also exists (a mutual edge counts both of its directions in
+    the numerator).  Companion of ``graph_summary``'s undirected stats
+    on the reference's link model (the reference counts incoming links
+    only, ``README.md:103-131``).
+
+    Scale shape: edges are bucketed by an unordered-pair hash (the
+    reverse edge lands in the SAME bucket by construction), so the
+    direction match is bucket-local; each bucket emits ONE partial row
+    and the driver folds #buckets rows.  Self-loops are excluded from
+    both numerator and denominator."""
+    edges, _ = graph(sf_dir)
+    nb = int(np.clip(edges.count() // 500_000 + 4, 4, _scale_cap()))
+
+    def stage(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src"].to_numpy()
+        d = df["dst"].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        # unordered-pair bucket (wrapping int64 mix is fine for routing)
+        with np.errstate(over="ignore"):
+            h = (a * np.int64(-7046029254386353131)) ^ b
+        return pd.DataFrame(
+            {
+                "a": a,
+                "b": b,
+                "fwd": (s < d),
+                BUCKET_COL: (h.view(np.uint64) % np.uint64(nb)).astype(np.int32),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        fwd = df["fwd"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b, fwd = a[order], b[order], fwd[order]
+        newg = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(newg)
+        # edges are deduped upstream (J3), so each (pair, direction)
+        # appears at most once: cf/cr are 0/1 per pair
+        cf = np.add.reduceat(fwd.astype(np.int64), starts)
+        cr = np.add.reduceat((~fwd).astype(np.int64), starts)
+        both = (cf > 0) & (cr > 0)
+        nrec = int((cf[both] + cr[both]).sum())
+        return pd.DataFrame([{"ne": np.int64(len(a)), "nrec": np.int64(nrec)}])
+
+    parts = (
+        edges.select_columns(["src", "dst"])
+        .map_batches(stage, batch_format="pandas")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    ne = int(parts["ne"].sum()) if len(parts) else 0
+    nrec = int(parts["nrec"].sum()) if len(parts) else 0
+    return pd.DataFrame(
+        [
+            {
+                "n_edges": np.int64(ne),
+                "n_reciprocal": np.int64(nrec),
+                "reciprocity": round(nrec / ne if ne > 0 else 0.0, 6),
+            }
+        ]
+    )
+
+
 def _seed_vkeys(sf_dir: str) -> pd.DataFrame:
     """Deterministic seed vertices for the seeded analytics entries:
     the lexicographically smallest key per kind among edge-endpoint
@@ -2435,6 +2507,23 @@ FROM s, nv
 """
 )
 
+RECIPROCITY_SQL = (
+    GRAPH_SQL_PRELUDE
+    + """,
+e AS (SELECT src_kind || ':' || src_key AS s, dst_kind || ':' || dst_key AS d
+      FROM edges
+      WHERE src_kind || ':' || src_key <> dst_kind || ':' || dst_key),
+t AS (SELECT count(*) AS ne FROM e),
+r AS (SELECT count(*) AS nrec FROM e a JOIN e b ON a.s = b.d AND a.d = b.s)
+SELECT CAST(t.ne AS BIGINT) AS n_edges,
+       CAST(r.nrec AS BIGINT) AS n_reciprocal,
+       round(CASE WHEN t.ne > 0
+                  THEN CAST(r.nrec AS DOUBLE) / t.ne ELSE 0.0 END,
+             6) AS reciprocity
+FROM t, r
+"""
+)
+
 TOOL_COOC_SQL = f"""
 WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
 ct AS (SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL)
@@ -2472,6 +2561,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "closeness_centrality": q_closeness_centrality,
     "hyperball_nf": q_hyperball_nf,
     "graph_summary": q_graph_summary,
+    "reciprocity": q_reciprocity,
     "tool_cooccurrence": q_tool_cooccurrence,
     "tool_cooccurrence_triangles": q_tool_cooccurrence_triangles,
     "enrich_social": q_enrich_social,
@@ -2493,6 +2583,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "harmonic_centrality": HC_ORACLE_SQL,
     "closeness_centrality": CLOSENESS_ORACLE_SQL,
     "graph_summary": GRAPH_SUMMARY_SQL,
+    "reciprocity": RECIPROCITY_SQL,
     # hyperball_nf: sketch-valued (rows-only) — pytest holds it to the
     # exact series within HLL error bounds
     "tool_cooccurrence": TOOL_COOC_SQL,

@@ -321,3 +321,18 @@ def test_hits_star_concentrates_authority(tmp_path):
     for leaf in (1, 2, 3, 4, 5):
         assert abs(got[leaf][0] - 0.2) < 1e-12
         assert got[leaf][1] == 0.0
+
+
+def test_reciprocity_matches_bruteforce(sf_smoke):
+    """q_reciprocity == independent brute force over the same edge
+    table (mutual non-loop directed edges / non-loop directed edges)."""
+    from neo4j_webgraph_ray.queries import graph, q_reciprocity
+
+    edges, _ = graph(sf_smoke)
+    e = edges.select_columns(["src", "dst"]).to_pandas()
+    es = {(s, d) for s, d in zip(e["src"], e["dst"]) if s != d}
+    nrec = sum(1 for s, d in es if (d, s) in es)
+    out = q_reciprocity(sf_smoke)
+    assert int(out["n_edges"].iloc[0]) == len(es)
+    assert int(out["n_reciprocal"].iloc[0]) == nrec
+    assert out["reciprocity"].iloc[0] == round(nrec / len(es), 6)
