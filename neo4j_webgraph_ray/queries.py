@@ -1644,6 +1644,47 @@ def q_neighborhood_function(sf_dir: str) -> pd.DataFrame:
     return hops.sort_values("hop").reset_index(drop=True)
 
 
+def q_effective_diameter(sf_dir: str) -> pd.DataFrame:
+    """Diameter and 90% effective diameter of the undirected transcript
+    graph (one row) — the HyperBall headline statistic (Boldi–Vigna,
+    "Four Degrees of Separation"): the interpolated hop count t at
+    which the neighborhood function reaches 90% of its final value,
+
+        eff = (t - 1) + (0.9·nf(D) - nf(t-1)) / (nf(t) - nf(t-1)),
+
+    t = first hop with nf(t) >= 0.9·nf(D), eff = 0 when t = 0.  Rides
+    the same ``ball_profile`` superstep pipeline as
+    ``neighborhood_function`` (exact bitset path at driver scales, the
+    HyperBall HLL sketch beyond); the oracle mirrors the interpolation
+    expression exactly, so the 6-dp values agree bit-for-bit."""
+    edges, vertices = graph(sf_dir)
+    exact_ids = (
+        _endpoint_ids(edges) if vertices.count() <= EXACT_NF_VERTEX_LIMIT else None
+    )
+    hops, _ = ball_profile(
+        edges, _workdir(sf_dir, "effdiam"), exact_ids=exact_ids,
+        num_partitions=_algo_parts(edges), max_steps=NF_ORACLE_CAP,
+    )
+    hops = hops.sort_values("hop")
+    nf = hops["nf"].to_numpy().astype(np.float64)
+    hop = hops["hop"].to_numpy().astype(np.int64)
+    diam = int(hop[-1])
+    thr = 0.9 * nf[-1]
+    t = int(np.searchsorted(nf, thr))  # first hop with nf >= thr
+    if t == 0:
+        eff = 0.0
+    else:
+        eff = (t - 1) + (thr - nf[t - 1]) / (nf[t] - nf[t - 1])
+    return pd.DataFrame(
+        [
+            {
+                "diameter": np.int64(diam),
+                "effective_diameter": round(eff, 6),
+            }
+        ]
+    )
+
+
 def q_harmonic_centrality(sf_dir: str) -> pd.DataFrame:
     """Harmonic centrality HC(v) = Σ_{u≠v reachable} 1/d(u,v) over the
     undirected transcript graph, exact (bitset ball profile) at driver
@@ -2430,6 +2471,27 @@ FROM hops ORDER BY hop
 """
 )
 
+EFFDIAM_ORACLE_SQL = (
+    _RECURSIVE_PRELUDE
+    + _ALLPAIRS_DIST_SQL
+    + """,
+hops AS (SELECT DISTINCT dist AS hop FROM best),
+nfs AS (SELECT hop,
+               CAST((SELECT count(*) FROM best WHERE best.dist <= hops.hop)
+                    AS DOUBLE) AS nf
+        FROM hops),
+mx AS (SELECT max(hop) AS diam, 0.9 * max(nf) AS thr FROM nfs),
+tt AS (SELECT min(nfs.hop) AS t FROM nfs, mx WHERE nfs.nf >= mx.thr)
+SELECT CAST(mx.diam AS BIGINT) AS diameter,
+       round(CASE WHEN tt.t = 0 THEN 0.0
+                  ELSE (tt.t - 1) + (mx.thr - p.nf) / (c.nf - p.nf)
+             END, 6) AS effective_diameter
+FROM mx, tt
+LEFT JOIN nfs c ON c.hop = tt.t
+LEFT JOIN nfs p ON p.hop = tt.t - 1
+"""
+)
+
 CLOSENESS_ORACLE_SQL = (
     _RECURSIVE_PRELUDE
     + _ALLPAIRS_DIST_SQL
@@ -2557,6 +2619,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "triangle_count": q_triangle_count,
     "clustering_coefficient": q_clustering_coefficient,
     "neighborhood_function": q_neighborhood_function,
+    "effective_diameter": q_effective_diameter,
     "harmonic_centrality": q_harmonic_centrality,
     "closeness_centrality": q_closeness_centrality,
     "hyperball_nf": q_hyperball_nf,
@@ -2580,6 +2643,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "triangle_count": TRIANGLE_ORACLE_SQL,
     "clustering_coefficient": CLUSTERING_ORACLE_SQL,
     "neighborhood_function": NF_ORACLE_SQL,
+    "effective_diameter": EFFDIAM_ORACLE_SQL,
     "harmonic_centrality": HC_ORACLE_SQL,
     "closeness_centrality": CLOSENESS_ORACLE_SQL,
     "graph_summary": GRAPH_SUMMARY_SQL,

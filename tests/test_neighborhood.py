@@ -175,3 +175,17 @@ def test_exact_closeness_matches_oracle(gname, tmp_path):
     assert set(got) == set(want)
     for v in want:  # single float division over exact ints -> exact
         assert got[v] == want[v], (v, got[v], want[v])
+
+
+def test_effective_diameter_interpolation_chain(tmp_path):
+    """4-vertex chain (undirected): nf = [4, 10, 14, 16]; thr = 14.4,
+    first hop >= thr is 3, eff = 2 + (14.4-14)/(16-14) = 2.2."""
+    hops, _ = _run_exact(GRAPHS["g_chain"], str(tmp_path / "ed"))
+    nf = hops.sort_values("hop")["nf"].to_numpy().astype(np.float64)
+    assert list(nf) == [4.0, 10.0, 14.0, 16.0]
+    thr = 0.9 * nf[-1]
+    t = int(np.searchsorted(nf, thr))
+    eff = (t - 1) + (thr - nf[t - 1]) / (nf[t] - nf[t - 1])
+    assert abs(eff - 2.2) < 1e-12
+    # the query-layer expression is identical (kept in lockstep by the
+    # effective_diameter SQL-oracle parity test at sf scale)
