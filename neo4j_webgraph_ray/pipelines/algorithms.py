@@ -319,6 +319,39 @@ class BFSDistanceProgram(VertexProgram):
         return m.get("n_changed", 1) == 0
 
 
+class DirectedMinLabelProgram(ConnectedComponentsProgram):
+    """Min-label propagation along edge DIRECTION to fixpoint:
+    label(v) = min vertex id that forward-reaches v (including v).
+    This is the forward "coloring" phase of FW-BW-coloring SCC
+    (Fleischer–Hendrickson–Pinar / Orzan): every color class is closed
+    under forward reachability from its root, and the root's SCC is
+    entirely inside its own class (proof in q_scc's docstring)."""
+
+    name = "dmin"
+    undirected = False
+
+
+class DirectedBFSProgram(BFSDistanceProgram):
+    """Multi-source hop distance along edge DIRECTION (the backward
+    phase of FW-BW-coloring SCC runs this over the REVERSED same-color
+    subgraph, so "reached" = backward-reachable from a color root
+    within its class)."""
+
+    name = "dbfs"
+    undirected = False
+
+    def config(self):
+        # SCC seeds one root per color class — the set can be O(n);
+        # store a fingerprint so the manifest stays O(1) (the parent
+        # class embeds the full seed list, fine for its few-seed uses)
+        import hashlib
+
+        return {
+            "n_seeds": int(len(self.seed_ids)),
+            "seeds_sha": hashlib.sha1(self.seed_ids.tobytes()).hexdigest()[:16],
+        }
+
+
 class HITSProgram(VertexProgram):
     """HITS hubs & authorities (Kleinberg) as power iteration on the
     bipartite DOUBLED graph.
@@ -619,6 +652,46 @@ def kcore(
     if not resume:
         engine.prepare(edges)
     return engine.run(resume=resume)
+
+
+def directed_min_labels(
+    edges: ray.data.Dataset,
+    workdir: str,
+    num_partitions: int = 16,
+    max_steps: int = 300,
+    backend: str = "actors",
+    checkpoint_every: int = 1,
+    filesystem=None,
+) -> ray.data.Dataset:
+    """Forward min-label fixpoint (SCC coloring phase):
+    Dataset(id, label = min id forward-reaching it)."""
+    engine = _make_engine(
+        workdir, DirectedMinLabelProgram(), num_partitions, max_steps,
+        backend, checkpoint_every, None, filesystem,
+    )
+    engine.prepare(edges)
+    return engine.run()
+
+
+def directed_bfs(
+    edges: ray.data.Dataset,
+    workdir: str,
+    seed_ids: np.ndarray,
+    num_partitions: int = 16,
+    max_steps: int = 300,
+    backend: str = "actors",
+    checkpoint_every: int = 1,
+    filesystem=None,
+) -> ray.data.Dataset:
+    """Multi-source DIRECTED hop distances: Dataset(id, dist) over the
+    edge set as given (callers reverse the edges for backward sweeps);
+    unreached vertices carry :data:`BFS_UNREACHED`."""
+    engine = _make_engine(
+        workdir, DirectedBFSProgram(seed_ids), num_partitions, max_steps,
+        backend, checkpoint_every, None, filesystem,
+    )
+    engine.prepare(edges)
+    return engine.run()
 
 
 def hits(

@@ -29,6 +29,8 @@ from neo4j_webgraph_ray.pipelines.algorithms import (
     BFS_UNREACHED,
     bfs_distances,
     connected_components,
+    directed_bfs,
+    directed_min_labels,
     hits,
     kcore,
     label_propagation,
@@ -1406,6 +1408,194 @@ def q_connected_components(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vkey").reset_index(drop=True)
 
 
+def scc_labels(
+    edges: ray.data.Dataset,
+    workdir: str,
+    num_partitions: int = 2,
+    num_buckets: int = 8,
+    max_rounds: int = 1000,
+) -> ray.data.Dataset:
+    """Strongly connected components by FW-BW coloring
+    (Fleischer–Hendrickson–Pinar; Orzan's Pregel formulation):
+    Dataset(id, label) where label is SOME member id of the SCC (the
+    coloring root — callers canonicalize per group).
+
+    Each round over the still-unassigned subgraph:
+
+    1. *color*: forward min-label fixpoint — color(v) = min id that
+       forward-reaches v.  Every color class is forward-closed, and
+       the root r (color(r) = r) has its whole SCC inside class r: for
+       w in SCC(r), color(w) <= r since r reaches w, and any u < r
+       reaching w would also reach r (w -> r within the SCC),
+       contradicting color(r) = r.
+    2. *sweep*: multi-source DIRECTED BFS from all roots over the
+       REVERSED same-color subgraph.  Reached vertices are backward-
+       reachable from their own class root through in-class paths;
+       combined with the class's forward-closure this is exactly
+       SCC(root) for every root simultaneously (classes are disjoint,
+       paths cannot cross classes).
+    3. assign those vertices, drop every edge touching them, repeat.
+
+    SCCs are always assigned whole (step 2 emits complete SCCs), so
+    edges among unassigned vertices never lose mutual structure — a
+    vertex left with no active edges is a singleton SCC and is handled
+    by the caller's final unmatched join.  At least one root exists
+    per round (the minimum active id), so the loop terminates in at
+    most #SCC rounds; skew note: pathological chains of singleton SCCs
+    peel one root per round — real webgraphs resolve in a handful of
+    rounds (the giant SCC and the DAG periphery).  Root seeds are
+    driver-collected (one per color class; the manifest stores a
+    fingerprint, not the list)."""
+    from neo4j_webgraph_ray.state import fsio
+
+    active = edges.select_columns(["src", "dst"]).materialize()
+    assigned: list[ray.data.Dataset] = []
+    rnd = 0
+    while active.count() > 0:
+        if rnd >= max_rounds:
+            raise RuntimeError(
+                f"scc_labels: {max_rounds} rounds without convergence "
+                f"({active.count()} edges still active)"
+            )
+        wd = fsio.join(workdir, f"round{rnd}")
+        colors = directed_min_labels(
+            active, fsio.join(wd, "fwd"), num_partitions=num_partitions,
+            max_steps=10_000,
+        ).materialize()
+        roots = np.sort(
+            colors.map_batches(
+                lambda df: df.loc[
+                    df["id"].to_numpy() == df["label"].to_numpy(), ["id"]
+                ],
+                batch_format="pandas",
+            )
+            .to_pandas()["id"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        # reversed same-color subgraph (color equality makes the sweep
+        # class-local; reversal makes forward scatter = backward reach)
+        e1 = _lookup_join(
+            active, "src", colors, "id", "label", "src_c",
+            carry_cols=["dst"], num_buckets=num_buckets, keep_key=True,
+        )
+        e2 = _lookup_join(
+            e1, "dst", colors, "id", "label", "dst_c",
+            carry_cols=["src", "src_c"], num_buckets=num_buckets,
+            keep_key=True,
+        )
+
+        def rev_same_color(df: pd.DataFrame) -> pd.DataFrame:
+            m = df["src_c"].to_numpy() == df["dst_c"].to_numpy()
+            return pd.DataFrame(
+                {
+                    "src": df["dst"].to_numpy()[m],
+                    "dst": df["src"].to_numpy()[m],
+                }
+            )
+
+        rev = e2.map_batches(rev_same_color, batch_format="pandas").materialize()
+        roots_ds = ray.data.from_pandas(
+            pd.DataFrame({"id": roots, "label": roots})
+        )
+        if rev.count() > 0:
+            dists = directed_bfs(
+                rev, fsio.join(wd, "bwd"), roots,
+                num_partitions=num_partitions, max_steps=10_000,
+            )
+            members = dists.map_batches(
+                lambda df: df.loc[
+                    df["dist"].to_numpy() < BFS_UNREACHED, ["id"]
+                ],
+                batch_format="pandas",
+            )
+            mem = _lookup_join(
+                members, "id", colors, "id", "label", "label",
+                carry_cols=[], num_buckets=num_buckets, keep_key=True,
+            )
+            # roots double as BFS seeds (dist 0): keep them only in
+            # roots_ds so the union stays duplicate-free
+            rref = ray.put(roots)
+
+            def drop_roots(df: pd.DataFrame) -> pd.DataFrame:
+                r = ray.get(rref)
+                ids = df["id"].to_numpy()
+                pos = np.minimum(np.searchsorted(r, ids), max(0, len(r) - 1))
+                is_root = (
+                    (r[pos] == ids) if len(r) else np.zeros(len(ids), bool)
+                )
+                return df.loc[~is_root]
+
+            newly = (
+                mem.map_batches(drop_roots, batch_format="pandas")
+                .union(roots_ds)
+                .materialize()
+            )
+        else:
+            newly = roots_ds.materialize()
+        assigned.append(newly)
+        # keep only edges with BOTH endpoints still unassigned
+        a1 = _lookup_join(
+            active, "src", newly, "id", "label", "src_a",
+            carry_cols=["dst"], keep_key=True, keep_unmatched=True,
+            num_buckets=num_buckets,
+        )
+        a2 = _lookup_join(
+            a1, "dst", newly, "id", "label", "dst_a",
+            carry_cols=["src", "src_a"], keep_key=True,
+            keep_unmatched=True, num_buckets=num_buckets,
+        )
+
+        def still_active(df: pd.DataFrame) -> pd.DataFrame:
+            m = (df["src_a"].to_numpy() == UNMATCHED_SENTINEL) & (
+                df["dst_a"].to_numpy() == UNMATCHED_SENTINEL
+            )
+            return pd.DataFrame(
+                {
+                    "src": df["src"].to_numpy()[m],
+                    "dst": df["dst"].to_numpy()[m],
+                }
+            )
+
+        active = a2.map_batches(still_active, batch_format="pandas").materialize()
+        rnd += 1
+    if assigned:
+        out = assigned[0]
+        for d in assigned[1:]:
+            out = out.union(d)
+        return out.materialize()
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "id": pd.array([], dtype="int64"),
+                "label": pd.array([], dtype="int64"),
+            }
+        )
+    )
+
+
+def q_scc(sf_dir: str) -> pd.DataFrame:
+    """Strongly connected components of the DIRECTED transcript graph;
+    per vertex the canonical component key = min "kind:key" string in
+    its SCC (mutual-reachability classes — SQL-checkable via a
+    recursive reachability CTE).  Vertices not on any edge, and
+    vertices whose every edge is one-directional, are their own SCC.
+    The directed companion of ``connected_components`` (same output
+    shape and canonicalization)."""
+    edges, vertices = graph(sf_dir)
+    labels = scc_labels(
+        edges, _workdir(sf_dir, "scc"), num_partitions=_algo_parts(edges)
+    )
+    df = attach_vkeys(
+        labels, vertices, ["label"], keep_unmatched_vertices=True
+    ).to_pandas()
+    isolated = df["label"].to_numpy() == UNMATCHED_SENTINEL
+    rep = df[~isolated].groupby("label")["vkey"].min().to_dict()
+    df["scc"] = np.where(isolated, df["vkey"], df["label"].map(rep))
+    out = df[["vkey", "scc"]]
+    return out.sort_values("vkey").reset_index(drop=True)
+
+
 def q_label_propagation(sf_dir: str) -> pd.DataFrame:
     """Synchronous LPA communities (vkey, community key).
 
@@ -2471,6 +2661,29 @@ FROM hops ORDER BY hop
 """
 )
 
+SCC_ORACLE_SQL = (
+    _RECURSIVE_PRELUDE
+    + """,
+e AS (SELECT src_kind || ':' || src_key AS s,
+             dst_kind || ':' || dst_key AS d FROM edges),
+ev AS (SELECT DISTINCT v FROM
+       (SELECT s AS v FROM e UNION SELECT d FROM e)),
+reach(src, v) AS (
+    SELECT v, v FROM ev
+    UNION
+    SELECT reach.src, e.d FROM reach JOIN e ON e.s = reach.v
+),
+mutual AS (SELECT a.src AS u, a.v
+           FROM reach a JOIN reach b ON b.src = a.v AND b.v = a.src),
+lab AS (SELECT v, min(u) AS scc FROM mutual GROUP BY v)
+SELECT vx.kind || ':' || vx."key" AS vkey,
+       coalesce(lab.scc, vx.kind || ':' || vx."key") AS scc
+FROM vertices vx
+LEFT JOIN lab ON lab.v = vx.kind || ':' || vx."key"
+ORDER BY vkey
+"""
+)
+
 EFFDIAM_ORACLE_SQL = (
     _RECURSIVE_PRELUDE
     + _ALLPAIRS_DIST_SQL
@@ -2613,6 +2826,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "personalized_pagerank": q_personalized_pagerank,
     "hits": q_hits,
     "connected_components": q_connected_components,
+    "scc": q_scc,
     "label_propagation": q_label_propagation,
     "bfs_distance": q_bfs_distance,
     "kcore": q_kcore,
@@ -2638,6 +2852,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "hits": HITS_ORACLE_SQL,
     "label_propagation": LPA_ORACLE_SQL,
     "connected_components": CC_ORACLE_SQL,
+    "scc": SCC_ORACLE_SQL,
     "bfs_distance": BFS_ORACLE_SQL,
     "kcore": KCORE_ORACLE_SQL,
     "triangle_count": TRIANGLE_ORACLE_SQL,

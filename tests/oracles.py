@@ -306,3 +306,58 @@ def hits_oracle(
     hub = h / hs if hs > 0 else h
     auth = a / asum if asum > 0 else a
     return {v: (float(hub[i]), float(auth[i])) for v, i in idx.items()}
+
+
+def scc_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Strongly connected components (iterative Tarjan): v -> min
+    vertex id in its SCC, over edge-endpoint vertices."""
+    adj: dict[int, list[int]] = {}
+    verts = sorted({v for e in edges for v in e})
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    onstack: set[int] = set()
+    stack: list[int] = []
+    out: dict[int, int] = {}
+    counter = [0]
+    for root in verts:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstack.add(v)
+            recurse = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in onstack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    return out

@@ -336,3 +336,62 @@ def test_reciprocity_matches_bruteforce(sf_smoke):
     assert int(out["n_edges"].iloc[0]) == len(es)
     assert int(out["n_reciprocal"].iloc[0]) == nrec
     assert out["reciprocity"].iloc[0] == round(nrec / len(es), 6)
+
+
+# -- SCC ----------------------------------------------------------------------
+
+SCC_GRAPHS = dict(GRAPHS)
+SCC_GRAPHS["g_two_cycles_bridge"] = [
+    (0, 1), (1, 2), (2, 0),        # SCC {0,1,2}
+    (2, 10), (10, 11), (11, 10),   # bridge into SCC {10,11}
+    (11, 20),                      # DAG tail (singleton)
+]
+SCC_GRAPHS["g_nested"] = [
+    (0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (3, 4), (4, 1),  # {0..4} one SCC
+    (4, 9),
+]
+SCC_GRAPHS["g_desc_chain"] = [(5, 4), (4, 3), (3, 2), (2, 1)]  # all singletons
+
+
+def _scc_grouping(labels: dict[int, int]) -> set[frozenset[int]]:
+    groups: dict[int, set[int]] = {}
+    for v, l in labels.items():
+        groups.setdefault(l, set()).add(v)
+    return {frozenset(g) for g in groups.values()}
+
+
+@pytest.mark.parametrize("gname", sorted(SCC_GRAPHS))
+def test_scc_matches_tarjan(gname, tmp_path):
+    from neo4j_webgraph_ray.queries import scc_labels
+    from tests.oracles import scc_oracle
+
+    pairs = SCC_GRAPHS[gname]
+    res = scc_labels(
+        edges_ds(pairs), str(tmp_path / "scc"), num_partitions=3, num_buckets=4
+    ).to_pandas()
+    got = dict(zip(res["id"], res["label"]))
+    # contract: vertices never assigned (all their edges peeled away)
+    # are singleton SCCs — q_scc's keep_unmatched join supplies them
+    for v in {x for e in pairs for x in e}:
+        got.setdefault(v, v)
+    oracle = scc_oracle(pairs)
+    assert set(got) == set(oracle), gname
+    # labels are roots (some SCC member), oracle labels are min ids —
+    # compare the PARTITIONS, which are canonical
+    assert _scc_grouping(got) == _scc_grouping(oracle), gname
+
+
+def test_scc_partitioning_invariance(tmp_path):
+    from neo4j_webgraph_ray.queries import scc_labels
+    pairs = SCC_GRAPHS["g_nested"] + SCC_GRAPHS["g_two_islands"]
+    a = scc_labels(edges_ds(pairs), str(tmp_path / "a"),
+                   num_partitions=2, num_buckets=2).to_pandas()
+    b = scc_labels(edges_ds(pairs), str(tmp_path / "b"),
+                   num_partitions=5, num_buckets=7).to_pandas()
+    verts = {x for e in pairs for x in e}
+    da = dict(zip(a["id"], a["label"]))
+    db = dict(zip(b["id"], b["label"]))
+    for v in verts:
+        da.setdefault(v, v)
+        db.setdefault(v, v)
+    assert _scc_grouping(da) == _scc_grouping(db)
