@@ -219,17 +219,21 @@ def run_bench() -> dict:
             "event_props_stats",
             "pagerank",
             "personalized_pagerank",
+            "hits",
             "connected_components",
+            "scc",
             "label_propagation",
             "bfs_distance",
             "kcore",
             "triangle_count",
             "clustering_coefficient",
             "neighborhood_function",
+            "effective_diameter",
             "harmonic_centrality",
             "closeness_centrality",
             "hyperball_nf",
             "graph_summary",
+            "reciprocity",
             "tool_cooccurrence",
             # LLM-training-data family over the documents/embeddings tables
             "top_tokens",
