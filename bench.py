@@ -225,6 +225,7 @@ def run_bench() -> dict:
             "label_propagation",
             "bfs_distance",
             "kcore",
+            "betweenness",
             "triangle_count",
             "clustering_coefficient",
             "neighborhood_function",

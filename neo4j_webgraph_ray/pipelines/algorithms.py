@@ -456,6 +456,194 @@ class HITSProgram(VertexProgram):
             ctx["auth_sum"] = step_metrics["auth_sum"]
 
 
+def _aligned_vec(
+    state: pd.DataFrame, reduced: pd.DataFrame, lanes: int
+) -> np.ndarray:
+    """(n, lanes) float64 scatter of vecsum-reduced messages onto the
+    id-sorted state (zeros where no message arrived)."""
+    sids = state["id"].to_numpy()
+    out = np.zeros((len(sids), lanes), np.float64)
+    if len(reduced):
+        idx = np.searchsorted(sids, reduced["id"].to_numpy())
+        out[idx] = reduced.attrs["vec"]
+    return out
+
+
+class BrandesForwardProgram(VertexProgram):
+    """Brandes betweenness, forward phase: synchronous multi-source BFS
+    with shortest-path counting, ALL k sources at once as vecsum lanes
+    (one float64 lane per source — a single run replaces k per-source
+    runs, so the edge set is partitioned once and every superstep ships
+    one k-lane message per (partition, dst)).
+
+    Per lane j: dist d_j, path count s_j (σ), and the precomputed next
+    scatter e_j (σ of just-discovered vertices — scatter_values has no
+    step context, so the gather at step t writes the frontier the step
+    t+1 scatter must send).  σ is exact in float64 up to 2^53 paths
+    (the standard Brandes implementation choice; beyond that the counts
+    degrade gracefully to floats).
+
+    Reference contrast: the reference's Cypher surface has no path
+    analytics at all (``/root/reference/README.md:72-166``)."""
+
+    name = "brandes_fwd"
+    undirected = True
+    mode = "vecsum"
+
+    def __init__(self, seed_ids: np.ndarray):
+        self.seed_ids = np.sort(np.asarray(seed_ids, dtype=np.int64))
+        if not len(self.seed_ids):
+            raise ValueError("brandes needs >= 1 source")
+        if len(self.seed_ids) > 64:
+            raise ValueError("brandes lanes capped at 64 per run — batch "
+                             "larger samples across runs")
+        self.k = len(self.seed_ids)
+        self.vec_width = 8 * self.k
+
+    def config(self):
+        import hashlib
+
+        return {
+            "k": self.k,
+            "seeds_sha": hashlib.sha1(self.seed_ids.tobytes()).hexdigest()[:16],
+        }
+
+    def init_state(self, ids, out_deg, ctx):
+        ids64 = ids.astype(np.int64)
+        cols = {"id": ids64}
+        for j, s in enumerate(self.seed_ids):
+            is_s = ids64 == s
+            cols[f"d{j}"] = np.where(is_s, np.int64(0), BFS_UNREACHED)
+            sig = is_s.astype(np.float64)
+            cols[f"s{j}"] = sig
+            cols[f"e{j}"] = sig.copy()
+        return pd.DataFrame(cols)
+
+    def scatter_values(self, state):
+        return np.ascontiguousarray(
+            np.column_stack([state[f"e{j}"].to_numpy() for j in range(self.k)])
+        )
+
+    def gather_update(self, state, reduced, ctx):
+        step = ctx["step"]
+        sums = _aligned_vec(state, reduced, self.k)
+        out = state.copy(deep=False)
+        n_changed = 0
+        for j in range(self.k):
+            d = state[f"d{j}"].to_numpy()
+            newly = (d == BFS_UNREACHED) & (sums[:, j] > 0)
+            out[f"d{j}"] = np.where(newly, np.int64(step + 1), d)
+            out[f"s{j}"] = np.where(newly, sums[:, j], state[f"s{j}"].to_numpy())
+            out[f"e{j}"] = np.where(newly, sums[:, j], 0.0)
+            n_changed += int(newly.sum())
+        return out, {"n_changed": n_changed}
+
+    def converged(self, m):
+        return m.get("n_changed", 1) == 0
+
+
+class BrandesBackwardProgram(VertexProgram):
+    """Brandes betweenness, backward phase: level-synchronized
+    dependency accumulation over the same k vecsum lanes.
+
+    Lane j replays its BFS levels top-down — at superstep t the senders
+    are the vertices at level Lmax_j - t, emitting (1 + δ)/σ; receivers
+    one level up accept (in an unweighted graph every edge between
+    consecutive BFS levels is a shortest-path-DAG edge) and fold
+    δ += σ·Σ_in.  Runs exactly max(Lmax) supersteps.  Initial state is
+    the forward run's final state, read per partition from its workdir
+    (same id-hash partitioning, asserted on load)."""
+
+    name = "brandes_bwd"
+    undirected = True
+    mode = "vecsum"
+
+    def __init__(
+        self,
+        seed_ids: np.ndarray,
+        fwd_workdir: str,
+        fwd_step: int,
+        lmax: np.ndarray,
+        num_partitions: int,
+        filesystem=None,
+    ):
+        self.seed_ids = np.sort(np.asarray(seed_ids, dtype=np.int64))
+        self.k = len(self.seed_ids)
+        self.vec_width = 8 * self.k
+        self.fwd_workdir = fwd_workdir
+        self.fwd_step = int(fwd_step)
+        self.lmax = np.asarray(lmax, dtype=np.int64)
+        self.num_partitions = int(num_partitions)
+        self.fs = filesystem
+
+    def config(self):
+        import hashlib
+
+        return {
+            "k": self.k,
+            "seeds_sha": hashlib.sha1(self.seed_ids.tobytes()).hexdigest()[:16],
+            "fwd_step": self.fwd_step,
+            "lmax": [int(x) for x in self.lmax],
+        }
+
+    def init_state(self, ids, out_deg, ctx):
+        from neo4j_webgraph_ray.state import fsio
+        from neo4j_webgraph_ray.state.checkpoint import state_dir
+
+        ids64 = ids.astype(np.int64)
+        part = int(ids64[0] % self.num_partitions)
+        path = fsio.join(
+            state_dir(self.fwd_workdir, self.fwd_step), f"part={part}.parquet"
+        )
+        fwd = fsio.read_table(path, fs=self.fs).to_pandas()
+        if not np.array_equal(fwd["id"].to_numpy(), ids64):
+            raise RuntimeError(
+                "brandes backward: forward state partitioning mismatch "
+                f"(part {part})"
+            )
+        cols = {"id": ids64}
+        for j in range(self.k):
+            d = fwd[f"d{j}"].to_numpy()
+            s = fwd[f"s{j}"].to_numpy()
+            cols[f"d{j}"] = d
+            cols[f"s{j}"] = s
+            cols[f"delta{j}"] = np.zeros(len(ids64), np.float64)
+            top = (d == self.lmax[j]) & (s > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cols[f"e{j}"] = np.where(top, 1.0 / np.where(s > 0, s, 1.0), 0.0)
+        return pd.DataFrame(cols)
+
+    def scatter_values(self, state):
+        return np.ascontiguousarray(
+            np.column_stack([state[f"e{j}"].to_numpy() for j in range(self.k)])
+        )
+
+    def gather_update(self, state, reduced, ctx):
+        step = ctx["step"]
+        sums = _aligned_vec(state, reduced, self.k)
+        out = state.copy(deep=False)
+        for j in range(self.k):
+            rec = self.lmax[j] - step - 1
+            if rec < 0:
+                out[f"e{j}"] = np.zeros(len(state), np.float64)
+                continue
+            d = state[f"d{j}"].to_numpy()
+            s = state[f"s{j}"].to_numpy()
+            delta = state[f"delta{j}"].to_numpy()
+            upd = d == rec
+            new_delta = np.where(upd, delta + s * sums[:, j], delta)
+            out[f"delta{j}"] = new_delta
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[f"e{j}"] = np.where(
+                    upd & (s > 0), (1.0 + new_delta) / np.where(s > 0, s, 1.0),
+                    0.0,
+                )
+        return out, {"n_changed": 0}
+
+    def converged(self, m):
+        return False  # runs exactly max(Lmax) steps (engine max_steps)
+
+
 class KCoreProgram(VertexProgram):
     """k-core membership by distributed iterative peeling.
 
@@ -692,6 +880,84 @@ def directed_bfs(
     )
     engine.prepare(edges)
     return engine.run()
+
+
+def betweenness_dependencies(
+    edges: ray.data.Dataset,
+    workdir: str,
+    seed_ids: np.ndarray,
+    num_partitions: int = 16,
+    filesystem=None,
+) -> ray.data.Dataset:
+    """Brandes betweenness dependencies over the undirected graph:
+    Dataset(id, dep) with dep(v) = Σ over the k seed sources s of
+    δ_s(v) (source lanes zeroed at their own source).  Exact
+    betweenness when seeds = all vertices (then bc = dep/2 for the
+    undirected double-count); the standard sampled estimator otherwise
+    (scale by n/k — callers own the normalization).
+
+    ONE forward run (multi-source σ-counting BFS) + ONE backward run
+    (level-synchronized δ accumulation), both with k float64 vecsum
+    lanes — the edge set is partitioned twice total, never per source.
+    Dataset backend (vector modes live there)."""
+    from neo4j_webgraph_ray.pipelines.triangles import undirected_simple
+    from neo4j_webgraph_ray.state import fsio
+    from neo4j_webgraph_ray.state.checkpoint import load_manifest
+
+    seeds = np.sort(np.asarray(seed_ids, dtype=np.int64))
+    k = len(seeds)
+    # betweenness is defined on the SIMPLE undirected graph: reciprocal
+    # or duplicate directed edges must not double σ — canonicalize to
+    # distinct (min, max) pairs; prepare's undirected doubling then
+    # yields exactly one CSR entry per direction.  Pinned: both engine
+    # prepares consume it.
+    simple = (
+        undirected_simple(edges)
+        .map_batches(
+            lambda df: df.rename(columns={"a": "src", "b": "dst"}),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    fwd_dir = fsio.join(workdir, "fwd")
+    fwd = SuperstepEngine(
+        fwd_dir, BrandesForwardProgram(seeds), num_partitions,
+        max_steps=10_000, filesystem=filesystem,
+    )
+    fwd.prepare(simple)
+    fstate = fwd.run()
+
+    def lane_max(df: pd.DataFrame) -> pd.DataFrame:
+        row = {}
+        for j in range(k):
+            d = df[f"d{j}"].to_numpy()
+            fin = d[d < BFS_UNREACHED]
+            row[f"m{j}"] = np.int64(fin.max()) if len(fin) else np.int64(0)
+        return pd.DataFrame([row])
+
+    mx = fstate.map_batches(lane_max, batch_format="pandas").to_pandas()
+    lmax = np.array([int(mx[f"m{j}"].max()) for j in range(k)], np.int64)
+    fwd_step = load_manifest(fwd_dir, fs=filesystem).steps[-1]["step"]
+    bwd = SuperstepEngine(
+        fsio.join(workdir, "bwd"),
+        BrandesBackwardProgram(
+            seeds, fwd_dir, fwd_step, lmax, num_partitions, filesystem
+        ),
+        num_partitions, max_steps=int(lmax.max()), filesystem=filesystem,
+    )
+    bwd.prepare(simple)
+    bstate = bwd.run()
+    seeds_arr = seeds  # closure constant (tiny)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["id"].to_numpy()
+        dep = np.zeros(len(df), np.float64)
+        for j in range(k):
+            lane = df[f"delta{j}"].to_numpy()
+            dep += np.where(ids == seeds_arr[j], 0.0, lane)
+        return pd.DataFrame({"id": ids, "dep": dep})
+
+    return bstate.map_batches(finalize, batch_format="pandas")
 
 
 def hits(

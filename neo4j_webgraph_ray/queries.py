@@ -27,6 +27,7 @@ import ray.data
 from neo4j_webgraph_ray.ids import vertex_id
 from neo4j_webgraph_ray.pipelines.algorithms import (
     BFS_UNREACHED,
+    betweenness_dependencies,
     bfs_distances,
     connected_components,
     directed_bfs,
@@ -2111,6 +2112,65 @@ def q_personalized_pagerank(sf_dir: str) -> pd.DataFrame:
     return out[["vkey", "rank"]].sort_values("vkey").reset_index(drop=True)
 
 
+#: sampled-betweenness source count for the contract entry (one vecsum
+#: lane per source — ONE forward + ONE backward superstep run total)
+BETWEENNESS_SOURCES = 8
+
+
+def _min_vkeys(sf_dir: str, k: int) -> pd.DataFrame:
+    """The k lexicographically smallest "kind:key" vertices among
+    edge-endpoint (degree > 0) vertices — deterministic source sample
+    for the betweenness entry.  Per-batch partial top-k + a k×#blocks-
+    row driver merge; the vertex table never leaves the cluster."""
+    _, vertices = graph(sf_dir)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["in_deg"].to_numpy() + df["out_deg"].to_numpy()) > 0]
+        if not len(df):
+            return pd.DataFrame(
+                {"kind": pd.Series([], dtype=object),
+                 "key": pd.Series([], dtype=object)}
+            )
+        vk = (df["kind"].astype(str) + ":" + df["key"].astype(str)).to_numpy()
+        return df.iloc[np.argsort(vk)[:k]][["kind", "key"]]
+
+    parts = vertices.map_batches(part, batch_format="pandas").to_pandas()
+    vk = (parts["kind"] + ":" + parts["key"]).to_numpy()
+    return parts.iloc[np.argsort(vk)[:k]].reset_index(drop=True)
+
+
+def q_betweenness(sf_dir: str) -> pd.DataFrame:
+    """Sampled betweenness centrality (Brandes 2001 / Brandes–Pich
+    estimator) over the simple undirected transcript graph: (vkey, bc)
+    with bc = (n/k)·Σ_s δ_s(v) / 2 over k =
+    :data:`BETWEENNESS_SOURCES` deterministic sources (the k smallest
+    vkeys with degree > 0), rounded to 6 dp.
+
+    All k sources run as float64 vecsum lanes in ONE forward
+    (σ-counting BFS) + ONE backward (level-synchronized δ fold)
+    superstep run — the edge set is partitioned twice total, never per
+    source.  No SQL oracle (per-source dependency accumulation is not
+    expressible in the driver's single-statement DuckDB harness); the
+    pytest oracle asserts exact equality against a reference Brandes
+    on the same sampled sources, and exactness when seeds = all
+    vertices."""
+    seeds_df = _min_vkeys(sf_dir, BETWEENNESS_SOURCES)
+    seed_ids = vertex_id(
+        seeds_df["kind"].to_numpy(), seeds_df["key"].to_numpy()
+    )
+    edges, vertices = graph(sf_dir)
+    deps = betweenness_dependencies(
+        edges, _workdir(sf_dir, "betweenness"), seed_ids,
+        num_partitions=_algo_parts(edges),
+    )
+    out = attach_vkeys(deps, vertices, ["dep"]).to_pandas()
+    n, k = len(out), max(1, len(seed_ids))
+    out["bc"] = np.round(
+        out["dep"].to_numpy().astype(np.float64) * (n / k) / 2.0, 6
+    )
+    return out[["vkey", "bc"]].sort_values("vkey").reset_index(drop=True)
+
+
 def q_bfs_distance(sf_dir: str) -> pd.DataFrame:
     """Single-source undirected hop distance from the global min-vkey
     edge-endpoint seed; unreachable and isolated vertices report -1.
@@ -2830,6 +2890,9 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "label_propagation": q_label_propagation,
     "bfs_distance": q_bfs_distance,
     "kcore": q_kcore,
+    # betweenness: per-source dependency folds are not single-statement
+    # SQL-expressible — rows-only for the driver; exact Brandes pytest
+    "betweenness": q_betweenness,
     "triangle_count": q_triangle_count,
     "clustering_coefficient": q_clustering_coefficient,
     "neighborhood_function": q_neighborhood_function,

@@ -63,15 +63,20 @@ class VertexProgram:
     the four hooks.  State DataFrames are always sorted by ``id``
     within a partition.
 
-    Vector modes (HyperBall-family sketches): ``scatter_values`` returns
-    a contiguous 2-D ``uint8`` array of shape (n_vertices, vec_width);
-    messages are elementwise-``max`` (vecmax — HLL registers) or
-    bitwise-``or`` (vecor — exact bitsets) combined, shipped as
-    ``fixed_size_binary(vec_width)``.  ``gather_update`` receives
-    ``reduced`` as a DataFrame with column ``id`` plus the combined
-    (k, vec_width) uint8 matrix in ``reduced.attrs["vec"]`` (aligned
-    row-for-row with ``id``).  Vector programs run on the Dataset
-    backend only.
+    Vector modes (HyperBall-family sketches, multi-lane Brandes):
+    ``scatter_values`` returns a contiguous 2-D array of shape
+    (n_vertices, vec_width) ``uint8`` — or (n_vertices, vec_width/8)
+    ``float64`` for vecsum; messages are elementwise-``max`` (vecmax —
+    HLL registers), bitwise-``or`` (vecor — exact bitsets), or
+    elementwise float64 ``sum`` (vecsum — per-lane numeric
+    accumulation, e.g. one shortest-path-count lane per sampled
+    betweenness source) combined, shipped as
+    ``fixed_size_binary(vec_width)`` (vec_width is always BYTES; a
+    vecsum program sets vec_width = 8 × lanes).  ``gather_update``
+    receives ``reduced`` as a DataFrame with column ``id`` plus the
+    combined (k, vec_width) uint8 — or (k, lanes) float64 — matrix in
+    ``reduced.attrs["vec"]`` (aligned row-for-row with ``id``).
+    Vector programs run on the Dataset backend only.
     """
 
     name: str = "base"
@@ -166,12 +171,19 @@ def _scatter_batch(
                         "dst_part": pa.array(part_of(dst_u, num_partitions)),
                     }
                 )
-            elif program.mode in ("vecmax", "vecor"):
-                # evals is (E, vec_width) uint8; run-boundary combine
-                # along axis 0 keeps the exchange one pre-aggregated
-                # vector per (partition, dst)
-                op = np.maximum if program.mode == "vecmax" else np.bitwise_or
+            elif program.mode in ("vecmax", "vecor", "vecsum"):
+                # evals is (E, vec_width) uint8 — or (E, vec_width/8)
+                # float64 for vecsum; run-boundary combine along axis 0
+                # keeps the exchange one pre-aggregated vector per
+                # (partition, dst)
+                op = {
+                    "vecmax": np.maximum,
+                    "vecor": np.bitwise_or,
+                    "vecsum": np.add,
+                }[program.mode]
                 agg = np.ascontiguousarray(op.reduceat(evals, starts, axis=0))
+                if program.mode == "vecsum":
+                    agg = agg.astype(np.float64, copy=False)
                 vec = pa.Array.from_buffers(
                     pa.binary(program.vec_width),
                     len(dst_u),
@@ -212,7 +224,8 @@ def _marker_table(parts: np.ndarray, mode: str, vec_width: int = 0) -> pa.Table:
     }
     if mode == "sum":
         cols["fval"] = pa.array(np.zeros(n, dtype=np.float64))
-    elif mode in ("vecmax", "vecor"):
+    elif mode in ("vecmax", "vecor", "vecsum"):
+        # zero bytes are the identity for max, or, AND float64 sum
         cols["vec"] = pa.Array.from_buffers(
             pa.binary(vec_width), n, [None, pa.py_buffer(bytes(n * vec_width))]
         )
@@ -239,22 +252,28 @@ def _gather_group(
     if program.mode == "sum":
         reduced = df.groupby("dst", sort=True, as_index=False)["fval"].sum()
         reduced = reduced.rename(columns={"dst": "id", "fval": "agg"})
-    elif program.mode in ("vecmax", "vecor"):
+    elif program.mode in ("vecmax", "vecor", "vecsum"):
         m_w = program.vec_width
+        vdt = np.float64 if program.mode == "vecsum" else np.uint8
+        lanes = m_w // 8 if program.mode == "vecsum" else m_w
         dsts = df["dst"].to_numpy()
         if len(dsts):
             vecs = np.frombuffer(
-                b"".join(df["vec"].tolist()), dtype=np.uint8
-            ).reshape(len(dsts), m_w)
+                b"".join(df["vec"].tolist()), dtype=vdt
+            ).reshape(len(dsts), lanes)
             order = np.argsort(dsts, kind="stable")
             dsts = dsts[order]
             vecs = vecs[order]
             starts = np.flatnonzero(np.r_[True, dsts[1:] != dsts[:-1]])
-            op = np.maximum if program.mode == "vecmax" else np.bitwise_or
+            op = {
+                "vecmax": np.maximum,
+                "vecor": np.bitwise_or,
+                "vecsum": np.add,
+            }[program.mode]
             agg = op.reduceat(vecs, starts, axis=0)
             reduced = pd.DataFrame({"id": dsts[starts]})
         else:
-            agg = np.empty((0, m_w), dtype=np.uint8)
+            agg = np.empty((0, lanes), dtype=vdt)
             reduced = pd.DataFrame({"id": np.empty(0, dtype=np.int64)})
         reduced.attrs["vec"] = agg
     elif program.mode == "min":

@@ -361,3 +361,49 @@ def scc_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
                 p, _ = work[-1]
                 low[p] = min(low[p], low[v])
     return out
+
+
+def brandes_oracle(
+    edges: list[tuple[int, int]], sources: list[int] | None = None
+) -> dict[int, float]:
+    """Brandes dependency sums over the UNDIRECTED simple view of the
+    edge multiset (self-loops ignored): v -> sum over the given sources
+    s of delta_s(v), excluding each source's own lane.  With sources =
+    all vertices this is 2x the classic undirected betweenness."""
+    verts = sorted({v for e in edges for v in e})
+    adj: dict[int, set[int]] = {v: set() for v in verts}
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    if sources is None:
+        sources = verts
+    dep = {v: 0.0 for v in verts}
+    for s in sources:
+        # BFS with path counting
+        dist = {s: 0}
+        sigma = {v: 0.0 for v in verts}
+        sigma[s] = 1.0
+        order = [s]
+        q = [s]
+        while q:
+            nq = []
+            for v in q:
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        nq.append(w)
+                        order.append(w)
+            for v in q:
+                for w in adj[v]:
+                    if dist.get(w) == dist[v] + 1:
+                        sigma[w] += sigma[v]
+            q = nq
+        delta = {v: 0.0 for v in verts}
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                dep[w] += delta[w]
+    return dep

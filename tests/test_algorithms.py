@@ -395,3 +395,93 @@ def test_scc_partitioning_invariance(tmp_path):
         da.setdefault(v, v)
         db.setdefault(v, v)
     assert _scc_grouping(da) == _scc_grouping(db)
+
+
+# -- Brandes betweenness -------------------------------------------------------
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_betweenness_all_sources_exact(gname, tmp_path):
+    """Seeds = ALL vertices: dependency sums equal the exact Brandes
+    oracle on every micro-graph (self-loops/reciprocal edges collapse
+    to the simple undirected view)."""
+    from neo4j_webgraph_ray.pipelines.algorithms import betweenness_dependencies
+    from tests.oracles import brandes_oracle
+
+    pairs = GRAPHS[gname]
+    verts = sorted({v for e in pairs for v in e})
+    res = betweenness_dependencies(
+        edges_ds(pairs), str(tmp_path / "bc"), np.asarray(verts),
+        num_partitions=3,
+    ).to_pandas()
+    got = dict(zip(res["id"], res["dep"]))
+    oracle = brandes_oracle(pairs)
+    for v in verts:
+        assert abs(got.get(v, 0.0) - oracle[v]) < 1e-9, f"{gname}: {v}"
+
+
+def test_betweenness_chain_closed_form(tmp_path):
+    """Path 0-1-2-3, all sources: dep = 2x betweenness -> inner
+    vertices 1,2 have betweenness 2 (pairs (0,2)/(0,3) resp (1,3)...),
+    i.e. dep 4; endpoints 0."""
+    from neo4j_webgraph_ray.pipelines.algorithms import betweenness_dependencies
+
+    res = betweenness_dependencies(
+        edges_ds(GRAPHS["g_chain"]), str(tmp_path / "bc"),
+        np.asarray([0, 1, 2, 3]), num_partitions=2,
+    ).to_pandas()
+    got = dict(zip(res["id"], res["dep"]))
+    assert got == {0: 0.0, 1: 4.0, 2: 4.0, 3: 0.0}
+
+
+def test_betweenness_sampled_subset_and_partitioning(tmp_path):
+    """A 3-source sample matches the oracle restricted to the same
+    sources, independently of partition count."""
+    from neo4j_webgraph_ray.pipelines.algorithms import betweenness_dependencies
+    from tests.oracles import brandes_oracle
+
+    pairs = GRAPHS["g_random"]
+    srcs = [1, 7, 13]
+    oracle = brandes_oracle(pairs, sources=srcs)
+    for i, parts in enumerate((2, 7)):
+        res = betweenness_dependencies(
+            edges_ds(pairs), str(tmp_path / f"bc{i}"), np.asarray(srcs),
+            num_partitions=parts,
+        ).to_pandas()
+        got = dict(zip(res["id"], res["dep"]))
+        for v, x in oracle.items():
+            assert abs(got.get(v, 0.0) - x) < 1e-9, (parts, v)
+
+
+def test_q_betweenness_matches_reference_brandes(sf_smoke):
+    """The contract entry equals the reference Brandes restricted to
+    the SAME deterministic source sample, scaled (n/k)/2 — the
+    rows-only driver entry's pytest oracle."""
+    from neo4j_webgraph_ray.ids import vertex_id
+    from neo4j_webgraph_ray.queries import (
+        BETWEENNESS_SOURCES,
+        _min_vkeys,
+        graph,
+        q_betweenness,
+    )
+    from tests.oracles import brandes_oracle
+
+    got = q_betweenness(sf_smoke)
+    edges, vertices = graph(sf_smoke)
+    e = edges.select_columns(["src", "dst"]).to_pandas()
+    pairs = list(zip(e["src"].astype(int), e["dst"].astype(int)))
+    seeds_df = _min_vkeys(sf_smoke, BETWEENNESS_SOURCES)
+    srcs = [
+        int(x)
+        for x in vertex_id(
+            seeds_df["kind"].to_numpy(), seeds_df["key"].to_numpy()
+        )
+    ]
+    dep = brandes_oracle(pairs, sources=srcs)
+    v = vertices.to_pandas()
+    vk = dict(zip(v["id"].astype(int), v["kind"] + ":" + v["key"]))
+    n, k = len(dep), len(srcs)
+    want = {vk[i]: round(d * (n / k) / 2.0, 6) for i, d in dep.items()}
+    gotmap = dict(zip(got["vkey"], got["bc"]))
+    assert gotmap == want
+    assert any(x > 0 for x in gotmap.values())
