@@ -418,10 +418,11 @@ class ActorSuperstepEngine(SuperstepEngine):
     ):
         if num_partitions < 2:
             raise ValueError("actor backend needs num_partitions >= 2")
-        if program.mode in ("vecmax", "vecor"):
+        if program.mode in ("vecmax", "vecor", "vecsum"):
             raise NotImplementedError(
-                "vector-message programs (HyperBall family) run on the "
-                "Dataset backend only — pass backend='dataset'"
+                "vector-message programs (HyperBall family, multi-lane "
+                "Brandes) run on the Dataset backend only — pass "
+                "backend='dataset'"
             )
         super().__init__(
             workdir, program, num_partitions, max_steps,
