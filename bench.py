@@ -288,6 +288,11 @@ def run_bench() -> dict:
             timings[name] = round(best, 3)
             print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
+    # episodes can START mid-run (observed: a healthy start probe, then
+    # the graph-analytics section at 3-10x while the later doc entries
+    # land at quiet-class values) — a second probe bounds the run's
+    # WORST window, not just its first instant
+    out["host_health_end"] = host_health_probe()
     out["queries"] = timings
     return out
 

@@ -1962,9 +1962,57 @@ def q_graph_summary(sf_dir: str) -> pd.DataFrame:
     the 6-dp values agree bit-for-bit.  int64 partials bound the exact
     range to Σdeg² < 2^63 — beyond that (10^12-edge hubs) switch the
     partials to float and drop the bit-exactness claim."""
-    from neo4j_webgraph_ray.pipelines.triangles import undirected_with_degrees
+    from neo4j_webgraph_ray.pipelines.triangles import (
+        LOCAL_TRIANGLE_EDGE_LIMIT,
+        undirected_with_degrees,
+    )
 
     edges, _ = graph(sf_dir)
+    # same size gate as triangle_count: below the single-worker edge
+    # limit the three bucketed shuffles (simple-view dedup + two degree
+    # joins) are pure fixed overhead — compute the summary in one
+    # vectorized pass with IDENTICAL int64 partials + float op order
+    if edges.limit(LOCAL_TRIANGLE_EDGE_LIMIT + 1).count() <= LOCAL_TRIANGLE_EDGE_LIMIT:
+        src_l, dst_l = [], []
+        for b in edges.select_columns(["src", "dst"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ):
+            src_l.append(b["src"].to_numpy())
+            dst_l.append(b["dst"].to_numpy())
+        src = np.concatenate(src_l) if src_l else np.empty(0, np.int64)
+        dst = np.concatenate(dst_l) if dst_l else np.empty(0, np.int64)
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b_ = np.maximum(src[keep], dst[keep])
+        und = (
+            np.unique(np.stack([a, b_], axis=1), axis=0)
+            if len(a)
+            else np.empty((0, 2), np.int64)
+        )
+        verts, inv = np.unique(und.ravel(), return_inverse=True)
+        degc = np.bincount(inv, minlength=len(verts)).astype(np.int64)
+        e = inv.reshape(-1, 2)
+        x = degc[e[:, 0]]
+        y = degc[e[:, 1]]
+        n_v = len(verts)
+        m = len(und)
+        sx = (x + y).sum(dtype=np.int64)
+        sxx = (x * x + y * y).sum(dtype=np.int64)
+        sxy = (2 * x * y).sum(dtype=np.int64)
+        n2 = float(2 * m)
+        den = n2 * float(sxx) - float(sx) * float(sx)
+        assort = (n2 * float(sxy) - float(sx) * float(sx)) / den if den != 0.0 else 0.0
+        avg_deg = n2 / n_v if n_v else 0.0
+        return pd.DataFrame(
+            [
+                {
+                    "n_vertices": np.int64(n_v),
+                    "n_edges": np.int64(m),
+                    "avg_degree": round(avg_deg, 6),
+                    "assortativity": round(assort, 6),
+                }
+            ]
+        )
     und_deg, deg = undirected_with_degrees(edges, num_buckets=16)
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:

@@ -485,3 +485,15 @@ def test_q_betweenness_matches_reference_brandes(sf_smoke):
     gotmap = dict(zip(got["vkey"], got["bc"]))
     assert gotmap == want
     assert any(x > 0 for x in gotmap.values())
+
+
+def test_graph_summary_local_and_distributed_paths_agree(sf_smoke, monkeypatch):
+    """The single-task gate and the bucketed-join path produce the
+    identical 6-dp summary row (same int64 partials, same float ops)."""
+    import neo4j_webgraph_ray.pipelines.triangles as tri
+    from neo4j_webgraph_ray.queries import q_graph_summary
+
+    local = q_graph_summary(sf_smoke)
+    monkeypatch.setattr(tri, "LOCAL_TRIANGLE_EDGE_LIMIT", 0)
+    dist = q_graph_summary(sf_smoke)
+    pd.testing.assert_frame_equal(local, dist)
