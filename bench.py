@@ -228,6 +228,7 @@ def run_bench() -> dict:
             "betweenness",
             "triangle_count",
             "clustering_coefficient",
+            "vertex_similarity",
             "neighborhood_function",
             "effective_diameter",
             "harmonic_centrality",

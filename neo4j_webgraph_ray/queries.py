@@ -1789,6 +1789,147 @@ def q_clustering_coefficient(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vkey").reset_index(drop=True)
 
 
+#: vertex-similarity entry: result budget and the "stop-word center"
+#: degree bound — common neighbors with degree above it carry almost no
+#: similarity signal (a tool shared by 1 400 conversations says nothing
+#: about any two of them) but cost deg² wedges each: at sf0.1 the
+#: unbounded wedge count is already 10.9 M (one 1 478-degree hub alone
+#: contributes 1.09 M), i.e. 10^9+ at sf1.  Both the engine and the SQL
+#: oracle restrict neighborhoods to members with degree <= the bound.
+VERTEX_SIM_TOP_K = 50
+VERTEX_SIM_MAX_CENTER_DEG = 64
+
+
+def q_vertex_similarity(sf_dir: str) -> pd.DataFrame:
+    """Top-k most similar vertex pairs by common-neighbor Jaccard over
+    the simple undirected transcript graph (the classic link-prediction
+    scorer), with neighborhoods restricted to informative members:
+    N'(v) = {u in N(v) : deg(u) <= :data:`VERTEX_SIM_MAX_CENTER_DEG`},
+    jaccard = |N'(a)∩N'(b)| / (|N'(a)| + |N'(b)| - |N'(a)∩N'(b)|).
+    Output the :data:`VERTEX_SIM_TOP_K` best (vkey_a, vkey_b, inter,
+    jaccard), ranked by (6-dp-rounded jaccard DESC, vkey_a, vkey_b) —
+    rounding BEFORE ranking in both engines so ties are identical; the
+    stop-word bound is part of the operator's definition and the SQL
+    oracle applies the same filter.
+
+    Scale shape: wedge pairs are generated per center inside
+    center-bucketed groups (the triangle pipeline's pattern) with every
+    center's degree <= the bound by construction (so wedges <=
+    bound·|E|), counted by a bucketed (x, y) groupby, filtered degrees
+    attached via the size-gated lookup join, and the top-k is a
+    per-block partial head-k merged driver-side (blocks×k rows — the
+    pair space never materializes)."""
+    from neo4j_webgraph_ray.pipelines.triangles import undirected_simple
+
+    edges, vertices = graph(sf_dir)
+    nb = 16
+    und = undirected_simple(edges, num_buckets=nb)
+
+    def adj_rows(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        return pd.DataFrame({"c": np.r_[a, b], "n": np.r_[b, a]})
+
+    # consumed twice (degree table + center filter): pin
+    adj = und.map_batches(adj_rows, batch_format="pandas").materialize()
+    deg = bucketed_groupby(
+        adj.map_batches(
+            lambda df: df.assign(deg=np.int64(1)), batch_format="pandas"
+        ),
+        ["c"],
+        lambda df: df.groupby("c", as_index=False)["deg"].sum(),
+        num_buckets=nb,
+    )
+    # (c, n) rows whose CENTER side c is informative (deg <= bound);
+    # consumed twice (filtered-degree table + wedge stage): pin
+    adj2 = (
+        _lookup_join(adj, "c", deg, "c", "deg", "deg_c", carry_cols=["n"],
+                     num_buckets=nb, keep_key=True)
+        .map_batches(
+            lambda df: df.loc[
+                df["deg_c"].to_numpy() <= VERTEX_SIM_MAX_CENTER_DEG,
+                ["c", "n"],
+            ],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    # |N'(v)| = number of v's neighbors that survived the center filter
+    degp = bucketed_groupby(
+        adj2.map_batches(
+            lambda df: pd.DataFrame(
+                {"c": df["n"].to_numpy(), "deg": np.ones(len(df), np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["c"],
+        lambda df: df.groupby("c", as_index=False)["deg"].sum(),
+        num_buckets=nb,
+    )
+
+    def wedge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["c", "n"], kind="stable")
+        c = df["c"].to_numpy()
+        nn = df["n"].to_numpy()
+        ai, bi = pair_indices_within_groups(c)
+        return pd.DataFrame(
+            {"x": nn[ai], "y": nn[bi], "inter": np.ones(len(ai), np.int64)}
+        )
+
+    staged = adj2.map_batches(
+        lambda df: add_bucket_column(df, ["c"], nb), batch_format="pandas"
+    )
+    wedges = staged.groupby(BUCKET_COL).map_groups(wedge, batch_format="pandas")
+    inter = bucketed_groupby(
+        wedges,
+        ["x", "y"],
+        lambda df: df.groupby(["x", "y"], as_index=False)["inter"].sum(),
+        num_buckets=nb,
+    )
+    j1 = _lookup_join(inter, "x", degp, "c", "deg", "deg_x",
+                      carry_cols=["y", "inter"], num_buckets=nb, keep_key=True)
+    j2 = _lookup_join(j1, "y", degp, "c", "deg", "deg_y",
+                      carry_cols=["x", "inter", "deg_x"], num_buckets=nb,
+                      keep_key=True)
+    vk = vertices.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "id": df["id"].to_numpy(),
+                "vkey": (df["kind"].astype(str) + ":" + df["key"].astype(str)),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j3 = _lookup_join(j2, "x", vk, "id", "vkey", "vkx",
+                      carry_cols=["y", "inter", "deg_x", "deg_y"],
+                      val_default="", num_buckets=nb)
+    j4 = _lookup_join(j3, "y", vk, "id", "vkey", "vky",
+                      carry_cols=["inter", "deg_x", "deg_y", "vkx"],
+                      val_default="", num_buckets=nb)
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        it = df["inter"].to_numpy()
+        u = df["deg_x"].to_numpy() + df["deg_y"].to_numpy() - it
+        jac = np.round(it.astype(np.float64) / u, 6)
+        a = np.minimum(df["vkx"].to_numpy(), df["vky"].to_numpy())
+        b = np.maximum(df["vkx"].to_numpy(), df["vky"].to_numpy())
+        out = pd.DataFrame(
+            {"vkey_a": a, "vkey_b": b, "inter": it, "jaccard": jac}
+        )
+        out = out.sort_values(
+            ["jaccard", "vkey_a", "vkey_b"],
+            ascending=[False, True, True], kind="stable",
+        )
+        return out.head(VERTEX_SIM_TOP_K)
+
+    parts = j4.map_batches(score_topk, batch_format="pandas").to_pandas()
+    out = parts.sort_values(
+        ["jaccard", "vkey_a", "vkey_b"], ascending=[False, True, True],
+        kind="stable",
+    ).head(VERTEX_SIM_TOP_K)
+    return out.reset_index(drop=True)
+
+
 #: exact-bitset neighborhood-function gate: below this many vertices the
 #: exact path runs (vec_width ≤ 1 KB, pre-aggregated exchange ≤
 #: P·n·vec_width ≈ 128 MB/superstep at the gate); beyond it the
@@ -2769,6 +2910,34 @@ FROM hops ORDER BY hop
 """
 )
 
+VERTEX_SIM_SQL = (
+    GRAPH_SQL_PRELUDE
+    + f""",
+und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM (SELECT src_kind || ':' || src_key AS u,
+                     dst_kind || ':' || dst_key AS v FROM edges)
+        WHERE u <> v),
+adj AS (SELECT a AS c, b AS n FROM und UNION ALL SELECT b, a FROM und),
+degf AS (SELECT c, count(*) AS deg FROM adj GROUP BY c),
+adj2 AS (SELECT adj.c, adj.n FROM adj JOIN degf ON degf.c = adj.c
+         WHERE degf.deg <= {VERTEX_SIM_MAX_CENTER_DEG}),
+degp AS (SELECT n AS c, count(*) AS deg FROM adj2 GROUP BY n),
+pairs AS (SELECT l.n AS x, r.n AS y, count(*) AS inter
+          FROM adj2 l JOIN adj2 r ON l.c = r.c AND l.n < r.n
+          GROUP BY l.n, r.n),
+scored AS (SELECT p.x AS vkey_a, p.y AS vkey_b,
+                  CAST(p.inter AS BIGINT) AS inter,
+                  round(CAST(p.inter AS DOUBLE)
+                        / (dx.deg + dy.deg - p.inter), 6) AS jaccard
+           FROM pairs p
+           JOIN degp dx ON dx.c = p.x
+           JOIN degp dy ON dy.c = p.y)
+SELECT * FROM scored
+ORDER BY jaccard DESC, vkey_a, vkey_b
+LIMIT {VERTEX_SIM_TOP_K}
+"""
+)
+
 SCC_ORACLE_SQL = (
     _RECURSIVE_PRELUDE
     + """,
@@ -2943,6 +3112,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "betweenness": q_betweenness,
     "triangle_count": q_triangle_count,
     "clustering_coefficient": q_clustering_coefficient,
+    "vertex_similarity": q_vertex_similarity,
     "neighborhood_function": q_neighborhood_function,
     "effective_diameter": q_effective_diameter,
     "harmonic_centrality": q_harmonic_centrality,
@@ -2968,6 +3138,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "kcore": KCORE_ORACLE_SQL,
     "triangle_count": TRIANGLE_ORACLE_SQL,
     "clustering_coefficient": CLUSTERING_ORACLE_SQL,
+    "vertex_similarity": VERTEX_SIM_SQL,
     "neighborhood_function": NF_ORACLE_SQL,
     "effective_diameter": EFFDIAM_ORACLE_SQL,
     "harmonic_centrality": HC_ORACLE_SQL,
