@@ -204,3 +204,44 @@ def test_prepare_clears_stale_workdir(tmp_path):
     eng2.prepare(_edges_of(small))
     out = eng2.run().to_pandas()
     assert len(out) == 4  # only chain vertices, nothing from the old graph
+
+
+def test_hits_resume_identical_both_backends(tmp_path):
+    """HITS carries its per-side L1 norms through ctx (Dataset backend:
+    update_ctx replay of step metrics; actors backend: payload stats
+    recomputed from state each wave) — a run interrupted mid-iteration
+    and resumed must equal the uninterrupted fixed-step run EXACTLY on
+    both backends, and on the cross-backend path."""
+    import numpy as np
+
+    from neo4j_webgraph_ray.pipelines.algorithms import HITSProgram
+    from neo4j_webgraph_ray.state.superstep_actors import ActorSuperstepEngine
+
+    pairs = GRAPHS["g_random"]
+    doubled = [(2 * s, 2 * d + 1) for s, d in pairs] + [
+        (2 * d + 1, 2 * s) for s, d in pairs
+    ]
+    STEPS = 12
+
+    full = SuperstepEngine(
+        str(tmp_path / "full"), HITSProgram(tol=0.0), num_partitions=4,
+        max_steps=STEPS,
+    )
+    full.prepare(edges_ds(doubled))
+    truth = final_df(full.run())
+
+    for name, eng_cls in (("ds", SuperstepEngine), ("act", ActorSuperstepEngine)):
+        wd = str(tmp_path / f"res_{name}")
+        eng = eng_cls(wd, HITSProgram(tol=0.0), num_partitions=4, max_steps=5)
+        eng.prepare(edges_ds(doubled))
+        eng.run()
+        assert load_manifest(wd).status == "max_steps"
+        # resume on the OTHER backend for the actors case (cross-backend)
+        resume_cls = SuperstepEngine if name == "act" else eng_cls
+        eng2 = resume_cls(
+            wd, HITSProgram(tol=0.0), num_partitions=4, max_steps=STEPS
+        )
+        resumed = final_df(eng2.run(resume=True))
+        pd.testing.assert_frame_equal(truth, resumed), name
+        vals = resumed["val"].to_numpy()
+        assert np.isfinite(vals).all() and (vals >= 0).all()
