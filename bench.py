@@ -229,6 +229,7 @@ def run_bench() -> dict:
             "triangle_count",
             "clustering_coefficient",
             "vertex_similarity",
+            "mis",
             "neighborhood_function",
             "effective_diameter",
             "harmonic_centrality",

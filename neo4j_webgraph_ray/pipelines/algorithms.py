@@ -644,6 +644,78 @@ class BrandesBackwardProgram(VertexProgram):
         return False  # runs exactly max(Lmax) steps (engine max_steps)
 
 
+#: "no message" sentinel for MIS phases (min-mode identity)
+MIS_MSG_NONE = np.int64(np.iinfo(np.int64).max)
+
+
+class MISProgram(VertexProgram):
+    """Maximal independent set by greedy priority rounds (the
+    deterministic-priority variant of Luby's algorithm).
+
+    Vertex priority = its id (callers remap ids to the priority order
+    they want — the query entry uses dense lexicographic vkey ranks so
+    the SQL oracle can compare plain strings; production graphs should
+    remap to hash ranks instead, since adversarial priority orders cost
+    O(n) rounds while pseudo-random ones converge in O(log n) w.h.p.).
+    Input must be the SIMPLE graph without self-loops (a self-looped
+    vertex would deadlock phase A; loop semantics are excluded by the
+    operator's definition, matching the oracle's simple view).
+
+    One round = two min-mode supersteps, phase by step parity:
+      A (even): active vertices exchange priorities; an active vertex
+        strictly below every active neighbor joins the MIS.
+      B (odd): new MIS members announce; active neighbors become
+        covered.
+    The globally minimal active vertex always joins in phase A, so the
+    loop terminates; converged when no vertex is active.  Scatter
+    payloads for the NEXT phase are precomputed in gather (the engine's
+    scatter has no step context — same pattern as the Brandes lanes)."""
+
+    name = "mis"
+    undirected = True
+    mode = "min"
+
+    def config(self):
+        return {}
+
+    def init_state(self, ids, out_deg, ctx):
+        ids64 = ids.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "id": ids64,
+                "status": np.zeros(len(ids64), np.int8),  # 0 active
+                "emit": ids64.copy(),  # phase A: priorities
+            }
+        )
+
+    def init_metrics(self, state):
+        return {"n_active": float((state["status"].to_numpy() == 0).sum())}
+
+    def scatter_values(self, state):
+        return state["emit"].to_numpy()
+
+    def gather_update(self, state, reduced, ctx):
+        step = ctx["step"]
+        min_in = _aligned_agg(state, reduced, MIS_MSG_NONE).astype(np.int64)
+        ids = state["id"].to_numpy()
+        status = state["status"].to_numpy().copy()
+        out = state.copy(deep=False)
+        if step % 2 == 0:  # phase A: join decisions
+            join = (status == 0) & (ids < min_in)
+            status[join] = 1
+            emit = np.where(status == 1, ids, MIS_MSG_NONE)
+        else:  # phase B: cover neighbors of new MIS members
+            covered = (status == 0) & (min_in < MIS_MSG_NONE)
+            status[covered] = 2
+            emit = np.where(status == 0, ids, MIS_MSG_NONE)
+        out["status"] = status
+        out["emit"] = emit
+        return out, {"n_active": float((status == 0).sum())}
+
+    def converged(self, m):
+        return m.get("n_active", 1.0) == 0.0
+
+
 class KCoreProgram(VertexProgram):
     """k-core membership by distributed iterative peeling.
 
@@ -984,6 +1056,30 @@ def hits(
     )
     if not resume:
         engine.prepare(doubled_edges)
+    return engine.run(resume=resume)
+
+
+def mis(
+    simple_edges: ray.data.Dataset,
+    workdir: str,
+    num_partitions: int = 16,
+    max_steps: int = 10_000,
+    resume: bool = False,
+    backend: str = "actors",
+    checkpoint_every: int = 1,
+    run_metadata: dict | None = None,
+    filesystem=None,
+) -> ray.data.Dataset:
+    """Maximal independent set: Dataset(id, status, emit) — status 1 =
+    in the MIS, 2 = covered (0 never survives convergence).  Input must
+    be the SIMPLE graph without self-loops; vertex ids double as the
+    greedy priorities (see :class:`MISProgram`)."""
+    engine = _make_engine(
+        workdir, MISProgram(), num_partitions, max_steps,
+        backend, checkpoint_every, run_metadata, filesystem,
+    )
+    if not resume:
+        engine.prepare(simple_edges)
     return engine.run(resume=resume)
 
 

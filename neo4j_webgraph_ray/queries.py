@@ -34,6 +34,7 @@ from neo4j_webgraph_ray.pipelines.algorithms import (
     directed_min_labels,
     hits,
     kcore,
+    mis,
     label_propagation,
     pagerank,
     personalized_pagerank,
@@ -1750,6 +1751,46 @@ def q_hits(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vkey").reset_index(drop=True)
 
 
+def q_mis(sf_dir: str) -> pd.DataFrame:
+    """Maximal independent set of the simple undirected transcript
+    graph (greedy-priority Luby rounds): (vkey, in_mis 0/1) for every
+    simple-graph endpoint vertex.  Priorities are dense lexicographic
+    vkey ranks (LPA's distributed remap), so "lower priority" IS plain
+    string comparison and the DuckDB oracle reproduces the exact greedy
+    rounds; production graphs should rank by hash instead (adversarial
+    lexicographic chains cost O(n) rounds — see
+    :class:`~neo4j_webgraph_ray.pipelines.algorithms.MISProgram`)."""
+    from neo4j_webgraph_ray.pipelines.triangles import undirected_simple
+
+    edges, vertices = graph(sf_dir)
+    cap = _scale_cap()
+    jb = int(np.clip(edges.count() // 100_000 + 4, 4, cap))
+    rb = int(np.clip(vertices.count() // 100_000 + 4, 4, cap))
+    ranks = dense_rank_vkeys(vertices, num_buckets=rb)
+    small = ranks.count() <= 500_000
+    id2rank = _collect_lookup_arrays(ranks, "id", "rank") if small else None
+    rank2vkey = _collect_lookup_arrays(ranks, "rank", "vkey") if small else None
+    simple = undirected_simple(edges, num_buckets=16)
+    r1 = _lookup_join(
+        simple, "a", ranks, "id", "rank", "src", carry_cols=["b"],
+        num_buckets=jb, prebuilt_arrays=id2rank,
+    )
+    r2 = _lookup_join(r1, "b", ranks, "id", "rank", "dst",
+                      carry_cols=["src"], num_buckets=jb,
+                      prebuilt_arrays=id2rank)
+    redges = r2.materialize()  # prepare() consumes it more than once
+    state = mis(
+        redges, _workdir(sf_dir, "mis"), num_partitions=_algo_parts(edges),
+        checkpoint_every=_query_checkpoint_every(),
+    )
+    named = _lookup_join(
+        state, "id", ranks, "rank", "vkey", "vkey", carry_cols=["status"],
+        val_default="", num_buckets=rb, prebuilt_arrays=rank2vkey,
+    ).to_pandas()
+    named["in_mis"] = (named["status"].to_numpy() == 1).astype(np.int64)
+    return named[["vkey", "in_mis"]].sort_values("vkey").reset_index(drop=True)
+
+
 def q_triangle_count(sf_dir: str) -> pd.DataFrame:
     """Global triangle count of the undirected transcript graph."""
     edges, _ = graph(sf_dir)
@@ -2604,6 +2645,52 @@ def _pagerank_oracle_sql(
     )
 
 
+#: MIS oracle unroll depth — rounds beyond convergence are no-ops on an
+#: empty active set, and an UNDER-unroll self-reports: vertices the
+#: engine resolves in later rounds would disagree with the oracle's
+#: still-active state, failing the hash compare.
+MIS_ORACLE_ROUNDS = 32
+
+
+def _mis_oracle_sql(n_rounds: int = MIS_ORACLE_ROUNDS) -> str:
+    """Greedy-priority MIS rounds unrolled as chained MATERIALIZED CTEs,
+    priorities = plain string order on "kind:key" (mirroring the
+    engine's dense-rank remap exactly): per round, an active vertex
+    with no smaller ACTIVE neighbor joins; it and its neighbors leave
+    the active set."""
+    parts = [
+        "und AS MATERIALIZED (SELECT DISTINCT least(u, v) AS a, "
+        "greatest(u, v) AS b FROM (SELECT src_kind || ':' || src_key AS u, "
+        "dst_kind || ':' || dst_key AS v FROM edges) WHERE u <> v)",
+        "sym AS MATERIALIZED (SELECT a AS s, b AS d FROM und "
+        "UNION ALL SELECT b, a FROM und)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT s AS v FROM sym)",
+    ]
+    for k in range(n_rounds):
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT a.v FROM a{k} a "
+            f"WHERE NOT EXISTS (SELECT 1 FROM sym JOIN a{k} b ON b.v = sym.d "
+            f"WHERE sym.s = a.v AND sym.d < a.v))"
+        )
+        parts.append(
+            f"a{k + 1} AS MATERIALIZED (SELECT v FROM a{k} "
+            f"WHERE v NOT IN (SELECT v FROM m{k}) "
+            f"AND v NOT IN (SELECT sym.d FROM sym JOIN m{k} mm ON mm.v = sym.s))"
+        )
+    union = " UNION ALL ".join(f"SELECT v FROM m{k}" for k in range(n_rounds))
+    return (
+        GRAPH_SQL_PRELUDE
+        + ",\n"
+        + ",\n".join(parts)
+        + f",\nmis AS ({union})\n"
+        "SELECT av.v AS vkey,\n"
+        "       CAST(CASE WHEN mis.v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)"
+        " AS in_mis\n"
+        "FROM a0 av LEFT JOIN mis ON mis.v = av.v\n"
+        "ORDER BY vkey"
+    )
+
+
 def _hits_oracle_sql(n_iter: int = HITS_FIXED_STEPS) -> str:
     """Fixed-iteration simultaneous HITS unrolled as chained
     MATERIALIZED CTEs, mirroring :class:`HITSProgram` on the doubled
@@ -2806,6 +2893,7 @@ PAGERANK_ORACLE_SQL = _pagerank_oracle_sql()
 LPA_ORACLE_SQL = _lpa_oracle_sql()
 PPR_ORACLE_SQL = _ppr_oracle_sql()
 HITS_ORACLE_SQL = _hits_oracle_sql()
+MIS_ORACLE_SQL = _mis_oracle_sql()
 KCORE_ORACLE_SQL = _kcore_oracle_sql()
 
 CC_ORACLE_SQL = (
@@ -3113,6 +3201,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "triangle_count": q_triangle_count,
     "clustering_coefficient": q_clustering_coefficient,
     "vertex_similarity": q_vertex_similarity,
+    "mis": q_mis,
     "neighborhood_function": q_neighborhood_function,
     "effective_diameter": q_effective_diameter,
     "harmonic_centrality": q_harmonic_centrality,
@@ -3139,6 +3228,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "triangle_count": TRIANGLE_ORACLE_SQL,
     "clustering_coefficient": CLUSTERING_ORACLE_SQL,
     "vertex_similarity": VERTEX_SIM_SQL,
+    "mis": MIS_ORACLE_SQL,
     "neighborhood_function": NF_ORACLE_SQL,
     "effective_diameter": EFFDIAM_ORACLE_SQL,
     "harmonic_centrality": HC_ORACLE_SQL,

@@ -407,3 +407,20 @@ def brandes_oracle(
             if w != s:
                 dep[w] += delta[w]
     return dep
+
+
+def mis_oracle(edges: list[tuple[int, int]]) -> dict[int, bool]:
+    """Greedy-priority MIS over the simple undirected view (self-loops
+    dropped), priority = vertex id: v -> True iff v is in the MIS.
+    Equals the fixed-priority Luby rounds' fixpoint."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    out: dict[int, bool] = {}
+    for v in sorted(adj):
+        # greedy by ascending priority: v joins iff no smaller neighbor
+        # already joined
+        out[v] = not any(out.get(u, False) for u in adj[v] if u < v)
+    return out

@@ -497,3 +497,37 @@ def test_graph_summary_local_and_distributed_paths_agree(sf_smoke, monkeypatch):
     monkeypatch.setattr(tri, "LOCAL_TRIANGLE_EDGE_LIMIT", 0)
     dist = q_graph_summary(sf_smoke)
     pd.testing.assert_frame_equal(local, dist)
+
+
+# -- MIS -----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_mis_matches_greedy_oracle(gname, tmp_path):
+    """Fixed-priority Luby rounds == sequential greedy by priority, and
+    the result is independent and maximal."""
+    from neo4j_webgraph_ray.pipelines.algorithms import mis
+    from tests.oracles import mis_oracle
+
+    pairs = GRAPHS[gname]
+    simple = sorted(
+        {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    )
+    if not simple:
+        pytest.skip("no simple edges")
+    res = mis(edges_ds(simple), str(tmp_path / "mis"), num_partitions=3).to_pandas()
+    got = dict(zip(res["id"], res["status"]))
+    assert set(got.values()) <= {1, 2}, gname  # converged: nobody active
+    oracle = mis_oracle(pairs)
+    assert {v: s == 1 for v, s in got.items()} == oracle, gname
+    # independence + maximality, first principles
+    in_mis = {v for v, s in got.items() if s == 1}
+    adj = {}
+    for s, d in simple:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    for v in in_mis:
+        assert not (adj[v] & in_mis), f"{gname}: not independent at {v}"
+    for v, s in got.items():
+        if s != 1:
+            assert adj[v] & in_mis, f"{gname}: not maximal at {v}"
