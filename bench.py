@@ -217,6 +217,7 @@ def run_bench() -> dict:
             "count_by_kind",
             "cross_kind_pattern",
             "event_props_stats",
+            "role_transitions",
             "pagerank",
             "personalized_pagerank",
             "hits",

@@ -440,6 +440,76 @@ FROM transcripts GROUP BY hour
 """
 
 
+def q_role_transitions(sf_dir: str) -> pd.DataFrame:
+    """Role-transition matrix over stable turn order (the Markov-chain
+    view of the transcripts): for each consecutive turn pair within a
+    conversation — consecutive BY ORDER, the same gap semantics as the
+    edge derivation (§2.9) — count (role_a, role_b) transitions and the
+    row-normalized probability p = n / Σ_b n, rounded to 6 dp in both
+    engines.  The weighted companion of the deduped role-to-role edge
+    table (the reference keeps only the link's existence; this keeps
+    the multiplicity a Markov analysis needs).
+
+    Scale shape: conversations are re-bucketed by conv hash so each
+    group holds whole conversations, ONE stable sort + shifted compare
+    per group, per-group partial counts, and a #roles²-row driver
+    merge — the transcript table never leaves the cluster."""
+    ds = transcripts_from_events(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role"]
+    )
+    nb = 8
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        c = df["conv_id"].to_numpy()
+        r = df["role"].to_numpy()
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"role_a": pd.Series([], dtype=object),
+                 "role_b": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        same = c[1:] == c[:-1]
+        out = pd.DataFrame({"role_a": r[:-1][same], "role_b": r[1:][same]})
+        return out.groupby(["role_a", "role_b"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    staged = ds.map_batches(
+        lambda df: add_bucket_column(df, ["conv_id"], nb),
+        batch_format="pandas",
+    )
+    parts = (
+        staged.groupby(BUCKET_COL)
+        .map_groups(
+            lambda df: transitions(df.drop(columns=[BUCKET_COL])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    cnt = parts.groupby(["role_a", "role_b"], as_index=False)["n"].sum()
+    tot = cnt.groupby("role_a")["n"].transform("sum").to_numpy()
+    cnt["n"] = cnt["n"].astype("int64")
+    cnt["p"] = np.round(cnt["n"].to_numpy().astype(np.float64) / tot, 6)
+    return cnt.sort_values(["role_a", "role_b"]).reset_index(drop=True)
+
+
+ROLE_TRANSITIONS_SQL = f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+nx AS (SELECT role AS role_a,
+              lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                  AS role_b
+       FROM transcripts),
+cnt AS (SELECT role_a, role_b, count(*) AS n FROM nx
+        WHERE role_b IS NOT NULL GROUP BY role_a, role_b),
+tot AS (SELECT role_a, sum(n) AS t FROM cnt GROUP BY role_a)
+SELECT c.role_a, c.role_b, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / t.t, 6) AS p
+FROM cnt c JOIN tot t USING (role_a)
+ORDER BY role_a, role_b
+"""
+
+
 SAMPLE_ORACLE_SQL = f"""
 WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
 SELECT * FROM transcripts
@@ -3257,6 +3327,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "cross_kind_pattern": q_cross_kind_pattern,
     "transcript_sample": q_transcript_sample,
     "turns_per_hour": q_turns_per_hour,
+    "role_transitions": q_role_transitions,
     "user_sessions": q_user_sessions,
     "purchase_asof_click": q_purchase_asof_click,
     "error_context": q_error_context,
@@ -3284,6 +3355,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "WHERE kind = 'conv' AND \"key\" IN ('c1', 'c7', 'c11')",
     "transcript_sample": SAMPLE_ORACLE_SQL,
     "turns_per_hour": TURNS_PER_HOUR_SQL,
+    "role_transitions": ROLE_TRANSITIONS_SQL,
     "user_sessions": USER_SESSIONS_SQL,
     "purchase_asof_click": PURCHASE_ASOF_CLICK_SQL,
     "error_context": ERROR_CONTEXT_SQL,
