@@ -220,6 +220,7 @@ def run_bench() -> dict:
             "role_transitions",
             "pagerank",
             "personalized_pagerank",
+            "weighted_pagerank",
             "hits",
             "connected_components",
             "scc",

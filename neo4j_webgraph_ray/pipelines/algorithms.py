@@ -106,6 +106,38 @@ class PageRankProgram(VertexProgram):
             ctx["dangling"] = step_metrics["dangling"]
 
 
+class WeightedPageRankProgram(PageRankProgram):
+    """PageRank over edge-weighted graphs: rank mass splits along
+    out-edges in proportion to edge weight —
+    rank' = (1-d)/n + d·(Σ_in w_uv·rank_u/W_u + dangling/n), W_u = out-
+    weight sum.  Relies on the engine's weighted-edge support: prepare
+    carries the input's ``weight`` column into the partition files,
+    sum-mode scatter multiplies each message by its edge weight, and
+    ``out_deg`` arrives as the float64 out-WEIGHT sum (kept as float —
+    the parent's int64 cast would truncate fractional weights).
+    Dangling = vertices with zero out-weight, redistributed uniformly
+    (the parent's recurrence, carried through the same ctx channel)."""
+
+    name = "weighted_pagerank"
+
+    def init_state(self, ids, out_deg, ctx):
+        n = max(ctx["n"], 1)
+        return pd.DataFrame(
+            {
+                "id": ids.astype(np.int64),
+                "out_deg": np.asarray(out_deg, dtype=np.float64),
+                "rank": np.full(len(ids), 1.0 / n, dtype=np.float64),
+            }
+        )
+
+    def scatter_values(self, state):
+        out_w = state["out_deg"].to_numpy()
+        rank = state["rank"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # per-vertex value; the engine multiplies by each edge's w
+            return np.where(out_w > 0, rank / out_w, 0.0)
+
+
 class ConnectedComponentsProgram(VertexProgram):
     """Min-label propagation to fixpoint over the undirected graph.
     Labels are vertex ids; the final label of each vertex is the
@@ -816,6 +848,31 @@ def pagerank(
     engine = _make_engine(
         workdir, PageRankProgram(damping, tol), num_partitions, max_steps,
         backend, checkpoint_every, run_metadata, filesystem,
+    )
+    if not resume:
+        engine.prepare(edges)
+    return engine.run(resume=resume)
+
+
+def weighted_pagerank(
+    edges: ray.data.Dataset,
+    workdir: str,
+    num_partitions: int = 16,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_steps: int = 100,
+    resume: bool = False,
+    backend: str = "actors",
+    checkpoint_every: int = 1,
+    run_metadata: dict | None = None,
+    filesystem=None,
+) -> ray.data.Dataset:
+    """Edge-weighted PageRank: Dataset(id, out_deg=out-weight, rank);
+    ``edges`` needs int64 src/dst plus a numeric ``weight`` column
+    (without one the program degenerates to uniform PageRank)."""
+    engine = _make_engine(
+        workdir, WeightedPageRankProgram(damping, tol), num_partitions,
+        max_steps, backend, checkpoint_every, run_metadata, filesystem,
     )
     if not resume:
         engine.prepare(edges)

@@ -35,6 +35,7 @@ from neo4j_webgraph_ray.pipelines.algorithms import (
     hits,
     kcore,
     mis,
+    weighted_pagerank,
     label_propagation,
     pagerank,
     personalized_pagerank,
@@ -1455,6 +1456,97 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
     return out[["vkey", "rank"]].sort_values("vkey").reset_index(drop=True)
 
 
+def _weighted_edges(sf_dir: str, nb: int = 8) -> ray.data.Dataset:
+    """(src, dst, weight) — the PRE-dedup edge multiset's
+    multiplicities over the same derivation semantics as the deduped
+    edge table (one conv→tool row per tool-calling TURN; role→role per
+    consecutive turn pair): weight(conv→tool) = calls of that tool in
+    that conv, weight(role→role) = transition count.  Conv-bucketed
+    whole-conversation groups, per-group partial counts, bucketed sum,
+    hash ids last — the multiset itself never materializes."""
+    t = transcripts_from_events(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "tool"]
+    )
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy()
+        role = df["role"].to_numpy()
+        tool = df["tool"].to_numpy()
+        m = pd.notna(tool)
+        e1 = pd.DataFrame(
+            {"sk": "conv", "s": conv[m], "dk": "tool", "d": tool[m]}
+        )
+        same = conv[1:] == conv[:-1] if len(conv) > 1 else np.zeros(0, bool)
+        e2 = pd.DataFrame(
+            {"sk": "role", "s": role[:-1][same], "dk": "role",
+             "d": role[1:][same]}
+        )
+        e = pd.concat([e1, e2], ignore_index=True)
+        if not len(e):
+            return pd.DataFrame(
+                {"sk": pd.Series([], dtype=object),
+                 "s": pd.Series([], dtype=object),
+                 "dk": pd.Series([], dtype=object),
+                 "d": pd.Series([], dtype=object),
+                 "weight": pd.Series([], dtype="int64")}
+            )
+        return e.groupby(["sk", "s", "dk", "d"], as_index=False).size().rename(
+            columns={"size": "weight"}
+        )
+
+    staged = t.map_batches(
+        lambda df: add_bucket_column(df, ["conv_id"], nb),
+        batch_format="pandas",
+    )
+    parts = staged.groupby(BUCKET_COL).map_groups(
+        lambda df: per_group(df.drop(columns=[BUCKET_COL])),
+        batch_format="pandas",
+    )
+    summed = bucketed_groupby(
+        parts,
+        ["sk", "s", "dk", "d"],
+        lambda df: df.groupby(["sk", "s", "dk", "d"], as_index=False)[
+            "weight"
+        ].sum(),
+        num_buckets=nb,
+    )
+
+    def to_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": vertex_id(df["sk"].to_numpy(), df["s"].to_numpy()),
+                "dst": vertex_id(df["dk"].to_numpy(), df["d"].to_numpy()),
+                "weight": df["weight"].to_numpy().astype(np.float64),
+            }
+        )
+
+    return summed.map_batches(to_ids, batch_format="pandas")
+
+
+def q_weighted_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Edge-weighted PageRank over the transcript graph's edge
+    MULTIPLICITIES (conv→tool weight = per-conv call count, role→role
+    weight = transition count — the multiset the deduped edge table
+    collapses): rank mass splits along out-edges proportionally to
+    weight; (vkey, rank) rounded to 6 dp, exactly
+    :data:`PAGERANK_FIXED_STEPS` supersteps matching the unrolled
+    oracle.  Exercises the engine's weighted-edge support end to end
+    (weight column through prepare, weighted sum-mode scatter,
+    out-weight dangling)."""
+    wedges = _weighted_edges(sf_dir).materialize()
+    _, vertices = graph(sf_dir)
+    state = weighted_pagerank(
+        wedges, _workdir(sf_dir, "wpagerank"),
+        num_partitions=_algo_parts(wedges), tol=0.0,
+        max_steps=PAGERANK_FIXED_STEPS,
+        checkpoint_every=_query_checkpoint_every(),
+    )
+    out = attach_vkeys(state, vertices, ["rank"]).to_pandas()
+    out["rank"] = out["rank"].astype("float64").round(6)
+    return out[["vkey", "rank"]].sort_values("vkey").reset_index(drop=True)
+
+
 def q_connected_components(sf_dir: str) -> pd.DataFrame:
     """Connected components; per vertex the canonical component key =
     min "kind:key" string in its component (SQL-checkable via a
@@ -2761,6 +2853,49 @@ def _mis_oracle_sql(n_rounds: int = MIS_ORACLE_ROUNDS) -> str:
     )
 
 
+def _wpagerank_oracle_sql(
+    n_iter: int = PAGERANK_FIXED_STEPS, damping: float = 0.85
+) -> str:
+    """Edge-weighted power iteration unrolled like
+    :func:`_pagerank_oracle_sql`, over the PRE-dedup multiset's
+    multiplicities (``edges_raw`` counts): contribution =
+    rank/wsum*w — the engine's exact fp op order (scatter divides by
+    the out-weight, the per-edge multiply happens at message build) —
+    and dangling = zero-out-weight vertices."""
+    d = damping
+    parts = [
+        "und AS MATERIALIZED (SELECT src_kind || ':' || src_key AS s, "
+        "dst_kind || ':' || dst_key AS d, CAST(count(*) AS DOUBLE) AS w "
+        "FROM edges_raw GROUP BY 1, 2)",
+        "od AS MATERIALIZED (SELECT s AS v, sum(w) AS wsum FROM und GROUP BY s)",
+        "verts AS MATERIALIZED (SELECT vv.v, coalesce(od.wsum, 0.0) AS wsum "
+        "FROM (SELECT s AS v FROM und UNION SELECT d FROM und) vv "
+        "LEFT JOIN od USING(v))",
+        "cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "r0 AS MATERIALIZED (SELECT v, wsum, 1.0/cnt.n AS rank "
+        "FROM verts CROSS JOIN cnt)",
+    ]
+    for k in range(n_iter):
+        parts.append(
+            f"r{k + 1} AS MATERIALIZED (\n"
+            f"  SELECT p.v, p.wsum,\n"
+            f"         (1-{d})/cnt.n + {d}*(coalesce(s.m, 0.0) + dang.dm/cnt.n) AS rank\n"
+            f"  FROM r{k} p\n"
+            f"  LEFT JOIN (SELECT und.d AS v, sum(p2.rank/p2.wsum*und.w) AS m\n"
+            f"             FROM r{k} p2 JOIN und ON und.s = p2.v\n"
+            f"             WHERE p2.wsum > 0 GROUP BY und.d) s ON s.v = p.v\n"
+            f"  CROSS JOIN (SELECT coalesce(sum(rank) FILTER (WHERE wsum = 0),"
+            f" 0.0) AS dm FROM r{k}) dang\n"
+            f"  CROSS JOIN cnt)"
+        )
+    return (
+        GRAPH_SQL_PRELUDE
+        + ",\n"
+        + ",\n".join(parts)
+        + f'\nSELECT v AS vkey, round(rank, 6) AS "rank" FROM r{n_iter} ORDER BY vkey'
+    )
+
+
 def _hits_oracle_sql(n_iter: int = HITS_FIXED_STEPS) -> str:
     """Fixed-iteration simultaneous HITS unrolled as chained
     MATERIALIZED CTEs, mirroring :class:`HITSProgram` on the doubled
@@ -2964,6 +3099,7 @@ LPA_ORACLE_SQL = _lpa_oracle_sql()
 PPR_ORACLE_SQL = _ppr_oracle_sql()
 HITS_ORACLE_SQL = _hits_oracle_sql()
 MIS_ORACLE_SQL = _mis_oracle_sql()
+WPAGERANK_ORACLE_SQL = _wpagerank_oracle_sql()
 KCORE_ORACLE_SQL = _kcore_oracle_sql()
 
 CC_ORACLE_SQL = (
@@ -3259,6 +3395,7 @@ JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
 GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "pagerank": q_pagerank,
     "personalized_pagerank": q_personalized_pagerank,
+    "weighted_pagerank": q_weighted_pagerank,
     "hits": q_hits,
     "connected_components": q_connected_components,
     "scc": q_scc,
@@ -3289,6 +3426,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
 GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "pagerank": PAGERANK_ORACLE_SQL,
     "personalized_pagerank": PPR_ORACLE_SQL,
+    "weighted_pagerank": WPAGERANK_ORACLE_SQL,
     "hits": HITS_ORACLE_SQL,
     "label_propagation": LPA_ORACLE_SQL,
     "connected_components": CC_ORACLE_SQL,

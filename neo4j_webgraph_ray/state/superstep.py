@@ -138,10 +138,13 @@ def _scatter_batch(
     outs: list[pa.Table] = []
     for part in batch["id"].to_pylist():
         epath = fsio.join(edges_dir(workdir), f"part={part}.parquet")
+        ew = None
         if fsio.exists(epath, fs=fs):
-            et = fsio.read_table(epath, columns=["src", "dst"], fs=fs)
+            et = fsio.read_table(epath, fs=fs)
             src = et["src"].to_numpy()
             dst = et["dst"].to_numpy()  # sorted by dst at prepare time
+            if "weight" in et.column_names:
+                ew = et["weight"].to_numpy()
         else:
             src = dst = np.empty(0, dtype=np.int64)
         state = _load_state(workdir, step, part, fs=fs)
@@ -150,6 +153,9 @@ def _scatter_batch(
             svals = program.scatter_values(state)
             eidx = np.searchsorted(state_ids, src)
             evals = svals[eidx]
+            if ew is not None and program.mode == "sum":
+                # weighted sum-mode message = scatter value × edge weight
+                evals = evals * ew
             # run-boundary pre-aggregation by dst (dst is sorted)
             starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
             dst_u = dst[starts]
@@ -357,15 +363,30 @@ class SuperstepEngine:
         fsio.makedirs(state_dir(workdir, 0), fs=fs)
         undirected = self.program.undirected
 
+        # optional per-edge weights: a float64/int "weight" column on the
+        # input flows into the partition files; sum-mode scatter then
+        # multiplies each message by its edge weight and out_deg becomes
+        # the OUT-WEIGHT sum (weighted programs read it as float).
+        # min/mode/vector modes ignore weights.
+        _schema = edges.schema()
+        weighted = _schema is not None and "weight" in (_schema.names or [])
+
         def add_part(t: pa.Table) -> pa.Table:
             src = t["src"].to_numpy()
             dst = t["dst"].to_numpy()
+            cols = {}
+            if weighted:
+                w = t["weight"].to_numpy().astype(np.float64)
+                if undirected:
+                    w = np.r_[w, w]
+                cols["weight"] = pa.array(w, type=pa.float64())
             if undirected:
                 src, dst = np.r_[src, dst], np.r_[dst, src]
             return pa.table(
                 {
                     "src": pa.array(src, type=pa.int64()),
                     "dst": pa.array(dst, type=pa.int64()),
+                    **cols,
                     "part": pa.array(part_of(src, P)),
                 }
             )
@@ -375,12 +396,15 @@ class SuperstepEngine:
             if dedup:
                 df = df.drop_duplicates(["src", "dst"])
             df = df.sort_values("dst", kind="stable")  # dst-sorted => reduceat runs
-            t = pa.table(
-                {
-                    "src": pa.array(df["src"].to_numpy(), type=pa.int64()),
-                    "dst": pa.array(df["dst"].to_numpy(), type=pa.int64()),
-                }
-            )
+            cols = {
+                "src": pa.array(df["src"].to_numpy(), type=pa.int64()),
+                "dst": pa.array(df["dst"].to_numpy(), type=pa.int64()),
+            }
+            if weighted:
+                cols["weight"] = pa.array(
+                    df["weight"].to_numpy(), type=pa.float64()
+                )
+            t = pa.table(cols)
             atomic_write_parquet(
                 t, fsio.join(edges_dir(workdir), f"part={part}.parquet"), fs=fs
             )
@@ -414,10 +438,20 @@ class SuperstepEngine:
             src = t["src"].to_numpy()
             dst = t["dst"].to_numpy()
             ids = np.r_[src, dst]
-            out_c = np.r_[np.ones(len(src), dtype=np.int64), np.zeros(len(dst), dtype=np.int64)]
+            if weighted:
+                # weighted graphs: out_deg becomes the OUT-WEIGHT sum
+                w = t["weight"].to_numpy().astype(np.float64)
+                out_c = np.r_[w, np.zeros(len(dst), dtype=np.float64)]
+            else:
+                out_c = np.r_[
+                    np.ones(len(src), dtype=np.int64),
+                    np.zeros(len(dst), dtype=np.int64),
+                ]
             # local combine
             u, inv = np.unique(ids, return_inverse=True)
-            deg = np.bincount(inv, weights=out_c).astype(np.int64)
+            deg = np.bincount(inv, weights=out_c)
+            if not weighted:
+                deg = deg.astype(np.int64)
             return pa.table(
                 {
                     "id": pa.array(u, type=pa.int64()),
@@ -433,10 +467,13 @@ class SuperstepEngine:
         def write_vertex_part(df: pd.DataFrame) -> pd.DataFrame:
             part = int(df["part"].iloc[0])
             g = df.groupby("id", sort=True, as_index=False)["out_c"].sum()
+            deg = g["out_c"].to_numpy()
             t = pa.table(
                 {
                     "id": pa.array(g["id"].to_numpy(), type=pa.int64()),
-                    "out_deg": pa.array(g["out_c"].to_numpy().astype(np.int64)),
+                    "out_deg": pa.array(
+                        deg if weighted else deg.astype(np.int64)
+                    ),
                 }
             )
             atomic_write_parquet(t, fsio.join(vdir, f"part={part}.parquet"), fs=fs)

@@ -66,10 +66,13 @@ class _PartBlock:
 
     def __init__(self, workdir: str, part: int, P: int, start_step: int, fs=None):
         epath = fsio.join(edges_dir(workdir), f"part={part}.parquet")
+        self.edge_w = None
         if fsio.exists(epath, fs=fs):
-            et = fsio.read_table(epath, columns=["src", "dst"], fs=fs)
+            et = fsio.read_table(epath, fs=fs)
             src = et["src"].to_numpy()
             dst = et["dst"].to_numpy()  # dst-sorted at prepare time
+            if "weight" in et.column_names:
+                self.edge_w = et["weight"].to_numpy()
         else:
             src = dst = np.empty(0, dtype=np.int64)
         self.state = fsio.read_table(
@@ -169,6 +172,9 @@ class ShardWorker:
             return None, None, None, None, stats
         svals = prog.scatter_values(blk.state)
         evals = svals[blk.edge_src_idx]
+        if blk.edge_w is not None and mode == "sum":
+            # weighted sum-mode message = scatter value × edge weight
+            evals = evals * blk.edge_w
         if mode in ("sum", "min"):
             if mode == "sum":
                 agg = np.add.reduceat(evals, blk.run_starts)

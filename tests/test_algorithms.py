@@ -531,3 +531,76 @@ def test_mis_matches_greedy_oracle(gname, tmp_path):
     for v, s in got.items():
         if s != 1:
             assert adj[v] & in_mis, f"{gname}: not maximal at {v}"
+
+
+# -- weighted PageRank ---------------------------------------------------------
+
+
+def weighted_edges_ds(triples) -> ray.data.Dataset:
+    t = pa.table(
+        {
+            "src": pa.array([s for s, _, _ in triples], type=pa.int64()),
+            "dst": pa.array([d for _, d, _ in triples], type=pa.int64()),
+            "weight": pa.array([w for _, _, w in triples], type=pa.float64()),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def wpagerank_oracle(triples, n_iter=100, d=0.85):
+    """Dense weighted power iteration with dangling redistribution."""
+    verts = sorted({v for s, t, _ in triples for v in (s, t)})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    W = np.zeros(n)
+    for s, _, w in triples:
+        W[idx[s]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dang = r[W == 0].sum()
+        new = np.full(n, (1 - d) / n) + d * dang / n
+        for s, t, w in triples:
+            new[idx[t]] += d * (r[idx[s]] / W[idx[s]]) * w
+        r = new
+    return {v: r[i] for v, i in idx.items()}
+
+
+@pytest.mark.parametrize("backend", ["actors", "dataset"])
+def test_weighted_pagerank_matches_oracle(backend, tmp_path):
+    from neo4j_webgraph_ray.pipelines.algorithms import weighted_pagerank
+
+    triples = [
+        (0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+        (3, 0, 5.0), (3, 1, 0.5), (4, 4, 1.0), (2, 5, 4.0),
+    ]
+    res = weighted_pagerank(
+        weighted_edges_ds(triples), str(tmp_path / f"wpr_{backend}"),
+        num_partitions=3, tol=0.0, max_steps=100, backend=backend,
+    ).to_pandas()
+    oracle = wpagerank_oracle(triples)
+    got = dict(zip(res["id"], res["rank"]))
+    assert set(got) == set(oracle)
+    for v, r in oracle.items():
+        assert abs(got[v] - r) < 1e-9, (backend, v, got[v], r)
+    assert abs(res["rank"].sum() - 1.0) < 1e-9
+
+
+def test_weighted_pagerank_unit_weights_equal_unweighted(tmp_path):
+    """weight=1 everywhere must reproduce plain PageRank exactly (the
+    weighted path is a strict generalization)."""
+    from neo4j_webgraph_ray.pipelines.algorithms import weighted_pagerank
+
+    pairs = GRAPHS["g_random"]
+    plain = pagerank(
+        edges_ds(pairs), str(tmp_path / "p"), num_partitions=4,
+        tol=0.0, max_steps=60,
+    ).to_pandas()
+    w = weighted_pagerank(
+        weighted_edges_ds([(s, d, 1.0) for s, d in pairs]),
+        str(tmp_path / "w"), num_partitions=4, tol=0.0, max_steps=60,
+    ).to_pandas()
+    pm = dict(zip(plain["id"], plain["rank"]))
+    wm = dict(zip(w["id"], w["rank"]))
+    assert set(pm) == set(wm)
+    for v in pm:
+        assert abs(pm[v] - wm[v]) < 1e-12, v
