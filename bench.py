@@ -218,6 +218,7 @@ def run_bench() -> dict:
             "cross_kind_pattern",
             "event_props_stats",
             "role_transitions",
+            "incremental_edges",
             "pagerank",
             "personalized_pagerank",
             "weighted_pagerank",

@@ -185,6 +185,52 @@ def q_vertices(sf_dir: str) -> ray.data.Dataset:
     return vertices.select_columns(VERTEX_OUT_COLS)
 
 
+def q_incremental_edges(sf_dir: str) -> ray.data.Dataset:
+    """Incremental re-import of the edge table: derive edges from the
+    even-user half of the corpus, then fold in the odd-user half's
+    DELTA without re-deriving the old half — the reference's idempotent
+    re-import lifecycle (``BatchGraphImporter.java:173-197`` re-runs
+    merge the same URLs without duplication) as a first-class batch
+    operator.  The merge is the SAME algebra the per-batch dedup uses
+    (group by the 4-key edge identity, per-column min provenance), so
+    incremental == full build — the oracle is the ordinary full-build
+    edges SQL and the driver's hash compare IS the equivalence proof.
+
+    At scale this is the daily-crawl path: yesterday's deduped edge
+    table (already partitioned) + today's delta derivation, one
+    bucketed merge; nothing re-reads yesterday's transcripts."""
+    from neo4j_webgraph_ray.stages.derive import derive_edges
+
+    t = transcripts_from_events(sf_dir).materialize()
+
+    def half(parity: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            u = (
+                df["conv_id"].str.slice(1).astype("int64").to_numpy() % 2
+                == parity
+            )
+            return df.loc[u]
+
+        return f
+
+    t_old = t.map_batches(half(0), batch_format="pandas")
+    t_new = t.map_batches(half(1), batch_format="pandas")
+    e_old = derive_edges(t_old, num_buckets=16).select_columns(EDGE_OUT_COLS)
+    e_new = derive_edges(t_new, num_buckets=16).select_columns(EDGE_OUT_COLS)
+
+    def remerge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            ["src_kind", "src_key", "dst_kind", "dst_key"], as_index=False
+        ).agg(conv_id=("conv_id", "min"), turn_idx=("turn_idx", "min"))
+
+    return bucketed_groupby(
+        e_old.union(e_new),
+        ["src_kind", "src_key", "dst_kind", "dst_key"],
+        remerge,
+        num_buckets=16,
+    ).select_columns(EDGE_OUT_COLS)
+
+
 def q_top_in_degree(sf_dir: str, k: int = 50) -> pd.DataFrame:
     """Q1: top-k vertices by in-degree (``README.md:107-112`` order-by
     nrOflinks desc limit); total order (in_deg desc, kind, key) so the
@@ -3455,6 +3501,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
 RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "transcripts": q_transcripts,
     "edges": q_edges,
+    "incremental_edges": q_incremental_edges,
     "vertices": q_vertices,
     "top_in_degree": q_top_in_degree,
     "degree_threshold": q_degree_threshold,
@@ -3477,6 +3524,10 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
 RELATIONAL_ORACLES: dict[str, str] = {
     "transcripts": f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}) SELECT * FROM transcripts",
     "edges": GRAPH_SQL_PRELUDE + "SELECT * FROM edges",
+    # incremental == full build: the FULL-build SQL is the oracle, the
+    # hash compare is the idempotent-re-import equivalence proof
+    "incremental_edges": GRAPH_SQL_PRELUDE
+    + f"SELECT {', '.join(EDGE_OUT_COLS)} FROM edges",
     "vertices": GRAPH_SQL_PRELUDE + 'SELECT kind, "key", content, in_deg, out_deg FROM vertices',
     "top_in_degree": GRAPH_SQL_PRELUDE
     + 'SELECT kind, "key", in_deg FROM vertices ORDER BY in_deg DESC, kind, "key" LIMIT 50',
