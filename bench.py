@@ -250,6 +250,7 @@ def run_bench() -> dict:
             "dedup_exact_docs",
             # training-data assembly family
             "pack_sequences",
+            "chunk_documents",
             "benchmark_contamination",
             "repetition_metrics",
             "train_split",

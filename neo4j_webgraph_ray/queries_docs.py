@@ -1155,6 +1155,102 @@ def _bucket_prefix_offsets(
     return offsets, int(totals.sum())
 
 
+#: sliding-window chunking: window size and stride in whitespace tokens
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def q_chunk_documents(sf_dir: str) -> ray.data.Dataset:
+    """Fixed-size sliding-window token chunking — the training-data
+    inverse of ``pack_sequences``: every document becomes overlapping
+    windows of :data:`CHUNK_TOKENS` whitespace tokens at stride
+    :data:`CHUNK_STRIDE` (window starts 0, 48, 96, … while < n_tokens;
+    the tail window is shorter).  Output (doc_id, chunk_idx, n_tokens,
+    chunk_text); empty/whitespace-only documents yield no chunks.
+    Tokens are the SHARED ``ws_token_lists`` tokenizer with empty
+    tokens dropped — the exact expression the oracle's
+    ``list_filter(string_split_regex(...))`` computes.
+
+    Fully vectorized per batch: one flatten, one filter, offsets
+    arithmetic for the overlapping gathers, one Arrow ``take`` + one
+    ``binary_join`` — no per-document Python.  Pure map stage (no
+    shuffle); chunk rows stream straight to the consumer."""
+    from neo4j_webgraph_ray.functions.text import ws_token_lists
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lists = ws_token_lists(batch["text"])
+        counts = (
+            pc.fill_null(pc.list_value_length(lists), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(lists)  # skips null lists, matching the fill
+        keep = pc.not_equal(flat, "")
+        keepnp = keep.to_numpy(zero_copy_only=False)
+        docidx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        n = np.bincount(docidx[keepnp], minlength=len(counts)).astype(np.int64)
+        flat_kept = flat.filter(keep)
+        base = np.r_[0, np.cumsum(n)]
+        n_chunks = np.where(n > 0, (n - 1) // CHUNK_STRIDE + 1, 0)
+        ci = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+        cstart = np.r_[0, np.cumsum(n_chunks)]
+        ordinal = np.arange(int(n_chunks.sum()), dtype=np.int64) - np.repeat(
+            cstart[:-1], n_chunks
+        )
+        s = ordinal * CHUNK_STRIDE
+        e = np.minimum(s + CHUNK_TOKENS, n[ci]) if len(ci) else s
+        lens = e - s
+        gstart = base[ci] + s
+        total = int(lens.sum())
+        gidx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.r_[0, np.cumsum(lens)][:-1], lens)
+            + np.repeat(gstart, lens)
+        )
+        gathered = flat_kept.take(pa.array(gidx, type=pa.int64()))
+        if isinstance(gathered, pa.ChunkedArray):
+            gathered = gathered.combine_chunks()
+        offs = np.r_[0, np.cumsum(lens)].astype(np.int32)
+        chunk_list = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), gathered
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(pa.array(ci, type=pa.int64())),
+                "chunk_idx": pa.array(ordinal, type=pa.int64()),
+                "n_tokens": pa.array(lens.astype(np.int64), type=pa.int64()),
+                "chunk_text": pc.binary_join(chunk_list, " "),
+            }
+        )
+
+    return docs.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+nn AS (SELECT doc_id, t, len(t) AS n FROM toks),
+st AS (SELECT doc_id, t, n, unnest(range(0, n, {CHUNK_STRIDE})) AS s
+       FROM nn WHERE n > 0)
+SELECT doc_id,
+       CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(least(s + {CHUNK_TOKENS}, n) - s AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(t, s + 1, least(s + {CHUNK_TOKENS}, n)),
+                       ' ') AS chunk_text
+FROM st
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_pack_sequences(
     sf_dir: str, capacity: int = PACK_CAPACITY, nbuckets: int | None = None
 ) -> ray.data.Dataset:
@@ -1978,6 +2074,7 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "dup_window_counts": q_dup_window_counts,
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "pack_sequences": q_pack_sequences,
+    "chunk_documents": q_chunk_documents,
     "benchmark_contamination": q_benchmark_contamination,
     "curated_corpus": q_curated_corpus,
     "repetition_metrics": q_repetition_metrics,
@@ -2021,6 +2118,7 @@ DOC_ORACLES: dict[str, str] = {
     "dup_window_counts": DUP_WINDOW_SQL,
     "token_quantiles_by_lang": TOKEN_QUANTILES_SQL,
     "pack_sequences": PACK_SQL,
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "benchmark_contamination": CONTAM_SQL,
     "curated_corpus": CURATED_SQL.format(quality_sql=QUALITY_SQL),
     "repetition_metrics": REPETITION_SQL,
