@@ -1155,6 +1155,36 @@ def _bucket_prefix_offsets(
     return offsets, int(totals.sum())
 
 
+def q_normalize_text(sf_dir: str) -> ray.data.Dataset:
+    """Text normalization — the first stage of every training-data
+    pipeline: collapse whitespace runs to single spaces, trim, casefold
+    to lower.  (doc_id, norm_text); null text stays null.  Pure Arrow
+    kernel map stage (regex replace + trim + lower), no shuffle —
+    downstream dedup/quality stages consume the stream directly."""
+    import pyarrow.compute as pc
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(
+            pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(batch["text"], r"\s+", " ")
+            )
+        )
+        return pa.table({"doc_id": batch["doc_id"], "norm_text": t})
+
+    return docs.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+NORMALIZE_TEXT_SQL = """
+SELECT doc_id,
+       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
+FROM documents
+ORDER BY doc_id
+"""
+
+
 #: sliding-window chunking: window size and stride in whitespace tokens
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
@@ -2075,6 +2105,7 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "pack_sequences": q_pack_sequences,
     "chunk_documents": q_chunk_documents,
+    "normalize_text": q_normalize_text,
     "benchmark_contamination": q_benchmark_contamination,
     "curated_corpus": q_curated_corpus,
     "repetition_metrics": q_repetition_metrics,
@@ -2119,6 +2150,7 @@ DOC_ORACLES: dict[str, str] = {
     "token_quantiles_by_lang": TOKEN_QUANTILES_SQL,
     "pack_sequences": PACK_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "normalize_text": NORMALIZE_TEXT_SQL,
     "benchmark_contamination": CONTAM_SQL,
     "curated_corpus": CURATED_SQL.format(quality_sql=QUALITY_SQL),
     "repetition_metrics": REPETITION_SQL,
