@@ -251,6 +251,7 @@ def run_bench() -> dict:
             # training-data assembly family
             "pack_sequences",
             "chunk_documents",
+            "normalize_text",
             "benchmark_contamination",
             "repetition_metrics",
             "train_split",
