@@ -2511,6 +2511,334 @@ def q_reciprocity(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the directed transcript graph (one row:
+    n_edges, r_out_in, r_in_out, r_out_out, r_in_in) — the Pearson
+    correlation of endpoint degrees across edges (Newman's mixing
+    coefficient) in all four directed flavors: do high-degree vertices
+    link to high-degree vertices?  Companion moment to ``reciprocity``
+    and ``graph_summary`` over the reference's per-page degree counters
+    (``README.md:103-131``, ``PageNode.java:215-227``).
+
+    Scale shape: each vertex's (in_deg, out_deg) pair is PACKED into
+    one int64 (degrees bounded by 2^31 — asserted per batch), so both
+    endpoint attachments reuse the size-gated :func:`_lookup_join`
+    (broadcast at ≤500 K vertices, bucketed co-group beyond); the four
+    correlations then fold from per-batch moment partials (ONE row per
+    batch — only the #batches-row partial frame reaches the driver).
+    Moment sums accumulate in float64 (exact at int degree products
+    below 2^53; the 6-dp rounding both engines apply absorbs the tail).
+    Zero-variance flavors are defined as r = 0.0, mirroring the
+    oracle's ``coalesce(corr(..), 0.0)``."""
+    edges, vertices = graph(sf_dir)
+    _LO32 = np.uint64(0xFFFFFFFF)
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["in_deg"].to_numpy().astype(np.int64)
+        o = df["out_deg"].to_numpy().astype(np.int64)
+        assert int(i.max(initial=0)) < 2**31 and int(o.max(initial=0)) < 2**31
+        packed = ((o.astype(np.uint64) << np.uint64(32))
+                  | i.astype(np.uint64)).view(np.int64)
+        return pd.DataFrame({"id": df["id"].to_numpy(), "packed": packed})
+
+    deg = vertices.select_columns(["id", "in_deg", "out_deg"]).map_batches(
+        pack, batch_format="pandas"
+    )
+    e1 = _lookup_join(
+        edges.select_columns(["src", "dst"]), "src", deg, "id", "packed",
+        "ps", carry_cols=["dst"],
+    )
+    e2 = _lookup_join(e1, "dst", deg, "id", "packed", "pd_", carry_cols=["ps"])
+
+    FLAVORS = ("oi", "io", "oo", "ii")
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        ps = df["ps"].to_numpy().view(np.uint64)
+        pdn = df["pd_"].to_numpy().view(np.uint64)
+        so = (ps >> np.uint64(32)).astype(np.float64)
+        si = (ps & _LO32).astype(np.float64)
+        do_ = (pdn >> np.uint64(32)).astype(np.float64)
+        di = (pdn & _LO32).astype(np.float64)
+        out = {"n": np.int64(len(df))}
+        for name, x, y in (
+            ("oi", so, di), ("io", si, do_), ("oo", so, do_), ("ii", si, di)
+        ):
+            out[f"sx_{name}"] = x.sum()
+            out[f"sy_{name}"] = y.sum()
+            out[f"sxx_{name}"] = (x * x).sum()
+            out[f"syy_{name}"] = (y * y).sum()
+            out[f"sxy_{name}"] = (x * y).sum()
+        return pd.DataFrame([out])
+
+    parts = e2.map_batches(moments, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum()) if len(parts) else 0
+    row: dict = {"n_edges": np.int64(n)}
+    for f in FLAVORS:
+        if n == 0:
+            r = 0.0
+        else:
+            sx = float(parts[f"sx_{f}"].sum())
+            sy = float(parts[f"sy_{f}"].sum())
+            sxx = float(parts[f"sxx_{f}"].sum())
+            syy = float(parts[f"syy_{f}"].sum())
+            sxy = float(parts[f"sxy_{f}"].sum())
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            r = (n * sxy - sx * sy) / np.sqrt(vx * vy) if vx > 0 and vy > 0 else 0.0
+        row[{"oi": "r_out_in", "io": "r_in_out",
+             "oo": "r_out_out", "ii": "r_in_in"}[f]] = round(float(r), 6)
+    return pd.DataFrame([row])
+
+
+ASSORTATIVITY_SQL = (
+    GRAPH_SQL_PRELUDE
+    + """,
+e AS (SELECT src_kind || ':' || src_key AS s, dst_kind || ':' || dst_key AS d
+      FROM edges),
+v AS (SELECT kind || ':' || key AS vk, in_deg, out_deg FROM vertices),
+j AS (SELECT vs.out_deg AS so, vs.in_deg AS si,
+             vd.out_deg AS dout, vd.in_deg AS di
+      FROM e JOIN v vs ON e.s = vs.vk JOIN v vd ON e.d = vd.vk)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       round(coalesce(corr(CAST(so AS DOUBLE), CAST(di AS DOUBLE)), 0.0), 6)
+           AS r_out_in,
+       round(coalesce(corr(CAST(si AS DOUBLE), CAST(dout AS DOUBLE)), 0.0), 6)
+           AS r_in_out,
+       round(coalesce(corr(CAST(so AS DOUBLE), CAST(dout AS DOUBLE)), 0.0), 6)
+           AS r_out_out,
+       round(coalesce(corr(CAST(si AS DOUBLE), CAST(di AS DOUBLE)), 0.0), 6)
+           AS r_in_in
+FROM j
+"""
+)
+
+
+#: random-walk generation: number of steps (unrolled join depth in the
+#: oracle — keep small) and the two mixing constants of the per-(walk,
+#: step) multiplicative hash, shared verbatim by the SQL mirror.
+WALK_STEPS = 3
+_WALK_A = 2654435761  # Knuth multiplicative constant
+_WALK_B = 40503
+
+
+def _walk_h(walk_id: np.ndarray, step: int) -> np.ndarray:
+    """Deterministic per-(walk, step) uniform: the SQL-expressible
+    multiplicative mix ``((walk_id % 2^31) * A + step * B) % 2^32`` —
+    exact in BIGINT (max product < 2^63) and in uint64."""
+    w = walk_id.astype(np.uint64) % np.uint64(2**31)
+    return (
+        w * np.uint64(_WALK_A) + np.uint64(step * _WALK_B)
+    ) % np.uint64(2**32)
+
+
+def q_random_walks(sf_dir: str) -> pd.DataFrame:
+    """Deterministic random walks over the UNDIRECTED transcript graph
+    — the DeepWalk/node2vec corpus-generation primitive (walks are
+    conventionally taken on the symmetrized view so they don't die at
+    sink vertices like tools): one walk per conv vertex with out-edges,
+    :data:`WALK_STEPS` steps, where the step-t successor of the current
+    vertex is its distinct neighbor at rank ``h(walk, t) mod deg``
+    under the lexicographic (kind, key) neighbor order.  Output
+    (walk_id, step, vkey) including step 0 (the seed); an isolated
+    vertex ends its walk.  Fully deterministic (no RNG), so
+    SQL-mirrored exactly by :data:`WALK_STEPS` unrolled rank joins.
+
+    Scale shape: each step is ONE bucketed co-group of the frontier
+    with the (column-pruned, materialized-once, direction-doubled) edge
+    table on the current-vertex hash — neighbor ranks are re-derived
+    bucket-locally by lexsort, so no global adjacency index is ever
+    built and the frontier (#walks rows) is the only state that crosses
+    steps.  The walk emission joins back to readable keys via the
+    size-gated :func:`attach_vkeys`."""
+    from neo4j_webgraph_ray.stages.core import add_bucket_column
+
+    edges, vertices = graph(sf_dir)
+    nb = _algo_parts(edges)
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame(
+            {"src": df["src"].to_numpy(), "dst": df["dst"].to_numpy(),
+             "dst_kind": df["dst_kind"].to_numpy(),
+             "dst_key": df["dst_key"].to_numpy()}
+        )
+        rev = pd.DataFrame(
+            {"src": df["dst"].to_numpy(), "dst": df["src"].to_numpy(),
+             "dst_kind": df["src_kind"].to_numpy(),
+             "dst_key": df["src_key"].to_numpy()}
+        )
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    # CSR-analog reuse: L steps re-scan the adjacency, so pin the
+    # 4-column direction-doubled projection once instead of re-deriving
+    # the edge table from events every step
+    adj = (
+        edges.select_columns(
+            ["src", "dst", "src_kind", "src_key", "dst_kind", "dst_key"]
+        )
+        .map_batches(symmetrize, batch_format="pandas")
+        .materialize()
+    )
+
+    def seed_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["kind"] == "conv") & (df["out_deg"].to_numpy() > 0)]
+        return pd.DataFrame(
+            {
+                "walk_id": df["key"].str.slice(1).to_numpy(np.int64)
+                if len(df) else np.empty(0, np.int64),
+                "cur": df["id"].to_numpy(),
+            }
+        )
+
+    frontier = vertices.select_columns(["id", "kind", "key", "out_deg"]).map_batches(
+        seed_batch, batch_format="pandas"
+    ).materialize()
+
+    def tag_adj(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"src": "_k"})
+        out["walk_id"] = np.int64(0)
+        out["_t"] = np.int8(1)
+        return add_bucket_column(
+            out[["_k", "walk_id", "dst", "dst_kind", "dst_key", "_t"]],
+            ["_k"], nb,
+        )
+
+    adj_tagged = adj.map_batches(tag_adj, batch_format="pandas")
+
+    outputs = [
+        frontier.map_batches(
+            lambda df: pd.DataFrame(
+                {"id": df["cur"].to_numpy(),
+                 "walk_id": df["walk_id"].to_numpy(),
+                 "step": np.zeros(len(df), np.int64)}
+            ),
+            batch_format="pandas",
+        )
+    ]
+    for t in range(1, WALK_STEPS + 1):
+
+        def tag_frontier(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.rename(columns={"cur": "_k"})
+            out["dst"] = np.int64(0)
+            out["dst_kind"] = ""
+            out["dst_key"] = ""
+            out["_t"] = np.int8(0)
+            return add_bucket_column(
+                out[["_k", "walk_id", "dst", "dst_kind", "dst_key", "_t"]],
+                ["_k"], nb,
+            )
+
+        def resolve(df: pd.DataFrame, step: int = t) -> pd.DataFrame:
+            is_adj = df["_t"].to_numpy() == 1
+            a = df.loc[is_adj]
+            f = df.loc[~is_adj]
+            if not len(a) or not len(f):
+                return pd.DataFrame(
+                    {"walk_id": pd.Series([], dtype=np.int64),
+                     "cur": pd.Series([], dtype=np.int64)}
+                )
+            src = a["_k"].to_numpy()
+            dkind = a["dst_kind"].to_numpy()
+            dkey = a["dst_key"].to_numpy()
+            order = np.lexsort((dkey, dkind, src))
+            src = src[order]
+            dkind, dkey = dkind[order], dkey[order]
+            dst = a["dst"].to_numpy()[order]
+            # reciprocal directed edges collapse to ONE undirected
+            # neighbor: drop consecutive duplicates (bucket-local is
+            # global — all rows of a src share its bucket)
+            uniq = np.r_[
+                True,
+                (src[1:] != src[:-1]) | (dkind[1:] != dkind[:-1])
+                | (dkey[1:] != dkey[:-1]),
+            ]
+            src, dst, dkind, dkey = src[uniq], dst[uniq], dkind[uniq], dkey[uniq]
+            starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+            counts = np.diff(np.r_[starts, len(src)])
+            # per-row group index -> base offset + degree
+            grp = np.cumsum(np.r_[False, src[1:] != src[:-1]])
+            base_of = starts  # indexed by group
+            cur = f["_k"].to_numpy()
+            wid = f["walk_id"].to_numpy()
+            pos = np.searchsorted(src, cur)
+            pos = np.minimum(pos, len(src) - 1)
+            found = src[pos] == cur
+            pos, wid = pos[found], wid[found]
+            g = grp[pos]
+            deg = counts[g].astype(np.uint64)
+            idx = base_of[g] + (_walk_h(wid, step) % deg).astype(np.int64)
+            return pd.DataFrame({"walk_id": wid, "cur": dst[idx]})
+
+        both = frontier.map_batches(tag_frontier, batch_format="pandas").union(
+            adj_tagged
+        )
+        frontier = (
+            both.groupby(BUCKET_COL)
+            .map_groups(
+                lambda df, step=t: resolve(df.drop(columns=[BUCKET_COL]), step),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        outputs.append(
+            frontier.map_batches(
+                lambda df, step=t: pd.DataFrame(
+                    {"id": df["cur"].to_numpy(),
+                     "walk_id": df["walk_id"].to_numpy(),
+                     "step": np.full(len(df), step, np.int64)}
+                ),
+                batch_format="pandas",
+            )
+        )
+
+    walks = outputs[0]
+    for o in outputs[1:]:
+        walks = walks.union(o)
+    out = attach_vkeys(walks, vertices, ["walk_id", "step"]).to_pandas()
+    return (
+        out[["walk_id", "step", "vkey"]]
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+
+
+def _walks_sql() -> str:
+    """Unrolled rank-join mirror of :func:`q_random_walks`."""
+    steps = []
+    prev = "seeds"
+    for t in range(1, WALK_STEPS + 1):
+        steps.append(
+            f"s{t} AS (SELECT w.walk_id, a.d AS cur\n"
+            f"    FROM {prev} w JOIN adj a ON a.s = w.cur AND a.rnk =\n"
+            f"      ((w.walk_id % 2147483648) * {_WALK_A} + {t} * {_WALK_B})\n"
+            f"        % 4294967296 % a.deg)"
+        )
+        prev = f"s{t}"
+    emits = ["SELECT walk_id, 0 AS step, cur AS vkey FROM seeds"] + [
+        f"SELECT walk_id, {t}, cur FROM s{t}" for t in range(1, WALK_STEPS + 1)
+    ]
+    return (
+        GRAPH_SQL_PRELUDE
+        + """,
+sym AS (SELECT DISTINCT s, dk, dkey FROM (
+    SELECT src_kind || ':' || src_key AS s,
+           dst_kind AS dk, dst_key AS dkey FROM edges
+    UNION ALL
+    SELECT dst_kind || ':' || dst_key, src_kind, src_key FROM edges)),
+adj AS (SELECT s, dk || ':' || dkey AS d,
+               row_number() OVER (PARTITION BY s ORDER BY dk, dkey) - 1 AS rnk,
+               count(*) OVER (PARTITION BY s) AS deg
+        FROM sym),
+seeds AS (SELECT CAST(substr(key, 2) AS BIGINT) AS walk_id,
+                 'conv:' || key AS cur
+          FROM vertices WHERE kind = 'conv' AND out_deg > 0),
+"""
+        + ",\n".join(steps)
+        + "\n"
+        + "\nUNION ALL ".join(emits)
+        + "\nORDER BY walk_id, step"
+    )
+
+
 def _seed_vkeys(sf_dir: str) -> pd.DataFrame:
     """Deterministic seed vertices for the seeded analytics entries:
     the lexicographically smallest key per kind among edge-endpoint
@@ -3462,6 +3790,8 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "hyperball_nf": q_hyperball_nf,
     "graph_summary": q_graph_summary,
     "reciprocity": q_reciprocity,
+    "assortativity": q_assortativity,
+    "random_walks": q_random_walks,
     "tool_cooccurrence": q_tool_cooccurrence,
     "tool_cooccurrence_triangles": q_tool_cooccurrence_triangles,
     "enrich_social": q_enrich_social,
@@ -3489,6 +3819,8 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "closeness_centrality": CLOSENESS_ORACLE_SQL,
     "graph_summary": GRAPH_SUMMARY_SQL,
     "reciprocity": RECIPROCITY_SQL,
+    "assortativity": ASSORTATIVITY_SQL,
+    "random_walks": _walks_sql(),
     # hyperball_nf: sketch-valued (rows-only) — pytest holds it to the
     # exact series within HLL error bounds
     "tool_cooccurrence": TOOL_COOC_SQL,
