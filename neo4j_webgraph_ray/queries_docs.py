@@ -1185,6 +1185,202 @@ ORDER BY doc_id
 """
 
 
+#: PII / deny-list scrubbing patterns — RE2 syntax, valid verbatim in
+#: BOTH pyarrow.compute and DuckDB (both are RE2 engines).  The
+#: deny-list terms are chosen to OCCUR in the synthetic corpus
+#: ("customer") so the oracle discriminates (the email/long-number
+#: patterns are the real-world payload and are exercised by pytest on
+#: crafted rows — the corpus itself contains neither).
+REDACT_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+REDACT_NUM_PAT = r"\b\d{6,}\b"
+REDACT_TERM_PAT = r"\b(?:customer|secret|password)\b"
+
+
+def q_redact_text(sf_dir: str) -> ray.data.Dataset:
+    """PII / deny-list scrubbing — the compliance stage of a
+    training-data pipeline: replace emails with ``<EMAIL>``, long digit
+    runs (account-number class) with ``<NUM>``, and deny-listed terms
+    with ``<TERM>``; emit per-document match counts so the curation
+    report can audit redaction volume.  (doc_id, clean_text, n_email,
+    n_term, n_num); null text propagates null everywhere (both
+    engines).  Pure vectorized Arrow RE2 kernels
+    (``count_substring_regex`` + three ``replace_substring_regex``
+    passes in a fixed order shared with the oracle), one streaming map
+    stage, no shuffle — the cost is one corpus pass regardless of
+    scale."""
+    import pyarrow.compute as pc
+
+    docs = _docs(sf_dir)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        n_email = pc.cast(pc.count_substring_regex(t, REDACT_EMAIL_PAT), pa.int64())
+        n_term = pc.cast(pc.count_substring_regex(t, REDACT_TERM_PAT), pa.int64())
+        n_num = pc.cast(pc.count_substring_regex(t, REDACT_NUM_PAT), pa.int64())
+        clean = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.replace_substring_regex(t, REDACT_EMAIL_PAT, "<EMAIL>"),
+                REDACT_TERM_PAT, "<TERM>",
+            ),
+            REDACT_NUM_PAT, "<NUM>",
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "clean_text": clean,
+             "n_email": n_email, "n_term": n_term, "n_num": n_num}
+        )
+
+    return docs.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+REDACT_SQL = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{REDACT_EMAIL_PAT}', '<EMAIL>', 'g'),
+           '{REDACT_TERM_PAT}', '<TERM>', 'g'),
+           '{REDACT_NUM_PAT}', '<NUM>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{REDACT_EMAIL_PAT}')) AS BIGINT)
+           AS n_email,
+       CAST(len(regexp_extract_all(text, '{REDACT_TERM_PAT}')) AS BIGINT)
+           AS n_term,
+       CAST(len(regexp_extract_all(text, '{REDACT_NUM_PAT}')) AS BIGINT)
+           AS n_num
+FROM documents
+ORDER BY doc_id
+"""
+
+
+#: boilerplate-token pruning: a token present in at least this percent
+#: of documents is corpus boilerplate and is dropped from every doc.
+PRUNE_DF_PCT = 70
+
+
+def q_prune_common_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Document-frequency boilerplate pruning (the token-level cousin
+    of CCNet's line dedup): a token appearing in ≥
+    :data:`PRUNE_DF_PCT`% of documents is corpus boilerplate and is
+    removed from every document, preserving the order of the kept
+    tokens.  (doc_id, pruned_text, n_kept, n_dropped); null text stays
+    null throughout (both engines).
+
+    Scale shape: document frequencies are ONE bucketed sum over
+    per-batch distinct (doc, token) pairs (the tfidf df pipeline); the
+    boilerplate set is then provably tiny — at threshold p, at most
+    (mean tokens/doc)/p tokens can reach df ≥ p·N by pigeonhole — so
+    broadcasting it as a sorted array (ray.put once, searchsorted per
+    batch) is exact, not a size gamble.  The rewrite pass is offsets
+    arithmetic + one Arrow take + binary_join, no per-row Python."""
+    import pyarrow.compute as pc
+
+    from neo4j_webgraph_ray.functions.text import ws_token_lists
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    docs = _docs(sf_dir)
+    n_docs = docs.count()
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        lists = ws_token_lists(batch["text"])
+        lens = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+            zero_copy_only=False
+        )
+        toks = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), lens)
+        mask = toks != ""
+        d = pd.DataFrame({"doc_id": ids[mask], "tok": toks[mask]})
+        return d.drop_duplicates().groupby("tok", as_index=False, sort=False).agg(
+            df=("doc_id", "size")
+        )
+
+    def df_combine(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("tok", as_index=False, sort=False)["df"].sum()
+
+    dfreq = bucketed_groupby(
+        docs.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["tok"], df_combine, num_buckets=16,
+    )
+
+    def only_boiler(d: pd.DataFrame) -> pd.DataFrame:
+        keep = d["df"].to_numpy() * 100 >= PRUNE_DF_PCT * n_docs
+        return d.loc[keep, ["tok"]]
+
+    blf = dfreq.map_batches(only_boiler, batch_format="pandas").to_pandas()
+    # all-empty batches drop columns in the collected frame
+    bl = (
+        np.sort(blf["tok"].to_numpy())
+        if "tok" in blf.columns
+        else np.empty(0, object)
+    )
+    bl_ref = ray.put(bl)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        bl_ = ray.get(bl_ref)
+        lists = ws_token_lists(batch["text"])
+        lens = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+            zero_copy_only=False
+        )
+        flat = pc.list_flatten(lists)
+        toks = flat.to_numpy(zero_copy_only=False)
+        nonempty = toks != ""
+        if len(bl_):
+            pos = np.minimum(np.searchsorted(bl_, toks), len(bl_) - 1)
+            hit = bl_[pos] == toks
+        else:
+            hit = np.zeros(len(toks), bool)
+        keepmask = nonempty & ~hit
+        docidx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        n_tok = np.bincount(docidx[nonempty], minlength=len(lens)).astype(np.int64)
+        n_kept = np.bincount(docidx[keepmask], minlength=len(lens)).astype(np.int64)
+        kept = flat.filter(pa.array(keepmask))
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        offs = np.r_[0, np.cumsum(n_kept)].astype(np.int32)
+        kept_list = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), kept)
+        joined = pc.binary_join(kept_list, " ")
+        isnull = pc.is_null(batch["text"])
+        null64 = pa.nulls(len(lens), pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pruned_text": pc.if_else(isnull, pa.nulls(len(lens), pa.string()), joined),
+                "n_kept": pc.if_else(isnull, null64, pa.array(n_kept, pa.int64())),
+                "n_dropped": pc.if_else(
+                    isnull, null64, pa.array(n_tok - n_kept, pa.int64())
+                ),
+            }
+        )
+
+    return docs.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)
+
+
+PRUNE_TOKENS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+pairs AS (SELECT DISTINCT doc_id, tok
+          FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+dfreq AS (SELECT tok, count(*) AS df FROM pairs GROUP BY tok),
+nd AS (SELECT count(*) AS n FROM documents),
+bl AS (SELECT list(tok) AS bl FROM dfreq, nd WHERE df * 100 >= {PRUNE_DF_PCT} * n),
+pruned AS (
+  SELECT doc_id, text,
+         list_filter(t, x -> NOT coalesce(list_contains(bl.bl, x), FALSE))
+             AS kept,
+         len(t) AS n0
+  FROM toks, bl
+)
+SELECT doc_id,
+       -- array_to_string of an EMPTY list is NULL in DuckDB; the
+       -- engine's binary_join yields '' — coalesce to match
+       CASE WHEN text IS NULL THEN NULL
+            ELSE coalesce(array_to_string(kept, ' '), '') END AS pruned_text,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(n0 - len(kept) AS BIGINT) AS n_dropped
+FROM pruned ORDER BY doc_id
+"""
+
+
 #: sliding-window chunking: window size and stride in whitespace tokens
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
@@ -2106,6 +2302,8 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "pack_sequences": q_pack_sequences,
     "chunk_documents": q_chunk_documents,
     "normalize_text": q_normalize_text,
+    "redact_text": q_redact_text,
+    "prune_common_tokens": q_prune_common_tokens,
     "benchmark_contamination": q_benchmark_contamination,
     "curated_corpus": q_curated_corpus,
     "repetition_metrics": q_repetition_metrics,
@@ -2151,6 +2349,8 @@ DOC_ORACLES: dict[str, str] = {
     "pack_sequences": PACK_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "normalize_text": NORMALIZE_TEXT_SQL,
+    "redact_text": REDACT_SQL,
+    "prune_common_tokens": PRUNE_TOKENS_SQL,
     "benchmark_contamination": CONTAM_SQL,
     "curated_corpus": CURATED_SQL.format(quality_sql=QUALITY_SQL),
     "repetition_metrics": REPETITION_SQL,

@@ -559,6 +559,50 @@ def test_tfidf_null_text_is_zero_tokens(tmp_path):
     assert top0.iloc[0]["tok"] == "beta"  # tf=2, df=1
 
 
+def test_redact_text_crafted_pii(tmp_path):
+    """The synthetic corpus contains no emails/long numbers, so the
+    driver oracle only exercises the deny-list pattern; this test
+    drives the full payload on crafted rows AND cross-checks the
+    engine against the same DuckDB SQL on the crafted table."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from neo4j_webgraph_ray.queries_docs import REDACT_SQL, q_redact_text
+    from tests.util import assert_result_equal
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "mail me at jo.doe+x@exa-mple.org or a@b.io thanks",
+                        "acct 123456789 pin 42 customer secret code",
+                        None,
+                        "no pii here",
+                    ]
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = q_redact_text(str(d)).to_pandas()
+    r0 = out[out["doc_id"] == 0].iloc[0]
+    assert r0["n_email"] == 2 and "<EMAIL>" in r0["clean_text"]
+    assert "@" not in r0["clean_text"]
+    r1 = out[out["doc_id"] == 1].iloc[0]
+    assert r1["n_num"] == 1 and r1["n_term"] == 2
+    assert r1["clean_text"] == "acct <NUM> pin 42 <TERM> <TERM> code"
+    assert out[out["doc_id"] == 2]["clean_text"].isna().all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d / 'documents.parquet'}'"
+    )
+    assert_result_equal(out, con.sql(REDACT_SQL).df(), name="redact_crafted")
+
+
 def test_quality_budget_invariants(sf_smoke):
     """quality_budget: the selected set is exactly the global
     score-descending prefix whose cumulative tokens fit the budget —
