@@ -240,7 +240,21 @@ def run_bench() -> dict:
             "hyperball_nf",
             "graph_summary",
             "reciprocity",
+            "assortativity",
+            "modularity",
+            "random_walks",
             "tool_cooccurrence",
+            "butterfly_count",
+            # relational / OLAP family over the event stream
+            "inter_event_gaps",
+            "conversation_export",
+            "distinct_users",
+            "approx_distinct_users",
+            "events_rollup",
+            "value_histogram",
+            "event_type_pivot",
+            "user_hours_click_and_purchase",
+            "user_hours_click_no_purchase",
             # LLM-training-data family over the documents/embeddings tables
             "top_tokens",
             "sample_stratified",
@@ -252,6 +266,8 @@ def run_bench() -> dict:
             "pack_sequences",
             "chunk_documents",
             "normalize_text",
+            "redact_text",
+            "prune_common_tokens",
             "benchmark_contamination",
             "repetition_metrics",
             "train_split",

@@ -1046,6 +1046,339 @@ FROM events GROUP BY event_type
 """
 
 
+def q_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Exact distinct-user count per event type — the audience-size
+    aggregate (reference analog: A3's per-type index counts widened to
+    COUNT DISTINCT).  Scale shape: per-batch distinct (type, user)
+    pairs feed ONE bucketed exact-distinct shuffle keyed on the pair
+    hash (each pair survives exactly once, so the per-type count is a
+    pure sum of per-batch partials afterward) — the classic two-phase
+    distinct that never concentrates a hot event type on one task.
+    Companion: :func:`q_approx_distinct_users` computes the same
+    numbers from mergeable HLL sketches in one narrow pass."""
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby, exact_distinct
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["event_type", "user_id"])
+    pairs = exact_distinct(ds, ["event_type", "user_id"], num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False, sort=False).agg(
+            n_users=("user_id", "size")
+        )
+
+    def combine(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("event_type", as_index=False, sort=False)[
+            "n_users"
+        ].sum()
+
+    return bucketed_groupby(
+        pairs.map_batches(partial, batch_format="pandas"),
+        ["event_type"], combine, num_buckets=4,
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_rollup(sf_dir: str) -> pd.DataFrame:
+    """OLAP rollup over the event stream: (event_type, hour-of-day) →
+    (event_type) → grand total, each level with row count and
+    6-dp-rounded value sum — the ``GROUP BY ROLLUP`` cube walk,
+    expressed the distributed way: ONE partial aggregation at the
+    finest grain (per-batch local groupby, ≤ #types × 24 rows per
+    batch) and the coarser levels FOLDED from the finest partials
+    (sums are algebraic), so the input streams exactly once and no
+    shuffle is needed at all.  Rolled-up dimensions are NULL, matching
+    the SQL convention (hod arrives as float64-with-NaN on both
+    engines).  Reference analog: A3's per-type counts
+    (``TransactionalGraphImporter.java:371-379``) widened to a
+    multi-level cube."""
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.assign(hod=df["ts"].dt.hour.astype(np.int64))
+            .groupby(["event_type", "hod"], sort=False)
+            .agg(n=("value", "size"), sv=("value", "sum"))
+        )
+        return g.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    # deterministic float fold: sort partials so equal keys merge in a
+    # block-arrival-independent order (same rule as event_props_stats)
+    parts = parts.sort_values(["event_type", "hod", "sv"], kind="stable")
+    fine = parts.groupby(["event_type", "hod"], sort=True, as_index=False).agg(
+        n=("n", "sum"), sv=("sv", "sum")
+    )
+    mid = fine.groupby("event_type", sort=True, as_index=False).agg(
+        n=("n", "sum"), sv=("sv", "sum")
+    )
+    mid["hod"] = np.nan
+    total = pd.DataFrame(
+        [{"event_type": None, "hod": np.nan,
+          "n": mid["n"].sum(), "sv": mid["sv"].sum()}]
+    )
+    out = pd.concat(
+        [fine[["event_type", "hod", "n", "sv"]], mid[["event_type", "hod", "n", "sv"]], total],
+        ignore_index=True,
+    )
+    return pd.DataFrame(
+        {
+            "event_type": out["event_type"].to_numpy(),
+            "hod": out["hod"].to_numpy(np.float64),
+            "n_events": out["n"].to_numpy(np.int64),
+            "sum_value": np.round(out["sv"].to_numpy(np.float64), 6),
+        }
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type,
+       CAST(extract(hour FROM ts) AS DOUBLE) AS hod,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, extract(hour FROM ts))
+"""
+
+#: value histogram: fixed-width bins shared with the SQL mirror
+HIST_BIN_W = 50.0
+HIST_NBINS = 10
+
+
+def q_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width histogram of the numeric ``value`` column per event
+    type (bin = clamp(floor(value / 50), 0, 9)) — the profiling
+    primitive behind any quality-budget or outlier screen.  Per-batch
+    bincount partials (≤ #types × 10 rows each) merged driver-side;
+    the input streams once, nothing shuffles, and bin edges are
+    compile-time constants shared verbatim with the oracle."""
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.clip(
+            np.floor(df["value"].to_numpy() / HIST_BIN_W).astype(np.int64),
+            0, HIST_NBINS - 1,
+        )
+        g = (
+            df.assign(bin=b)
+            .groupby(["event_type", "bin"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["event_type", "bin"], sort=True, as_index=False)[
+        "n"
+    ].sum()
+    return pd.DataFrame(
+        {
+            "event_type": out["event_type"].to_numpy(),
+            "bin": out["bin"].to_numpy(np.int64),
+            "n": out["n"].to_numpy(np.int64),
+        }
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       least(greatest(CAST(floor(value / {HIST_BIN_W}) AS BIGINT), 0),
+             {HIST_NBINS - 1}) AS bin,
+       count(*) AS n
+FROM events
+GROUP BY event_type, bin
+ORDER BY event_type, bin
+"""
+
+
+def _user_hour_set_op(sf_dir: str, keep_b: bool) -> ray.data.Dataset:
+    """Shared INTERSECT / EXCEPT machinery over (user, hour-of-day)
+    activity sets: one bucketed groupby on the pair hash where each
+    whole (user, hod) group resolves its (clicked, purchased)
+    membership locally.  The reference has no set operators at all
+    (SURVEY §2.7 notes the absence); these are the missing algebra,
+    built the shuffle way — a key's rows co-locate by hash, so
+    membership is a bucket-local boolean, and only qualifying keys
+    leave the bucket."""
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["event_type", "user_id", "ts"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["click", "purchase"])]
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "hod": df["ts"].dt.hour.to_numpy(np.int64),
+                "event_type": df["event_type"].to_numpy(),
+            }
+        )
+        return out.drop_duplicates()
+
+    def combine(d: pd.DataFrame) -> pd.DataFrame:
+        isb = d["event_type"].to_numpy() == "purchase"
+        g = (
+            pd.DataFrame(
+                {"user_id": d["user_id"].to_numpy(),
+                 "hod": d["hod"].to_numpy(), "b": isb, "a": ~isb}
+            )
+            .groupby(["user_id", "hod"])
+            .agg(has_a=("a", "any"), has_b=("b", "any"))
+        )
+        keep = (g["has_a"] & g["has_b"]) if keep_b else (g["has_a"] & ~g["has_b"])
+        kept = g.index[keep.to_numpy()]
+        return pd.DataFrame(
+            {
+                "user_id": kept.get_level_values(0).to_numpy(np.int64),
+                "hod": kept.get_level_values(1).to_numpy(np.int64),
+            }
+        )
+
+    return bucketed_groupby(
+        ds.map_batches(pre, batch_format="pandas"),
+        ["user_id", "hod"], combine, num_buckets=16, local_combine=False,
+    )
+
+
+def q_user_hours_click_and_purchase(sf_dir: str) -> ray.data.Dataset:
+    """INTERSECT of the click and purchase (user, hour-of-day) activity
+    sets (§2.7 gap: the reference has union/dedup only)."""
+    return _user_hour_set_op(sf_dir, keep_b=True)
+
+
+def q_user_hours_click_no_purchase(sf_dir: str) -> ray.data.Dataset:
+    """EXCEPT: (user, hour-of-day) slots with a click but no purchase —
+    the churn/funnel anti-join, same bucket-local membership
+    pipeline."""
+    return _user_hour_set_op(sf_dir, keep_b=False)
+
+
+USERS_INTERSECT_SQL = """
+SELECT user_id, CAST(extract(hour FROM ts) AS BIGINT) AS hod
+FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id, CAST(extract(hour FROM ts) AS BIGINT)
+FROM events WHERE event_type = 'purchase'
+"""
+
+USERS_EXCEPT_SQL = """
+SELECT user_id, CAST(extract(hour FROM ts) AS BIGINT) AS hod
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, CAST(extract(hour FROM ts) AS BIGINT)
+FROM events WHERE event_type = 'purchase'
+"""
+
+#: fixed pivot column set (sorted event types of the synthetic schema)
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot: hour-of-day rows × event-type count columns (n_click …
+    n_view) — the wide-table reshape every dashboard export needs.
+    Distributed as per-batch crosstab partials (≤24 rows × 5 columns
+    each) summed driver-side; the column set is a compile-time
+    constant shared with the CASE-WHEN mirror, so the pivot is one
+    streaming pass, not a shuffle."""
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hod = df["ts"].dt.hour.astype(np.int64)
+        ct = pd.crosstab(hod, df["event_type"])
+        ct = ct.reindex(columns=list(PIVOT_TYPES), fill_value=0)
+        ct.columns = [f"n_{c}" for c in ct.columns]
+        return ct.rename_axis("hod").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("hod", sort=True, as_index=False).sum()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+EVENT_TYPE_PIVOT_SQL = (
+    "SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hod,\n"
+    + ",\n".join(
+        f"       sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+        for t in PIVOT_TYPES
+    )
+    + "\nFROM events GROUP BY hod ORDER BY hod"
+)
+
+#: HLL register count for the sketch-aggregate entry: 2^11 registers
+#: => ~2.3% standard error, 2 KB per (group) sketch.
+APPROX_DISTINCT_LOG2M = 11
+
+
+def q_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event type via mergeable
+    HyperLogLog sketches — the sketch the exact two-phase distinct
+    (:func:`q_distinct_users`) trades against at scale: ONE narrow
+    pass builds per-(batch, type) register blocks (vectorized
+    max-scatter over the splitmix64 stream the HyperBall pipeline
+    already uses), then a bucketed max-merge moves only
+    #types × 2^:data:`APPROX_DISTINCT_LOG2M` bytes — no (type, user)
+    pair ever shuffles, which is the entire point at 10^12 events.
+    Deterministic (fixed hash constants) but sketch-valued, hence
+    rows-only for the driver; pytest bounds it against the exact
+    counts within the m-derived error."""
+    from neo4j_webgraph_ray.pipelines.neighborhood import (
+        _unpack_regs,
+        hll_estimate,
+        hll_init_registers,
+    )
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    log2m = APPROX_DISTINCT_LOG2M
+    m = 1 << log2m
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["event_type", "user_id"])
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].to_numpy()
+        order = np.argsort(et, kind="stable")
+        et = et[order]
+        regs = hll_init_registers(df["user_id"].to_numpy()[order], log2m)
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        merged = np.maximum.reduceat(regs, starts, axis=0)
+        return pd.DataFrame(
+            {"event_type": et[starts],
+             "regs": [r.tobytes() for r in merged]}
+        )
+
+    def merge(d: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_r = [], []
+        for t, grp in d.groupby("event_type", sort=False):
+            r = _unpack_regs(grp["regs"].tolist(), m).max(axis=0)
+            out_t.append(t)
+            out_r.append(r.tobytes())
+        return pd.DataFrame({"event_type": out_t, "regs": out_r})
+
+    merged = bucketed_groupby(
+        ds.map_batches(sketch, batch_format="pandas"),
+        ["event_type"], merge, num_buckets=4,
+    ).to_pandas()
+    regs = _unpack_regs(merged["regs"].tolist(), m)
+    est = hll_estimate(regs)
+    return (
+        pd.DataFrame(
+            {"event_type": merged["event_type"].to_numpy(),
+             "approx_users": np.round(est).astype(np.int64)}
+        )
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
 # --- graph analytics (PageRank / CC / LPA / triangles) ---------------------
 
 
@@ -1806,22 +2139,11 @@ def q_scc(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vkey").reset_index(drop=True)
 
 
-def q_label_propagation(sf_dir: str) -> pd.DataFrame:
-    """Synchronous LPA communities (vkey, community key).
-
-    The engine tie-breaks on "min int64 label"; with hashed vertex ids
-    that order is opaque to an external oracle, so this query entry
-    remaps ids to the dense rank of the composite "kind:key" string —
-    then min-label order IS lexicographic vkey order, which the DuckDB
-    oracle reproduces with plain string comparison.
-
-    The remap is fully distributed (VERDICT r2 #3): ranks come from
-    :func:`dense_rank_vkeys` (two-pass exact range partitioning — the
-    driver holds only bucket boundaries and counts), edge endpoints and
-    the output labels are attached via bucketed co-group joins.  No
-    ``to_pandas``/dict over the vertex table anywhere in the path; the
-    final ``to_pandas`` materializes only the per-vertex RESULT, which
-    the driver contract requires."""
+def _lpa_rank_state(sf_dir: str, algo: str):
+    """Shared LPA machinery for the community queries: dense-rank remap
+    of edge endpoints + the converged label state, all in rank space.
+    Returns (ranks, redges, state, jb, rb, id2rank, rank2vkey) — the
+    prebuilt lookup arrays are None above the broadcast gate."""
     edges, vertices = graph(sf_dir)
     # size-aware shuffle widths: at testdata scale 64-bucket co-groups
     # are pure task-orchestration overhead (the auto_buckets lesson);
@@ -1852,8 +2174,30 @@ def q_label_propagation(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas",
     ).materialize()
     state = label_propagation(
-        redges, _workdir(sf_dir, "lpa"), num_partitions=_algo_parts(edges),
+        redges, _workdir(sf_dir, algo), num_partitions=_algo_parts(edges),
         checkpoint_every=_query_checkpoint_every()
+    )
+    return ranks, redges, state, jb, rb, id2rank, rank2vkey
+
+
+def q_label_propagation(sf_dir: str) -> pd.DataFrame:
+    """Synchronous LPA communities (vkey, community key).
+
+    The engine tie-breaks on "min int64 label"; with hashed vertex ids
+    that order is opaque to an external oracle, so this query entry
+    remaps ids to the dense rank of the composite "kind:key" string —
+    then min-label order IS lexicographic vkey order, which the DuckDB
+    oracle reproduces with plain string comparison.
+
+    The remap is fully distributed (VERDICT r2 #3): ranks come from
+    :func:`dense_rank_vkeys` (two-pass exact range partitioning — the
+    driver holds only bucket boundaries and counts), edge endpoints and
+    the output labels are attached via bucketed co-group joins.  No
+    ``to_pandas``/dict over the vertex table anywhere in the path; the
+    final ``to_pandas`` materializes only the per-vertex RESULT, which
+    the driver contract requires."""
+    ranks, redges, state, jb, rb, id2rank, rank2vkey = _lpa_rank_state(
+        sf_dir, "lpa"
     )
     # readable keys for vertex and community: two more rank->vkey joins
     named = _lookup_join(
@@ -1866,6 +2210,118 @@ def q_label_propagation(sf_dir: str) -> pd.DataFrame:
         num_buckets=rb, prebuilt_arrays=rank2vkey,
     ).to_pandas()
     return out[["vkey", "community"]].sort_values("vkey").reset_index(drop=True)
+
+
+def q_modularity(sf_dir: str) -> pd.DataFrame:
+    """Newman modularity of the LPA community partition (one row:
+    n_communities, modularity) — the community-quality score over the
+    symmetrized edge multiset the LPA itself propagates on:
+    ``Q = within_sym/m2 − Σ_c (deg_c/m2)²`` with ``m2 = 2·|edges|``
+    and ``deg_c`` the symmetrized degree mass of community c.  Scoring
+    the partition closes the loop on the ``label_propagation`` entry
+    (communities without a quality number are unactionable).
+
+    Scale shape: labels attach to edge endpoints via the same
+    size-gated rank joins LPA already uses; the within-count folds as
+    per-batch partials (one row per batch) and the per-community degree
+    masses are ONE bucketed groupby over per-batch partial sums —
+    driver sees #batches + #buckets rows, never an edge or vertex
+    table."""
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    ranks, redges, state, jb, rb, id2rank, rank2vkey = _lpa_rank_state(
+        sf_dir, "modularity"
+    )
+    m = redges.count()
+    if m == 0:
+        return pd.DataFrame(
+            [{"n_communities": np.int64(0), "modularity": 0.0}]
+        )
+    lab2 = _collect_lookup_arrays(state, "id", "label") \
+        if state.count() <= 500_000 else None
+    j1 = _lookup_join(
+        redges, "src", state, "id", "label", "sl", carry_cols=["dst"],
+        num_buckets=jb, prebuilt_arrays=lab2,
+    )
+    j2 = _lookup_join(
+        j1, "dst", state, "id", "label", "dl", carry_cols=["sl"],
+        num_buckets=jb, prebuilt_arrays=lab2,
+    )
+
+    def within_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{"w": np.int64((df["sl"].to_numpy() == df["dl"].to_numpy()).sum())}]
+        )
+
+    w_dir = int(
+        j2.map_batches(within_partial, batch_format="pandas")
+        .to_pandas()["w"].sum()
+    )
+
+    # symmetrized degree of v = #endpoint appearances in the directed
+    # edge multiset; per-batch bincount partials -> bucketed sum by rank
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate([df["src"].to_numpy(), df["dst"].to_numpy()])
+        u, c = np.unique(ids, return_counts=True)
+        return pd.DataFrame({"id": u, "deg": c.astype(np.int64)})
+
+    def deg_combine(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("id", as_index=False, sort=False)["deg"].sum()
+
+    deg = bucketed_groupby(
+        redges.map_batches(deg_partial, batch_format="pandas"),
+        ["id"], deg_combine, num_buckets=rb,
+    )
+    labeled = _lookup_join(
+        deg, "id", state, "id", "label", "lab", carry_cols=["deg"],
+        num_buckets=rb, prebuilt_arrays=lab2,
+    )
+
+    def dc_combine(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("lab", as_index=False, sort=False)["deg"].sum()
+
+    dc = bucketed_groupby(labeled, ["lab"], dc_combine, num_buckets=rb)
+    m2 = float(2 * m)
+
+    def dc_partial(d: pd.DataFrame) -> pd.DataFrame:
+        x = d["deg"].to_numpy().astype(np.float64) / m2
+        return pd.DataFrame(
+            [{"nc": np.int64(len(d)), "sq": float((x * x).sum())}]
+        )
+
+    parts = dc.map_batches(dc_partial, batch_format="pandas").to_pandas()
+    n_comm = int(parts["nc"].sum()) if len(parts) else 0
+    sq = float(parts["sq"].sum()) if len(parts) else 0.0
+    q = (2.0 * w_dir) / m2 - sq
+    return pd.DataFrame(
+        [{"n_communities": np.int64(n_comm), "modularity": round(q, 6)}]
+    )
+
+
+def _modularity_oracle_sql(n_iter: int = 20) -> str:
+    """LPA unroll (same as :func:`_lpa_oracle_sql`) + the modularity
+    fold over the final labels."""
+    base = _lpa_oracle_sql(n_iter)
+    head, sep, _ = base.rpartition("\nSELECT ")
+    assert sep and f"lp{n_iter}" in head  # final SELECT stripped, CTEs kept
+    return (
+        head
+        + f""",
+labs AS (SELECT v, lab FROM lp{n_iter}),
+deg AS (SELECT s AS v, count(*) AS deg FROM sym GROUP BY s),
+m2t AS (SELECT count(*) AS m2 FROM sym),
+w AS (SELECT count(*) AS w FROM und
+      JOIN labs a ON a.v = und.s JOIN labs b ON b.v = und.d
+      WHERE a.lab = b.lab),
+dc AS (SELECT lab, sum(deg) AS dc
+       FROM labs JOIN deg ON deg.v = labs.v GROUP BY lab)
+SELECT CAST((SELECT count(*) FROM dc) AS BIGINT) AS n_communities,
+       round(2.0 * w.w / m2t.m2
+             - (SELECT sum(power(CAST(dc AS DOUBLE) / mm.m2, 2))
+                FROM dc, m2t AS mm), 6) AS modularity
+FROM w, m2t
+"""
+    )
 
 
 #: fixed HITS iteration budget shared engine <-> oracle (same parity
@@ -3028,6 +3484,229 @@ def q_tool_cooccurrence(sf_dir: str) -> ray.data.Dataset:
     return exact_distinct(pairs, ["tool_a", "tool_b"], num_buckets=16)
 
 
+def q_conversation_export(sf_dir: str) -> ray.data.Dataset:
+    """Transcript → training-example assembly: each conversation's
+    turns concatenated in STABLE turn order as ``role: text`` lines —
+    the grouped ordered-aggregation (secondary sort) every
+    chat-fine-tuning pipeline runs as its last step.  Output (conv_id,
+    example, n_turns).
+
+    Scale shape: ONE conv-hash bucketed groupby (a conversation never
+    splits); per bucket a single lexsort by (conv, turn_idx), line
+    construction as one vectorized string add, and per-conv assembly
+    via offsets + Arrow ``binary_join`` — no per-conversation Python.
+    §2.9 stable-turn-order semantics are load-bearing here and the
+    ``string_agg(... ORDER BY turn_idx)`` oracle asserts them
+    end-to-end."""
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    ts = transcripts_from_events(sf_dir)
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["conv_id", "turn_idx", "role", "text"]]
+
+    def combine(d: pd.DataFrame) -> pd.DataFrame:
+        conv = d["conv_id"].to_numpy()
+        order = np.lexsort((d["turn_idx"].to_numpy(), conv))
+        conv = conv[order]
+        lines = (d["role"].to_numpy()[order].astype(object) + ": "
+                 + d["text"].to_numpy()[order].astype(object))
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        counts = np.diff(np.r_[starts, len(conv)])
+        offs = np.r_[0, np.cumsum(counts)].astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), pa.array(lines, type=pa.string())
+        )
+        import pyarrow.compute as pc
+
+        return pd.DataFrame(
+            {
+                "conv_id": conv[starts],
+                "example": pc.binary_join(lst, "\n").to_numpy(
+                    zero_copy_only=False
+                ),
+                "n_turns": counts.astype(np.int64),
+            }
+        )
+
+    return bucketed_groupby(
+        ts.map_batches(pre, batch_format="pandas"),
+        ["conv_id"], combine, num_buckets=16, local_combine=False,
+    )
+
+
+CONVERSATION_EXPORT_SQL = f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS example,
+       count(*) AS n_turns
+FROM transcripts GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+def q_butterfly_count(sf_dir: str) -> pd.DataFrame:
+    """Butterfly (bipartite 4-cycle) count of the conv→tool graph —
+    the bipartite analog of the triangle count (Sanei-Mehri et al.):
+    #butterflies = Σ over tool pairs C(w, 2) where w = #conversations
+    using both tools.  The standard cohesion statistic for bipartite
+    webgraphs, which the unipartite triangle entry cannot see (a
+    bipartite graph has none).
+
+    Scale shape: same conv-bucketed wedge generation as
+    ``tool_cooccurrence`` (pairs materialize per conversation,
+    C(k, 2) per conv — the inherent butterfly-counting cost), then ONE
+    bucketed count per tool pair and a per-batch C(w, 2) partial fold;
+    the driver sees #batches rows."""
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    edges, _ = graph(sf_dir)
+
+    def conv_tools(t: pa.Table) -> pd.DataFrame:
+        df = t.select(["src_key", "dst_kind", "dst_key"]).to_pandas()
+        df = df[df["dst_kind"] == "tool"]
+        return df.rename(columns={"src_key": "conv_id", "dst_key": "tool"})[
+            ["conv_id", "tool"]
+        ]
+
+    ct = edges.map_batches(conv_tools, batch_format="pyarrow")
+
+    def pairs_per_conv(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).drop_duplicates().sort_values(
+            ["conv_id", "tool"], kind="stable"
+        )
+        tools = df["tool"].to_numpy()
+        ai, bi = pair_indices_within_groups(df["conv_id"].to_numpy())
+        if not len(ai):
+            return pd.DataFrame(
+                {"tool_a": pd.Series([], dtype=object),
+                 "tool_b": pd.Series([], dtype=object),
+                 "c": pd.Series([], dtype=np.int64)}
+            )
+        out = pd.DataFrame({"tool_a": tools[ai], "tool_b": tools[bi]})
+        out["c"] = np.int64(1)
+        return out
+
+    staged = ct.map_batches(
+        lambda df: add_bucket_column(df, ["conv_id"], 16), batch_format="pandas"
+    )
+    wedges = staged.groupby(BUCKET_COL).map_groups(
+        pairs_per_conv, batch_format="pandas"
+    )
+
+    def count_combine(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby(["tool_a", "tool_b"], as_index=False, sort=False)[
+            "c"
+        ].sum()
+
+    counts = bucketed_groupby(
+        wedges, ["tool_a", "tool_b"], count_combine, num_buckets=16
+    )
+
+    def bf_partial(d: pd.DataFrame) -> pd.DataFrame:
+        c = d["c"].to_numpy().astype(np.int64)
+        return pd.DataFrame([{"bf": np.int64((c * (c - 1) // 2).sum())}])
+
+    parts = counts.map_batches(bf_partial, batch_format="pandas").to_pandas()
+    n = int(parts["bf"].sum()) if len(parts) else 0
+    return pd.DataFrame({"n_butterflies": pd.array([n], dtype="int64")})
+
+
+BUTTERFLY_SQL = f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+ct AS (SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL),
+w AS (SELECT a.tool AS ta, b.tool AS tb, count(*) AS c
+      FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+      GROUP BY a.tool, b.tool)
+SELECT CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT) AS n_butterflies
+FROM w
+"""
+
+
+def q_inter_event_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type inter-arrival statistics — the LAG-window family:
+    for consecutive same-user, same-type events, the gap in
+    microseconds; output (event_type, n_gaps, mean_gap_us rounded 6 dp,
+    max_gap_us).  Scale shape: ONE user-hash bucketed groupby; each
+    whole user group sorts locally and diffs per (user, type) run
+    (the multiset of consecutive diffs is invariant under equal-ts
+    reordering, so no tie-break is needed); per-bucket partials are
+    (type, n, sum, max) rows — exact int64 algebra — and the driver
+    merges #buckets × #types rows."""
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["user_id", "event_type", "ts"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "event_type": df["event_type"].to_numpy(),
+                "ts_us": df["ts"].astype("int64").to_numpy(),
+            }
+        )
+
+    def combine(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        et = d["event_type"].to_numpy()
+        ts = d["ts_us"].to_numpy()
+        order = np.lexsort((ts, et, u))
+        u, et, ts = u[order], et[order], ts[order]
+        same = np.r_[False, (u[1:] == u[:-1]) & (et[1:] == et[:-1])]
+        gaps = np.diff(ts)[same[1:]]
+        gt = et[1:][same[1:]]
+        if not len(gaps):
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64),
+                 "s": pd.Series([], dtype=np.int64),
+                 "m": pd.Series([], dtype=np.int64)}
+            )
+        g = pd.DataFrame({"event_type": gt, "gap": gaps}).groupby(
+            "event_type", as_index=False, sort=False
+        ).agg(n=("gap", "size"), s=("gap", "sum"), m=("gap", "max"))
+        return g
+
+    parts = bucketed_groupby(
+        ds.map_batches(pre, batch_format="pandas"),
+        ["user_id"], combine, num_buckets=16, local_combine=False,
+    ).to_pandas()
+    agg = parts.groupby("event_type", sort=True).agg(
+        n=("n", "sum"), s=("s", "sum"), m=("m", "max")
+    )
+    # mean in SECONDS: at ~1e9 us magnitudes the double ulp (~1.2e-7)
+    # sits at the 6-dp rounding boundary; seconds keep 6 dp far above
+    # ulp.  Same op order as the SQL: exact int64 sum -> double -> /n
+    # -> /1e6 -> round
+    return pd.DataFrame(
+        {
+            "event_type": agg.index,
+            "n_gaps": agg["n"].to_numpy(np.int64),
+            "mean_gap_s": np.round(
+                agg["s"].to_numpy(np.float64)
+                / agg["n"].to_numpy(np.float64) / 1e6, 6
+            ),
+            "max_gap_us": agg["m"].to_numpy(np.int64),
+        }
+    ).reset_index(drop=True)
+
+
+INTER_EVENT_GAPS_SQL = """
+SELECT event_type,
+       count(*) AS n_gaps,
+       round(CAST(sum(gap) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_gap_s,
+       max(gap) AS max_gap_us
+FROM (
+    SELECT event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts) AS gap
+    FROM events
+)
+WHERE gap IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def q_tool_cooccurrence_triangles(sf_dir: str) -> pd.DataFrame:
     """Triangle count of the tool co-occurrence graph."""
     pairs = q_tool_cooccurrence(sf_dir)
@@ -3774,6 +4453,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "connected_components": q_connected_components,
     "scc": q_scc,
     "label_propagation": q_label_propagation,
+    "modularity": q_modularity,
     "bfs_distance": q_bfs_distance,
     "kcore": q_kcore,
     # betweenness: per-source dependency folds are not single-statement
@@ -3793,6 +4473,9 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "assortativity": q_assortativity,
     "random_walks": q_random_walks,
     "tool_cooccurrence": q_tool_cooccurrence,
+    "conversation_export": q_conversation_export,
+    "butterfly_count": q_butterfly_count,
+    "inter_event_gaps": q_inter_event_gaps,
     "tool_cooccurrence_triangles": q_tool_cooccurrence_triangles,
     "enrich_social": q_enrich_social,
     "enrich_multi": q_enrich_multi,
@@ -3805,6 +4488,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "weighted_pagerank": WPAGERANK_ORACLE_SQL,
     "hits": HITS_ORACLE_SQL,
     "label_propagation": LPA_ORACLE_SQL,
+    "modularity": _modularity_oracle_sql(),
     "connected_components": CC_ORACLE_SQL,
     "scc": SCC_ORACLE_SQL,
     "bfs_distance": BFS_ORACLE_SQL,
@@ -3819,6 +4503,9 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "closeness_centrality": CLOSENESS_ORACLE_SQL,
     "graph_summary": GRAPH_SUMMARY_SQL,
     "reciprocity": RECIPROCITY_SQL,
+    "conversation_export": CONVERSATION_EXPORT_SQL,
+    "butterfly_count": BUTTERFLY_SQL,
+    "inter_event_gaps": INTER_EVENT_GAPS_SQL,
     "assortativity": ASSORTATIVITY_SQL,
     "random_walks": _walks_sql(),
     # hyperball_nf: sketch-valued (rows-only) — pytest holds it to the
@@ -3851,6 +4538,15 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "rolling_user_activity": q_rolling_user_activity,
     "conversion_funnel": q_conversion_funnel,
     "event_props_stats": q_event_props_stats,
+    "distinct_users": q_distinct_users,
+    # approx_distinct_users: sketch-valued (deterministic HLL), not
+    # SQL-expressible — rows-only; pytest bounds it against the exact
+    "approx_distinct_users": q_approx_distinct_users,
+    "events_rollup": q_events_rollup,
+    "value_histogram": q_value_histogram,
+    "user_hours_click_and_purchase": q_user_hours_click_and_purchase,
+    "user_hours_click_no_purchase": q_user_hours_click_no_purchase,
+    "event_type_pivot": q_event_type_pivot,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -3883,6 +4579,12 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "rolling_user_activity": ROLLING_USER_ACTIVITY_SQL,
     "conversion_funnel": CONVERSION_FUNNEL_SQL,
     "event_props_stats": EVENT_PROPS_STATS_SQL,
+    "distinct_users": DISTINCT_USERS_SQL,
+    "events_rollup": EVENTS_ROLLUP_SQL,
+    "value_histogram": VALUE_HISTOGRAM_SQL,
+    "user_hours_click_and_purchase": USERS_INTERSECT_SQL,
+    "user_hours_click_no_purchase": USERS_EXCEPT_SQL,
+    "event_type_pivot": EVENT_TYPE_PIVOT_SQL,
     "cross_kind_pattern": GRAPH_SQL_PRELUDE
     + """
     SELECT e.src_key AS conv_key, e.dst_key AS tool_key

@@ -189,3 +189,29 @@ def test_effective_diameter_interpolation_chain(tmp_path):
     assert abs(eff - 2.2) < 1e-12
     # the query-layer expression is identical (kept in lockstep by the
     # effective_diameter SQL-oracle parity test at sf scale)
+
+
+def test_approx_distinct_users_within_hll_error(sf_smoke):
+    """The sketch entry must land within the HLL error envelope of the
+    exact per-type distinct counts (~2.3% std error at 2^11 registers;
+    assert 5 sigma) and agree exactly on the type set."""
+    import duckdb
+
+    from neo4j_webgraph_ray.queries import (
+        APPROX_DISTINCT_LOG2M,
+        DISTINCT_USERS_SQL,
+        q_approx_distinct_users,
+    )
+
+    approx = q_approx_distinct_users(sf_smoke)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_smoke}/events.parquet'"
+    )
+    exact = con.sql(DISTINCT_USERS_SQL).df().sort_values("event_type")
+    assert list(approx["event_type"]) == list(exact["event_type"])
+    m = 1 << APPROX_DISTINCT_LOG2M
+    rel = 5 * 1.04 / np.sqrt(m)  # 5 sigma of the HLL std error
+    a = approx["approx_users"].to_numpy().astype(float)
+    e = exact["n_users"].to_numpy().astype(float)
+    assert np.all(np.abs(a - e) <= np.maximum(rel * e, 3.0)), (a, e)
