@@ -2139,11 +2139,12 @@ def q_scc(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vkey").reset_index(drop=True)
 
 
-def _lpa_rank_state(sf_dir: str, algo: str):
-    """Shared LPA machinery for the community queries: dense-rank remap
-    of edge endpoints + the converged label state, all in rank space.
-    Returns (ranks, redges, state, jb, rb, id2rank, rank2vkey) — the
-    prebuilt lookup arrays are None above the broadcast gate."""
+def _rank_remap(sf_dir: str):
+    """Dense-rank remap of the edge endpoints (rank = lexicographic
+    vkey position — an order an external SQL oracle can reproduce with
+    plain string comparison).  Returns (edges, vertices, ranks, redges,
+    jb, rb, id2rank, rank2vkey); the prebuilt lookup arrays are None
+    above the broadcast gate."""
     edges, vertices = graph(sf_dir)
     # size-aware shuffle widths: at testdata scale 64-bucket co-groups
     # are pure task-orchestration overhead (the auto_buckets lesson);
@@ -2167,12 +2168,20 @@ def _lpa_rank_state(sf_dir: str, algo: str):
     r2 = _lookup_join(r1, "dst", ranks, "id", "rank", "dst_r",
                       carry_cols=["src_r"], num_buckets=jb,
                       prebuilt_arrays=id2rank)
-    # pin: prepare() consumes its edge input more than once — a lazy
-    # redges would re-execute the whole remap per consumption
+    # pin: downstream consumes the remapped edges more than once — a
+    # lazy redges would re-execute the whole remap per consumption
     redges = r2.map_batches(
         lambda df: df.rename(columns={"src_r": "src", "dst_r": "dst"}),
         batch_format="pandas",
     ).materialize()
+    return edges, vertices, ranks, redges, jb, rb, id2rank, rank2vkey
+
+
+def _lpa_rank_state(sf_dir: str, algo: str):
+    """Shared LPA machinery for the community queries: dense-rank remap
+    of edge endpoints + the converged label state, all in rank space.
+    Returns (ranks, redges, state, jb, rb, id2rank, rank2vkey)."""
+    edges, _, ranks, redges, jb, rb, id2rank, rank2vkey = _rank_remap(sf_dir)
     state = label_propagation(
         redges, _workdir(sf_dir, algo), num_partitions=_algo_parts(edges),
         checkpoint_every=_query_checkpoint_every()
@@ -3087,51 +3096,79 @@ def _walk_h(walk_id: np.ndarray, step: int) -> np.ndarray:
     ) % np.uint64(2**32)
 
 
-def q_random_walks(sf_dir: str) -> pd.DataFrame:
+def q_random_walks(sf_dir: str, broadcast_limit: int = 500_000) -> pd.DataFrame:
     """Deterministic random walks over the UNDIRECTED transcript graph
     — the DeepWalk/node2vec corpus-generation primitive (walks are
     conventionally taken on the symmetrized view so they don't die at
     sink vertices like tools): one walk per conv vertex with out-edges,
     :data:`WALK_STEPS` steps, where the step-t successor of the current
     vertex is its distinct neighbor at rank ``h(walk, t) mod deg``
-    under the lexicographic (kind, key) neighbor order.  Output
-    (walk_id, step, vkey) including step 0 (the seed); an isolated
-    vertex ends its walk.  Fully deterministic (no RNG), so
-    SQL-mirrored exactly by :data:`WALK_STEPS` unrolled rank joins.
+    under lexicographic vkey neighbor order.  Output (walk_id, step,
+    vkey) including step 0 (the seed); an isolated vertex ends its
+    walk.  Fully deterministic (no RNG), so SQL-mirrored exactly by
+    :data:`WALK_STEPS` unrolled rank joins.
 
-    Scale shape: each step is ONE bucketed co-group of the frontier
-    with the (column-pruned, materialized-once, direction-doubled) edge
-    table on the current-vertex hash — neighbor ranks are re-derived
-    bucket-locally by lexsort, so no global adjacency index is ever
-    built and the frontier (#walks rows) is the only state that crosses
-    steps.  The walk emission joins back to readable keys via the
-    size-gated :func:`attach_vkeys`."""
+    Scale shape: the walk runs entirely in DENSE-RANK space (LPA's
+    distributed ``dense_rank_vkeys`` remap — rank order IS
+    lexicographic vkey order, so the neighbor ordering needs no string
+    columns).  The direction-doubled int-pair adjacency is shuffled
+    into sorted, deduped bucket blocks EXACTLY ONCE (the CSR-analog);
+    each step is then one broadcast-frontier MAP PASS over those
+    pinned blocks — the frontier (#walks rows, ``ray.put`` under the
+    500 K gate, searchsorted per block) is all that moves between
+    steps, so L steps cost 1 shuffle + L scans instead of L shuffles.
+    Above the gate the frontier itself is bucket-hashed and resolved
+    via a per-step co-group (the walk population at 10^9 convs is
+    vertex-scale; that path shuffles #walks rows, never the
+    adjacency).  The final rank→vkey attachment is the size-gated
+    lookup join."""
     from neo4j_webgraph_ray.stages.core import add_bucket_column
 
-    edges, vertices = graph(sf_dir)
+    edges, vertices, ranks, redges, jb, rb, id2rank, rank2vkey = _rank_remap(
+        sf_dir
+    )
     nb = _algo_parts(edges)
 
     def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
-        fwd = pd.DataFrame(
-            {"src": df["src"].to_numpy(), "dst": df["dst"].to_numpy(),
-             "dst_kind": df["dst_kind"].to_numpy(),
-             "dst_key": df["dst_key"].to_numpy()}
+        s = df["src"].to_numpy()
+        d = df["dst"].to_numpy()
+        out = pd.DataFrame(
+            {"src": np.concatenate([s, d]), "dst": np.concatenate([d, s])}
         )
-        rev = pd.DataFrame(
-            {"src": df["dst"].to_numpy(), "dst": df["src"].to_numpy(),
-             "dst_kind": df["src_kind"].to_numpy(),
-             "dst_key": df["src_key"].to_numpy()}
-        )
-        return pd.concat([fwd, rev], ignore_index=True)
+        return add_bucket_column(out, ["src"], nb)
 
-    # CSR-analog reuse: L steps re-scan the adjacency, so pin the
-    # 4-column direction-doubled projection once instead of re-deriving
-    # the edge table from events every step
-    adj = (
-        edges.select_columns(
-            ["src", "dst", "src_kind", "src_key", "dst_kind", "dst_key"]
+    def sort_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src"].to_numpy()
+        dst = df["dst"].to_numpy()
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        # reciprocal directed edges collapse to ONE undirected
+        # neighbor: drop consecutive duplicates (bucket-local is
+        # global — all rows of a src share its bucket); dst-rank
+        # order == lexicographic vkey order by the dense remap
+        uniq = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+        src, dst = src[uniq], dst[uniq]
+        # annotate every row with its neighbor rank + the src degree,
+        # so a later block split can NEVER corrupt resolution (each
+        # row is self-describing; contiguity is only an optimization)
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        counts = np.diff(np.r_[starts, len(src)])
+        grp = np.cumsum(np.r_[False, src[1:] != src[:-1]])
+        rnk = np.arange(len(src), dtype=np.int64) - starts[grp]
+        return pd.DataFrame(
+            {"src": src, "dst": dst, "rnk": rnk,
+             "deg": counts[grp].astype(np.int64)}
         )
-        .map_batches(symmetrize, batch_format="pandas")
+
+    # CSR-analog: ONE shuffle pins the adjacency as sorted, deduped,
+    # src-complete bucket blocks; every step scans them in place
+    adj_sorted = (
+        redges.map_batches(symmetrize, batch_format="pandas")
+        .groupby(BUCKET_COL)
+        .map_groups(
+            lambda df: sort_bucket(df.drop(columns=[BUCKET_COL])),
+            batch_format="pandas",
+        )
         .materialize()
     )
 
@@ -3141,115 +3178,155 @@ def q_random_walks(sf_dir: str) -> pd.DataFrame:
             {
                 "walk_id": df["key"].str.slice(1).to_numpy(np.int64)
                 if len(df) else np.empty(0, np.int64),
-                "cur": df["id"].to_numpy(),
+                "id": df["id"].to_numpy(),
             }
         )
 
-    frontier = vertices.select_columns(["id", "kind", "key", "out_deg"]).map_batches(
+    seeds = vertices.select_columns(["id", "kind", "key", "out_deg"]).map_batches(
         seed_batch, batch_format="pandas"
-    ).materialize()
+    )
+    frontier = _lookup_join(
+        seeds, "id", ranks, "id", "rank", "cur", carry_cols=["walk_id"],
+        num_buckets=rb, prebuilt_arrays=id2rank,
+    )
 
-    def tag_adj(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.rename(columns={"src": "_k"})
-        out["walk_id"] = np.int64(0)
-        out["_t"] = np.int8(1)
-        return add_bucket_column(
-            out[["_k", "walk_id", "dst", "dst_kind", "dst_key", "_t"]],
-            ["_k"], nb,
+    def resolve_against(
+        batch: pd.DataFrame, cur: np.ndarray, wid: np.ndarray, step: int
+    ) -> pd.DataFrame:
+        """Resolve the walkers whose step-target row lives in this
+        (src, rnk)-sorted adjacency slice.  Rows are self-describing
+        (rnk, deg), so a slice holding only part of a src's run emits
+        exactly the walkers whose TARGET rank falls inside it — blocks
+        can split a run without corrupting resolution."""
+        src = batch["src"].to_numpy()
+        dst = batch["dst"].to_numpy()
+        rnk = batch["rnk"].to_numpy()
+        deg = batch["deg"].to_numpy()
+        if not len(src) or not len(cur):
+            return pd.DataFrame(
+                {"walk_id": pd.Series([], dtype=np.int64),
+                 "cur": pd.Series([], dtype=np.int64)}
+            )
+        pos = np.searchsorted(src, cur)
+        pos = np.minimum(pos, len(src) - 1)
+        found = src[pos] == cur
+        pos, w, c = pos[found], wid[found], cur[found]
+        target = (_walk_h(w, step) % deg[pos].astype(np.uint64)).astype(np.int64)
+        # rows of c in this slice start at pos with rank rnk[pos]
+        idx = pos + (target - rnk[pos])
+        ok = (idx >= 0) & (idx < len(src))
+        idx_c = np.clip(idx, 0, len(src) - 1)
+        ok &= (src[idx_c] == c) & (rnk[idx_c] == target)
+        return pd.DataFrame(
+            {"walk_id": w[ok], "cur": dst[idx_c[ok]]}
         )
-
-    adj_tagged = adj.map_batches(tag_adj, batch_format="pandas")
 
     outputs = [
         frontier.map_batches(
             lambda df: pd.DataFrame(
-                {"id": df["cur"].to_numpy(),
+                {"rank": df["cur"].to_numpy(),
                  "walk_id": df["walk_id"].to_numpy(),
                  "step": np.zeros(len(df), np.int64)}
             ),
             batch_format="pandas",
         )
     ]
+    small = frontier.count() <= broadcast_limit
+    fr = frontier.to_pandas() if small else None
     for t in range(1, WALK_STEPS + 1):
-
-        def tag_frontier(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.rename(columns={"cur": "_k"})
-            out["dst"] = np.int64(0)
-            out["dst_kind"] = ""
-            out["dst_key"] = ""
-            out["_t"] = np.int8(0)
-            return add_bucket_column(
-                out[["_k", "walk_id", "dst", "dst_kind", "dst_key", "_t"]],
-                ["_k"], nb,
+        if small:
+            # broadcast regime: the frontier rides to every adjacency
+            # block; blocks emit only their resolved walkers
+            ref = ray.put(
+                (fr["cur"].to_numpy(np.int64), fr["walk_id"].to_numpy(np.int64))
             )
 
-        def resolve(df: pd.DataFrame, step: int = t) -> pd.DataFrame:
-            is_adj = df["_t"].to_numpy() == 1
-            a = df.loc[is_adj]
-            f = df.loc[~is_adj]
-            if not len(a) or not len(f):
-                return pd.DataFrame(
-                    {"walk_id": pd.Series([], dtype=np.int64),
-                     "cur": pd.Series([], dtype=np.int64)}
+            def step_map(batch: pd.DataFrame, step: int = t, r=ref) -> pd.DataFrame:
+                cur, wid = ray.get(r)
+                return resolve_against(batch, cur, wid, step)
+
+            fr = adj_sorted.map_batches(step_map, batch_format="pandas").to_pandas()
+            out_t = pd.DataFrame(
+                {"rank": fr["cur"].to_numpy(np.int64),
+                 "walk_id": fr["walk_id"].to_numpy(np.int64),
+                 "step": np.full(len(fr), t, np.int64)}
+            )
+            outputs.append(ray.data.from_pandas(out_t))
+            if not len(fr):
+                break
+        else:
+            # co-group regime: hash ONLY the frontier to the adjacency
+            # buckets and resolve bucket-locally; the annotated rows
+            # make the in-bucket re-sort a plain (src, rnk) lexsort
+
+            def resolve_group(df: pd.DataFrame, step: int = t) -> pd.DataFrame:
+                is_adj = df["_t"].to_numpy() == 1
+                a = df.loc[is_adj]
+                f = df.loc[~is_adj]
+                order = np.lexsort((a["rnk"].to_numpy(), a["src"].to_numpy()))
+                blk = pd.DataFrame(
+                    {
+                        "src": a["src"].to_numpy()[order],
+                        "dst": a["dst"].to_numpy()[order],
+                        "rnk": a["rnk"].to_numpy()[order],
+                        "deg": a["deg"].to_numpy()[order],
+                    }
                 )
-            src = a["_k"].to_numpy()
-            dkind = a["dst_kind"].to_numpy()
-            dkey = a["dst_key"].to_numpy()
-            order = np.lexsort((dkey, dkind, src))
-            src = src[order]
-            dkind, dkey = dkind[order], dkey[order]
-            dst = a["dst"].to_numpy()[order]
-            # reciprocal directed edges collapse to ONE undirected
-            # neighbor: drop consecutive duplicates (bucket-local is
-            # global — all rows of a src share its bucket)
-            uniq = np.r_[
-                True,
-                (src[1:] != src[:-1]) | (dkind[1:] != dkind[:-1])
-                | (dkey[1:] != dkey[:-1]),
-            ]
-            src, dst, dkind, dkey = src[uniq], dst[uniq], dkind[uniq], dkey[uniq]
-            starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-            counts = np.diff(np.r_[starts, len(src)])
-            # per-row group index -> base offset + degree
-            grp = np.cumsum(np.r_[False, src[1:] != src[:-1]])
-            base_of = starts  # indexed by group
-            cur = f["_k"].to_numpy()
-            wid = f["walk_id"].to_numpy()
-            pos = np.searchsorted(src, cur)
-            pos = np.minimum(pos, len(src) - 1)
-            found = src[pos] == cur
-            pos, wid = pos[found], wid[found]
-            g = grp[pos]
-            deg = counts[g].astype(np.uint64)
-            idx = base_of[g] + (_walk_h(wid, step) % deg).astype(np.int64)
-            return pd.DataFrame({"walk_id": wid, "cur": dst[idx]})
+                return resolve_against(
+                    blk, f["src"].to_numpy(), f["walk_id"].to_numpy(), step
+                )
 
-        both = frontier.map_batches(tag_frontier, batch_format="pandas").union(
-            adj_tagged
-        )
-        frontier = (
-            both.groupby(BUCKET_COL)
-            .map_groups(
-                lambda df, step=t: resolve(df.drop(columns=[BUCKET_COL]), step),
-                batch_format="pandas",
+            def tag_adj(df: pd.DataFrame) -> pd.DataFrame:
+                out = df[["src", "dst", "rnk", "deg"]].copy(deep=False)
+                out["walk_id"] = np.int64(0)
+                out["_t"] = np.int8(1)
+                return add_bucket_column(out, ["src"], nb)
+
+            def tag_f2(df: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame(
+                    {
+                        "src": df["cur"].to_numpy(),
+                        "dst": np.int64(0),
+                        "rnk": np.int64(0),
+                        "deg": np.int64(0),
+                        "walk_id": df["walk_id"].to_numpy(),
+                    }
+                )
+                out["_t"] = np.int8(0)
+                return add_bucket_column(out, ["src"], nb)
+
+            both = frontier.map_batches(tag_f2, batch_format="pandas").union(
+                adj_sorted.map_batches(tag_adj, batch_format="pandas")
             )
-            .materialize()
-        )
-        outputs.append(
-            frontier.map_batches(
-                lambda df, step=t: pd.DataFrame(
-                    {"id": df["cur"].to_numpy(),
-                     "walk_id": df["walk_id"].to_numpy(),
-                     "step": np.full(len(df), step, np.int64)}
-                ),
-                batch_format="pandas",
+            frontier = (
+                both.groupby(BUCKET_COL)
+                .map_groups(
+                    lambda df, step=t: resolve_group(
+                        df.drop(columns=[BUCKET_COL]), step
+                    ),
+                    batch_format="pandas",
+                )
+                .materialize()
             )
-        )
+            outputs.append(
+                frontier.map_batches(
+                    lambda df, step=t: pd.DataFrame(
+                        {"rank": df["cur"].to_numpy(),
+                         "walk_id": df["walk_id"].to_numpy(),
+                         "step": np.full(len(df), step, np.int64)}
+                    ),
+                    batch_format="pandas",
+                )
+            )
 
     walks = outputs[0]
     for o in outputs[1:]:
         walks = walks.union(o)
-    out = attach_vkeys(walks, vertices, ["walk_id", "step"]).to_pandas()
+    out = _lookup_join(
+        walks, "rank", ranks, "rank", "vkey", "vkey",
+        carry_cols=["walk_id", "step"], val_default="",
+        num_buckets=rb, prebuilt_arrays=rank2vkey,
+    ).to_pandas()
     return (
         out[["walk_id", "step", "vkey"]]
         .sort_values(["walk_id", "step"])
@@ -3275,13 +3352,13 @@ def _walks_sql() -> str:
     return (
         GRAPH_SQL_PRELUDE
         + """,
-sym AS (SELECT DISTINCT s, dk, dkey FROM (
+sym AS (SELECT DISTINCT s, d FROM (
     SELECT src_kind || ':' || src_key AS s,
-           dst_kind AS dk, dst_key AS dkey FROM edges
+           dst_kind || ':' || dst_key AS d FROM edges
     UNION ALL
-    SELECT dst_kind || ':' || dst_key, src_kind, src_key FROM edges)),
-adj AS (SELECT s, dk || ':' || dkey AS d,
-               row_number() OVER (PARTITION BY s ORDER BY dk, dkey) - 1 AS rnk,
+    SELECT dst_kind || ':' || dst_key, src_kind || ':' || src_key FROM edges)),
+adj AS (SELECT s, d,
+               row_number() OVER (PARTITION BY s ORDER BY d) - 1 AS rnk,
                count(*) OVER (PARTITION BY s) AS deg
         FROM sym),
 seeds AS (SELECT CAST(substr(key, 2) AS BIGINT) AS walk_id,

@@ -69,6 +69,25 @@ def test_cross_kind_cogroup_path_matches_broadcast():
     assert len(bc) > 0
 
 
+def test_random_walks_cogroup_path_matches_broadcast():
+    """The above-gate co-group walk resolution (broadcast_limit=0)
+    must produce exactly the broadcast path's walks."""
+    import pandas as pd
+
+    from neo4j_webgraph_ray.queries import q_random_walks
+
+    bc = q_random_walks(SF_SMOKE)
+    cg = q_random_walks(SF_SMOKE, broadcast_limit=0)
+    pd.testing.assert_frame_equal(
+        bc.sort_values(["walk_id", "step", "vkey"]).reset_index(drop=True),
+        cg.sort_values(["walk_id", "step", "vkey"]).reset_index(drop=True),
+    )
+    # walks traverse the full length on the symmetrized view
+    from neo4j_webgraph_ray.queries import WALK_STEPS
+
+    assert set(bc["step"]) == set(range(WALK_STEPS + 1))
+
+
 def test_dense_rank_vkeys_exact():
     """Distributed dense rank == lexicographic position, contiguous
     from 0, regardless of bucket boundaries (forced tiny buckets)."""
