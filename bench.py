@@ -227,6 +227,7 @@ def run_bench() -> dict:
             "scc",
             "label_propagation",
             "bfs_distance",
+            "weighted_sssp",
             "kcore",
             "betweenness",
             "triangle_count",
@@ -268,6 +269,7 @@ def run_bench() -> dict:
             "normalize_text",
             "redact_text",
             "prune_common_tokens",
+            "inverted_index",
             "benchmark_contamination",
             "repetition_metrics",
             "train_split",
@@ -290,6 +292,7 @@ def run_bench() -> dict:
             "quality_budget",
             "source_report",
             "embedding_outliers",
+            "pca_projection",
             "mixture_sample",
             # actor-pool plumbing stages (VERDICT r2 #8: regressions in
             # the enrichment / multimodal actor paths must be visible)

@@ -351,6 +351,31 @@ class BFSDistanceProgram(VertexProgram):
         return m.get("n_changed", 1) == 0
 
 
+class WeightedSSSPProgram(BFSDistanceProgram):
+    """Single-source shortest path over INTEGER edge weights — the
+    min-plus semiring on the superstep engine (distributed
+    Bellman–Ford relaxation): the scatter message is dist + w(edge)
+    (``weighted_min`` — the engine adds the edge weight per edge
+    before the min pre-aggregation), gather takes the plain min (no
+    +1).  Unreached vertices keep :data:`BFS_UNREACHED`; converges
+    when no distance changes (≤ #hops of the longest shortest path
+    supersteps).  Float weights are truncated to int64 by engine
+    contract so both backends stay bit-identical."""
+
+    name = "sssp"
+    undirected = True
+    mode = "min"
+    weighted_min = True
+
+    def gather_update(self, state, reduced, ctx):
+        incoming = _aligned_agg(state, reduced, BFS_UNREACHED).astype(np.int64)
+        old = state["dist"].to_numpy()
+        new = np.minimum(old, np.minimum(incoming, BFS_UNREACHED))
+        out = state.copy(deep=False)
+        out["dist"] = new
+        return out, {"n_changed": int((new != old).sum())}
+
+
 class DirectedMinLabelProgram(ConnectedComponentsProgram):
     """Min-label propagation along edge DIRECTION to fixpoint:
     label(v) = min vertex id that forward-reaches v (including v).
@@ -941,6 +966,31 @@ def bfs_distances(
     unreached vertices carry :data:`BFS_UNREACHED`."""
     engine = _make_engine(
         workdir, BFSDistanceProgram(seed_ids), num_partitions, max_steps,
+        backend, checkpoint_every, run_metadata, filesystem,
+    )
+    if not resume:
+        engine.prepare(edges)
+    return engine.run(resume=resume)
+
+
+def weighted_sssp(
+    edges: ray.data.Dataset,
+    workdir: str,
+    seed_ids: np.ndarray,
+    num_partitions: int = 16,
+    max_steps: int = 300,
+    resume: bool = False,
+    backend: str = "actors",
+    checkpoint_every: int = 1,
+    run_metadata: dict | None = None,
+    filesystem=None,
+) -> ray.data.Dataset:
+    """Undirected weighted shortest-path distances from a seed set
+    (min-plus Bellman–Ford; integer ``weight`` column required on the
+    edge input): Dataset(id, dist); unreached carry
+    :data:`BFS_UNREACHED`."""
+    engine = _make_engine(
+        workdir, WeightedSSSPProgram(seed_ids), num_partitions, max_steps,
         backend, checkpoint_every, run_metadata, filesystem,
     )
     if not resume:

@@ -29,6 +29,7 @@ from neo4j_webgraph_ray.pipelines.algorithms import (
     BFS_UNREACHED,
     betweenness_dependencies,
     bfs_distances,
+    weighted_sssp,
     connected_components,
     directed_bfs,
     directed_min_labels,
@@ -3498,6 +3499,86 @@ def q_bfs_distance(sf_dir: str) -> pd.DataFrame:
     return df[["vkey", "dist"]].sort_values("vkey").reset_index(drop=True)
 
 
+#: unrolled Bellman–Ford rounds in the SSSP oracle; the engine
+#: converges at the hop count of the longest weighted shortest path
+#: (asserted ≤ this by the parity hash itself — extra oracle rounds
+#: are fixpoint no-ops)
+SSSP_ORACLE_ROUNDS = 24
+
+
+def q_weighted_sssp(sf_dir: str) -> pd.DataFrame:
+    """Weighted single-source shortest paths from the global min-vkey
+    seed — min-plus Bellman–Ford on the superstep engine over the
+    PRE-dedup edge multiplicities (conv→tool call counts, role→role
+    transition counts — the same weights ``weighted_pagerank`` uses),
+    symmetrized.  (vkey, dist); unreachable and isolated vertices
+    report -1.  The oracle is :data:`SSSP_ORACLE_ROUNDS` unrolled
+    relaxation rounds over the identical weighted multiset."""
+    edges, vertices = graph(sf_dir)
+    wedges = _weighted_edges(sf_dir).materialize()
+    seeds = _seed_vkeys(sf_dir)
+    comp = (seeds["kind"] + ":" + seeds["key"]).to_numpy()
+    i = int(np.argmin(comp))
+    seed_ids = vertex_id(
+        str(seeds["kind"].iloc[i]), str(seeds["key"].iloc[i])
+    )
+    state = weighted_sssp(
+        wedges, _workdir(sf_dir, "sssp"), seed_ids,
+        num_partitions=_algo_parts(edges), max_steps=SSSP_ORACLE_ROUNDS,
+        checkpoint_every=_query_checkpoint_every(),
+    )
+    df = attach_vkeys(
+        state, vertices, ["dist"], keep_unmatched_vertices=True
+    ).to_pandas()
+    d = df["dist"].to_numpy().astype(np.int64)
+    df["dist"] = np.where(
+        (d == UNMATCHED_SENTINEL) | (d >= int(BFS_UNREACHED)),
+        np.int64(-1), d,
+    )
+    return df[["vkey", "dist"]].sort_values("vkey").reset_index(drop=True)
+
+
+def _sssp_oracle_sql(n_rounds: int = SSSP_ORACLE_ROUNDS) -> str:
+    """Bellman–Ford unrolled as chained MATERIALIZED CTEs over the
+    symmetrized weighted edge multiset (weights = edges_raw
+    multiplicities, matching :func:`_weighted_edges` and prepare's
+    undirected UNION ALL doubling)."""
+    sent = int(BFS_UNREACHED)
+    parts = [
+        "w0 AS MATERIALIZED (SELECT src_kind || ':' || src_key AS s, "
+        "dst_kind || ':' || dst_key AS d, count(*) AS w "
+        "FROM edges_raw GROUP BY 1, 2)",
+        "symw AS MATERIALIZED (SELECT s, d, w FROM w0 "
+        "UNION ALL SELECT d, s, w FROM w0)",
+        "sverts AS MATERIALIZED (SELECT DISTINCT s AS v FROM symw)",
+        "seedv AS MATERIALIZED (SELECT min(v) AS v FROM sverts)",
+        f"d0 AS MATERIALIZED (SELECT v, CASE WHEN v = (SELECT v FROM seedv) "
+        f"THEN 0 ELSE {sent} END AS dist FROM sverts)",
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"d{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT p.v, least(p.dist, coalesce(m.md, p.dist)) AS dist\n"
+            f"  FROM d{i} p LEFT JOIN (\n"
+            f"    SELECT symw.d AS v, min(q.dist + symw.w) AS md\n"
+            f"    FROM d{i} q JOIN symw ON symw.s = q.v\n"
+            f"    GROUP BY symw.d) m ON m.v = p.v)"
+        )
+    return (
+        GRAPH_SQL_PRELUDE
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT vx.kind || ':' || vx."key" AS vkey,
+       CAST(CASE WHEN b.dist IS NULL OR b.dist >= {sent} THEN -1
+                 ELSE b.dist END AS BIGINT) AS dist
+FROM vertices vx
+LEFT JOIN d{n_rounds} b ON b.v = vx.kind || ':' || vx."key"
+ORDER BY vkey
+"""
+    )
+
+
 KCORE_K = 2
 # unrolled peel rounds in the oracle; the engine's actual round count is
 # asserted <= this in tests (extra rounds are fixpoint no-ops)
@@ -4532,6 +4613,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "label_propagation": q_label_propagation,
     "modularity": q_modularity,
     "bfs_distance": q_bfs_distance,
+    "weighted_sssp": q_weighted_sssp,
     "kcore": q_kcore,
     # betweenness: per-source dependency folds are not single-statement
     # SQL-expressible — rows-only for the driver; exact Brandes pytest
@@ -4569,6 +4651,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "connected_components": CC_ORACLE_SQL,
     "scc": SCC_ORACLE_SQL,
     "bfs_distance": BFS_ORACLE_SQL,
+    "weighted_sssp": _sssp_oracle_sql(),
     "kcore": KCORE_ORACLE_SQL,
     "triangle_count": TRIANGLE_ORACLE_SQL,
     "clustering_coefficient": CLUSTERING_ORACLE_SQL,

@@ -1249,6 +1249,118 @@ ORDER BY doc_id
 """
 
 
+#: inverted-index posting-list prefix length (impact-ordered index
+#: prefixes: the first K doc ids per token in ascending id order)
+POSTINGS_K = 10
+
+
+def q_inverted_index(sf_dir: str) -> ray.data.Dataset:
+    """Inverted-index build (search-engine primitive): per token, the
+    document frequency and the first :data:`POSTINGS_K` posting doc ids
+    in ascending order (the capped index prefix a retrieval system
+    materializes).  (token, df, postings as comma-joined ids).
+
+    Scale shape: per-batch distinct (token, doc) pairs emit BOTH a
+    head-K candidate row set and one df-partial row per token, so the
+    bucketed shuffle moves ≤ (K+1) rows per (token, batch) — never the
+    full posting lists; the final per-token head-K merge and the df sum
+    are algebraic and fully vectorized (lexsort + boundary ranks +
+    offsets binary_join)."""
+    import pyarrow.compute as pc
+
+    from neo4j_webgraph_ray.functions.text import ws_token_lists
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    docs = _docs(sf_dir)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lists = ws_token_lists(batch["text"])
+        lens = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+            zero_copy_only=False
+        )
+        toks = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), lens)
+        mask = toks != ""
+        d = pd.DataFrame({"tok": toks[mask], "doc_id": ids[mask]}).drop_duplicates()
+        tok = d["tok"].to_numpy()
+        did = d["doc_id"].to_numpy()
+        order = np.lexsort((did, tok))
+        tok, did = tok[order], did[order]
+        starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        grp = np.cumsum(np.r_[False, tok[1:] != tok[:-1]])
+        rnk = np.arange(len(tok)) - starts[grp]
+        counts = np.diff(np.r_[starts, len(tok)])
+        head = rnk < POSTINGS_K
+        out = pd.DataFrame(
+            {"tok": tok[head], "doc_id": did[head],
+             "dfp": np.zeros(int(head.sum()), np.int64)}
+        )
+        sent = pd.DataFrame(
+            {"tok": tok[starts], "doc_id": np.full(len(starts), -1, np.int64),
+             "dfp": counts.astype(np.int64)}
+        )
+        return pd.concat([out, sent], ignore_index=True)
+
+    def combine(d: pd.DataFrame) -> pd.DataFrame:
+        tok = d["tok"].to_numpy()
+        did = d["doc_id"].to_numpy()
+        dfp = d["dfp"].to_numpy()
+        order = np.lexsort((did, tok))
+        tok, did, dfp = tok[order], did[order], dfp[order]
+        starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        grp = np.cumsum(np.r_[False, tok[1:] != tok[:-1]])
+        df_sum = np.zeros(len(starts), np.int64)
+        np.add.at(df_sum, grp, dfp)
+        # postings: doc_id >= 0 rows, head-K per token after the merge
+        real = did >= 0
+        rtok, rdid, rgrp = tok[real], did[real], grp[real]
+        rstarts = np.flatnonzero(np.r_[True, rgrp[1:] != rgrp[:-1]]) \
+            if len(rgrp) else np.empty(0, np.int64)
+        rg = np.cumsum(np.r_[False, rgrp[1:] != rgrp[:-1]]) \
+            if len(rgrp) else np.empty(0, np.int64)
+        rrnk = (np.arange(len(rtok)) - rstarts[rg]) if len(rgrp) else rg
+        keep = rrnk < POSTINGS_K
+        ktok, kdid, kg = rtok[keep], rdid[keep], rg[keep]
+        kstarts = np.flatnonzero(np.r_[True, kg[1:] != kg[:-1]]) \
+            if len(kg) else np.empty(0, np.int64)
+        kcounts = np.diff(np.r_[kstarts, len(kg)]) if len(kg) else kstarts
+        offs = np.r_[0, np.cumsum(kcounts)].astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(kdid.astype(str), type=pa.string()),
+        )
+        postings = pc.binary_join(lst, ",").to_numpy(zero_copy_only=False) \
+            if len(kg) else np.empty(0, object)
+        # tokens present only via sentinel rows (all postings pruned
+        # upstream) cannot happen: every token emits >=1 head row
+        return pd.DataFrame(
+            {"token": (ktok[kstarts] if len(kg) else tok[starts]),
+             "df": df_sum, "postings": postings}
+        )
+
+    return bucketed_groupby(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["tok"], combine, num_buckets=16, local_combine=False,
+    )
+
+
+INVERTED_INDEX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+pairs AS (SELECT DISTINCT doc_id, tok
+          FROM (SELECT doc_id, unnest(t) AS tok FROM toks))
+SELECT tok AS token,
+       count(*) AS df,
+       array_to_string(
+           list_slice(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id),
+                      1, {POSTINGS_K}), ',') AS postings
+FROM pairs GROUP BY tok ORDER BY token
+"""
+
+
 #: boilerplate-token pruning: a token present in at least this percent
 #: of documents is corpus boilerplate and is dropped from every doc.
 PRUNE_DF_PCT = 70
@@ -2190,6 +2302,17 @@ SELECT doc_id, score, n_word_tokens FROM r, b WHERE cum <= budget
 OUTLIER_TAU = -0.2  # flags 15/500 (sf0.001) and 8/500 (sf0.01) — non-vacuous
 
 
+def q_pca_projection(sf_dir: str) -> ray.data.Dataset:
+    """2-component PCA projection of the embedding table: per-block
+    moment partials → d×d driver eigendecomposition → broadcast
+    projection (see ``clustering.pca_projection``).  Eigenvector-
+    valued, hence rows-only for the driver; pytest matches it against
+    a single-node numpy PCA with the same determinism contract."""
+    from neo4j_webgraph_ray.stages.clustering import pca_projection
+
+    return pca_projection(_emb(sf_dir), n_components=2)
+
+
 def q_embedding_outliers(sf_dir: str) -> ray.data.Dataset:
     """Global-centroid embedding outlier screen: cosine of each vector
     against the corpus mean (9-dp), flagged below OUTLIER_TAU.  Two
@@ -2303,6 +2426,7 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "chunk_documents": q_chunk_documents,
     "normalize_text": q_normalize_text,
     "redact_text": q_redact_text,
+    "inverted_index": q_inverted_index,
     "prune_common_tokens": q_prune_common_tokens,
     "benchmark_contamination": q_benchmark_contamination,
     "curated_corpus": q_curated_corpus,
@@ -2328,6 +2452,7 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "quality_budget": q_quality_budget,
     "source_report": q_source_report,
     "embedding_outliers": q_embedding_outliers,
+    "pca_projection": q_pca_projection,
     "mixture_sample": q_mixture_sample,
     "multimodal_features": q_multimodal_features,
 }
@@ -2350,6 +2475,7 @@ DOC_ORACLES: dict[str, str] = {
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "normalize_text": NORMALIZE_TEXT_SQL,
     "redact_text": REDACT_SQL,
+    "inverted_index": INVERTED_INDEX_SQL,
     "prune_common_tokens": PRUNE_TOKENS_SQL,
     "benchmark_contamination": CONTAM_SQL,
     "curated_corpus": CURATED_SQL.format(quality_sql=QUALITY_SQL),

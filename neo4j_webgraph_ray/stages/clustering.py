@@ -575,3 +575,89 @@ def label_centroid_noise(
     return embeddings.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def pca_projection(
+    embeddings: ray.data.Dataset, n_components: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Distributed PCA projection — the dimensionality-reduction pass a
+    curation pipeline runs for visualization / clustering features:
+    per-block exact float64 moment partials (count, sum-vector,
+    flattened sum-outer — ONE row per block, so the corpus never
+    shuffles), a d×d eigendecomposition on the driver, and a broadcast
+    projection pass.  Deterministic: partials merge in lexicographic
+    order (block-arrival independent up to float addition of
+    identically-ordered terms), eigenpairs sort by descending
+    eigenvalue with index tie-break, and each component's sign is
+    fixed so its largest-|coordinate| entry is positive.  Output
+    (id, pc1..pck) rounded to 6 dp.
+
+    Scale judgment: moments are d² per block (64-dim → 32 KB); the
+    driver work is O(d³) regardless of corpus size — the classic
+    tall-skinny regime.  For d in the thousands, switch to randomized
+    sketching; this path covers the embedding-table widths the
+    testdata models."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"cnt": pa.array([], pa.int64()),
+                 "vsum": pa.array([], pa.list_(pa.float64())),
+                 "outer": pa.array([], pa.list_(pa.float64()))}
+            )
+        m = _matrix(batch, vec_col)
+        s = m.sum(axis=0)
+        o = (m.T @ m).ravel()
+        return pa.table(
+            {
+                "cnt": pa.array([batch.num_rows], pa.int64()),
+                "vsum": pa.array([s], type=pa.list_(pa.float64())),
+                "outer": pa.array([o], type=pa.list_(pa.float64())),
+            }
+        )
+
+    parts = embeddings.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cols = [id_col] + [f"pc{i + 1}" for i in range(n_components)]
+    if not len(parts):
+        return ray.data.from_arrow(
+            pa.table({c: pa.array([], pa.float64() if c != id_col else pa.int64())
+                      for c in cols})
+        )
+    vs = np.stack([np.asarray(v, np.float64) for v in parts["vsum"].to_numpy()])
+    os_ = np.stack([np.asarray(v, np.float64) for v in parts["outer"].to_numpy()])
+    order = np.lexsort(tuple(os_.T[::-1]))
+    vs, os_ = vs[order], os_[order]
+    n = int(parts["cnt"].sum())
+    d = vs.shape[1]
+    mu = vs.sum(axis=0) / n
+    cov = os_.sum(axis=0).reshape(d, d) / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    idx = np.argsort(-evals, kind="stable")[:n_components]
+    comps = evecs[:, idx].T  # (k, d)
+    # sign fix: largest-|coordinate| entry positive (first on tie)
+    for r in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[r])))
+        if comps[r, j] < 0:
+            comps[r] = -comps[r]
+    ref = ray.put((mu, comps))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu_, c_ = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], pa.float64() if c != id_col else pa.int64())
+                 for c in cols}
+            )
+        m = _matrix(batch, vec_col)
+        p = np.round((m - mu_) @ c_.T, 6)
+        out = {id_col: batch[id_col]}
+        for i in range(c_.shape[0]):
+            out[f"pc{i + 1}"] = pa.array(p[:, i])
+        return pa.table(out)
+
+    return embeddings.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )

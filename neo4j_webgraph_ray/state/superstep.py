@@ -156,6 +156,13 @@ def _scatter_batch(
             if ew is not None and program.mode == "sum":
                 # weighted sum-mode message = scatter value × edge weight
                 evals = evals * ew
+            elif ew is not None and program.mode == "min" and getattr(
+                program, "weighted_min", False
+            ):
+                # min-plus semiring (weighted SSSP): message = value +
+                # integer edge weight — pure int64 so both backends are
+                # bit-identical (float weights are truncated by contract)
+                evals = evals.astype(np.int64) + ew.astype(np.int64)
             # run-boundary pre-aggregation by dst (dst is sorted)
             starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
             dst_u = dst[starts]

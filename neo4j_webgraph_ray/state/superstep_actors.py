@@ -175,6 +175,12 @@ class ShardWorker:
         if blk.edge_w is not None and mode == "sum":
             # weighted sum-mode message = scatter value × edge weight
             evals = evals * blk.edge_w
+        elif blk.edge_w is not None and mode == "min" and getattr(
+            prog, "weighted_min", False
+        ):
+            # min-plus semiring (weighted SSSP) — int64 end to end,
+            # mirroring the Dataset backend exactly
+            evals = evals.astype(np.int64) + blk.edge_w.astype(np.int64)
         if mode in ("sum", "min"):
             if mode == "sum":
                 agg = np.add.reduceat(evals, blk.run_starts)

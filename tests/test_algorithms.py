@@ -212,6 +212,60 @@ def test_bfs_matches_oracle(gname, tmp_path):
         assert got[v] == want, f"{gname}: vertex {v} {got[v]} vs {want}"
 
 
+def _sssp_oracle(pairs, weights, seeds):
+    """Single-node Bellman–Ford over the symmetrized weighted multiset."""
+    adj: dict[int, list[tuple[int, int]]] = {}
+    verts = set()
+    for (s, d), w in zip(pairs, weights):
+        adj.setdefault(s, []).append((d, w))
+        adj.setdefault(d, []).append((s, w))
+        verts.update((s, d))
+    dist = {v: None for v in verts}
+    for s in seeds:
+        dist[s] = 0
+    changed = True
+    while changed:
+        changed = False
+        for v in verts:
+            if dist[v] is None:
+                continue
+            for d, w in adj.get(v, []):
+                nd = dist[v] + w
+                if dist[d] is None or nd < dist[d]:
+                    dist[d] = nd
+                    changed = True
+    return dist
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+@pytest.mark.parametrize("backend", ["actors", "dataset"])
+def test_weighted_sssp_matches_oracle(gname, backend, tmp_path):
+    """Min-plus SSSP (integer weights, deterministic per-edge) on both
+    backends vs a single-node Bellman–Ford."""
+    from neo4j_webgraph_ray.pipelines.algorithms import weighted_sssp
+
+    pairs = GRAPHS[gname]
+    weights = [1 + ((s * 7 + d * 13) % 5) for s, d in pairs]
+    t = pa.table(
+        {
+            "src": pa.array([s for s, _ in pairs], type=pa.int64()),
+            "dst": pa.array([d for _, d in pairs], type=pa.int64()),
+            "weight": pa.array([float(w) for w in weights], type=pa.float64()),
+        }
+    )
+    seeds = _seeds_for(pairs, n=1)
+    res = weighted_sssp(
+        ray.data.from_arrow(t), str(tmp_path / f"sssp_{backend}"),
+        np.array(seeds), num_partitions=4, backend=backend,
+    ).to_pandas()
+    oracle = _sssp_oracle(pairs, weights, seeds)
+    got = dict(zip(res["id"], res["dist"]))
+    assert set(got) == set(oracle)
+    for v, d in oracle.items():
+        want = int(BFS_UNREACHED) if d is None else d
+        assert got[v] == want, f"{gname}/{backend}: vertex {v} {got[v]} vs {want}"
+
+
 def test_bfs_multi_source(tmp_path):
     """Two seeds on separate islands reach everything at island-local
     depth."""

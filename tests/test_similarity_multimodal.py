@@ -736,3 +736,40 @@ def test_kmeans_checkpoint_torn_pair_rejected(tmp_path, sf_smoke):
     # still reaches the uninterrupted result exactly
     again = cl.kmeans_centroids(emb(), k=10, n_iters=10, workdir=wd)
     assert np.array_equal(again, direct)
+
+
+def test_pca_projection_matches_numpy(sf_smoke):
+    """Distributed PCA == single-node numpy PCA under the same
+    determinism contract (population covariance, descending eigenvalue,
+    largest-|coord|-positive sign fix), allclose 1e-6."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from neo4j_webgraph_ray.stages.clustering import pca_projection
+    import ray.data
+
+    t = pq.read_table(f"{sf_smoke}/embeddings.parquet")
+    got = (
+        pca_projection(ray.data.read_parquet(f"{sf_smoke}/embeddings.parquet"))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    m = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+    mu = m.mean(axis=0)
+    cov = (m.T @ m) / len(m) - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    idx = np.argsort(-evals, kind="stable")[:2]
+    comps = evecs[:, idx].T
+    for r in range(2):
+        j = int(np.argmax(np.abs(comps[r])))
+        if comps[r, j] < 0:
+            comps[r] = -comps[r]
+    want = (m - mu) @ comps.T
+    order = np.argsort(t["vec_id"].to_numpy())
+    assert np.allclose(
+        got[["pc1", "pc2"]].to_numpy(), np.round(want, 6)[order], atol=1e-6
+    )
+    # the projection is centered and the components capture variance
+    assert abs(got["pc1"].mean()) < 1e-3
+    assert got["pc1"].std() >= got["pc2"].std() - 1e-9
