@@ -261,6 +261,7 @@ def run_bench() -> dict:
             "sample_stratified",
             "tfidf_top_terms",
             "unigram_logprob",
+            "bigram_logprob",
             "dup_window_counts",
             "dedup_exact_docs",
             # training-data assembly family

@@ -2302,6 +2302,153 @@ SELECT doc_id, score, n_word_tokens FROM r, b WHERE cum <= budget
 OUTLIER_TAU = -0.2  # flags 15/500 (sf0.001) and 8/500 (sf0.01) — non-vacuous
 
 
+def q_bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Bigram-LM quality proxy (the conditional upgrade of
+    ``unigram_logprob``): per document, the count and 6-dp-lattice sum
+    of token surprisals under the corpus bigram model with add-1
+    smoothing — ``-log2((c(w1 w2)+1) / (c(w1 ·)+V))``.  Documents with
+    fewer than two tokens emit no row (no bigrams), matching the
+    oracle.
+
+    Scale skeleton is the unigram/TF-IDF one: exact per-batch
+    (doc, bigram, tf) rows — a document never splits, so bigram
+    adjacency is batch-local — one bucketed sum for bigram counts, one
+    for context counts, one exact-distinct for the vocabulary size,
+    then two size-gated lookup joins and an algebraic per-doc fold.
+    The contract emits (n_bigrams, nll2_sum), not the quotient — see
+    unigram's doc_final note on half-microunit mean rounding."""
+    import pyarrow.compute as pc
+
+    from neo4j_webgraph_ray.functions.text import ws_token_lists
+    from neo4j_webgraph_ray.queries import _lookup_join
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby, exact_distinct
+
+    docs = _docs(sf_dir)
+
+    def bg_rows(batch: pa.Table) -> pd.DataFrame:
+        lists = ws_token_lists(batch["text"])
+        lens = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+            zero_copy_only=False
+        )
+        toks = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), lens)
+        keep = toks != ""
+        toks, ids = toks[keep], ids[keep]
+        if len(toks) < 2:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "b": pd.Series([], dtype=object),
+                 "w1": pd.Series([], dtype=object),
+                 "tf": pd.Series([], dtype=np.int64)}
+            )
+        same = ids[1:] == ids[:-1]
+        w1 = toks[:-1][same].astype(object)
+        w2 = toks[1:][same].astype(object)
+        d = pd.DataFrame(
+            {"doc_id": ids[:-1][same], "b": w1 + " " + w2, "w1": w1}
+        )
+        return d.groupby(["doc_id", "b", "w1"], sort=False).size().reset_index(
+            name="tf"
+        )
+
+    def uni_rows(batch: pa.Table) -> pd.DataFrame:
+        lists = ws_token_lists(batch["text"])
+        toks = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        toks = toks[toks != ""]
+        return pd.DataFrame({"tok": pd.unique(toks)})
+
+    tf = docs.map_batches(
+        bg_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # feeds both count aggregations and the join
+
+    def sum_b(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("b", as_index=False, sort=False)["tf"].sum()
+
+    def sum_w1(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("w1", as_index=False, sort=False)["tf"].sum()
+
+    cbg = bucketed_groupby(
+        tf.map_batches(lambda d: d[["b", "tf"]], batch_format="pandas"),
+        ["b"], sum_b, num_buckets=16,
+    )
+    cctx = bucketed_groupby(
+        tf.map_batches(lambda d: d[["w1", "tf"]], batch_format="pandas"),
+        ["w1"], sum_w1, num_buckets=16,
+    )
+    V = float(
+        exact_distinct(
+            docs.map_batches(uni_rows, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["tok"], num_buckets=16,
+        ).count()
+    )
+
+    j1 = _lookup_join(
+        tf, "b", cbg, "b", "tf", "cb",
+        carry_cols=["doc_id", "tf", "w1"], val_default=np.int64(0),
+    )
+    j2 = _lookup_join(
+        j1, "w1", cctx, "w1", "tf", "cc",
+        carry_cols=["doc_id", "tf", "cb"], val_default=np.int64(0),
+    )
+
+    def doc_partial(d: pd.DataFrame) -> pd.DataFrame:
+        lp = np.round(
+            -np.log2(
+                (d["cb"].to_numpy(np.float64) + 1.0)
+                / (d["cc"].to_numpy(np.float64) + V)
+            ),
+            6,
+        )
+        tfv = d["tf"].to_numpy(np.float64)
+        g = pd.DataFrame(
+            {"doc_id": d["doc_id"].to_numpy(), "s": lp * tfv, "c": tfv}
+        )
+        return g.groupby("doc_id", as_index=False, sort=False)[["s", "c"]].sum()
+
+    def doc_final(d: pd.DataFrame) -> pd.DataFrame:
+        m = d.groupby("doc_id", as_index=False, sort=False)[["s", "c"]].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].to_numpy(),
+                "n_bigrams": m["c"].to_numpy().astype(np.int64),
+                "nll2_sum": np.round(m["s"].to_numpy(), 6),
+            }
+        )
+
+    out = bucketed_groupby(
+        j2.map_batches(doc_partial, batch_format="pandas"),
+        ["doc_id"], doc_final, num_buckets=8, local_combine=False,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+BIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+seq AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE len(t) >= 2),
+bg AS (SELECT doc_id, w1 || ' ' || w2 AS b, w1, count(*) AS tf
+       FROM seq GROUP BY doc_id, w1, w2),
+cbg AS (SELECT b, sum(tf) AS c FROM bg GROUP BY b),
+cctx AS (SELECT w1, sum(tf) AS c FROM bg GROUP BY w1),
+vt AS (SELECT count(DISTINCT tok) AS v
+       FROM (SELECT unnest(t) AS tok FROM toks)),
+per AS (SELECT bg.doc_id, bg.tf,
+               round(-log2((cbg.c + 1)
+                           / CAST(cctx.c + (SELECT v FROM vt) AS DOUBLE)),
+                     6) AS lp
+        FROM bg JOIN cbg ON cbg.b = bg.b JOIN cctx ON cctx.w1 = bg.w1)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       round(sum(lp * tf), 6) AS nll2_sum
+FROM per GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_pca_projection(sf_dir: str) -> ray.data.Dataset:
     """2-component PCA projection of the embedding table: per-block
     moment partials → d×d driver eigendecomposition → broadcast
@@ -2420,6 +2567,7 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "sample_stratified": q_sample_stratified,
     "tfidf_top_terms": q_tfidf_top_terms,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "dup_window_counts": q_dup_window_counts,
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "pack_sequences": q_pack_sequences,
@@ -2469,6 +2617,7 @@ DOC_ORACLES: dict[str, str] = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL.format(lang_id_sql=LANG_ID_SQL),
     "tfidf_top_terms": TFIDF_SQL,
     "unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "bigram_logprob": BIGRAM_LOGPROB_SQL,
     "dup_window_counts": DUP_WINDOW_SQL,
     "token_quantiles_by_lang": TOKEN_QUANTILES_SQL,
     "pack_sequences": PACK_SQL,
