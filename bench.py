@@ -256,6 +256,7 @@ def run_bench() -> dict:
             "event_type_pivot",
             "user_hours_click_and_purchase",
             "user_hours_click_no_purchase",
+            "anomalous_users",
             # LLM-training-data family over the documents/embeddings tables
             "top_tokens",
             "sample_stratified",

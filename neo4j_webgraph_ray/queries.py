@@ -1278,6 +1278,88 @@ SELECT user_id, CAST(extract(hour FROM ts) AS BIGINT)
 FROM events WHERE event_type = 'purchase'
 """
 
+def q_anomalous_users(sf_dir: str) -> ray.data.Dataset:
+    """Per-user activity anomaly screen — the z-score outlier flag an
+    abuse/quality pipeline runs over account event counts: (user_id,
+    n_events, z rounded 6 dp, is_anomalous at |n−μ| > 2σ), with μ/σ
+    the population moments of the per-user counts.
+
+    Scale shape: ONE bucketed sum produces the per-user counts; the
+    global moments fold from exact int64 (count, Σn, Σn²) partials
+    (one row per batch), and the flag pass broadcasts two scalars.
+    Both engines compute σ with the identical expression
+    ``sqrt(S2/N − μ²)`` so the 6-dp z can't diverge on estimator
+    choice."""
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(
+            n=("user_id", "size")
+        )
+
+    def combine(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("user_id", as_index=False)["n"].sum()
+
+    counts = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], combine, num_buckets=16,
+    ).materialize()  # feeds the moment fold AND the flag pass
+
+    def moments(d: pd.DataFrame) -> pd.DataFrame:
+        n = d["n"].to_numpy(np.int64)
+        return pd.DataFrame(
+            [{"cnt": np.int64(len(n)), "s1": n.sum(), "s2": (n * n).sum()}]
+        )
+
+    parts = counts.map_batches(moments, batch_format="pandas").to_pandas()
+    cnt = int(parts["cnt"].sum())
+    if cnt == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "n_events": pd.Series([], dtype=np.int64),
+                 "z": pd.Series([], dtype=np.float64),
+                 "is_anomalous": pd.Series([], dtype=np.int64)}
+            )
+        )
+    mu = float(parts["s1"].sum()) / cnt
+    sd = float(np.sqrt(float(parts["s2"].sum()) / cnt - mu * mu))
+
+    def flag(d: pd.DataFrame) -> pd.DataFrame:
+        n = d["n"].to_numpy(np.int64)
+        z = np.zeros(len(n)) if sd == 0 else np.round((n - mu) / sd, 6)
+        an = np.zeros(len(n), np.int64) if sd == 0 else (
+            np.abs(n - mu) > 2 * sd
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"user_id": d["user_id"].to_numpy(np.int64),
+             "n_events": n, "z": z, "is_anomalous": an}
+        )
+
+    return counts.map_batches(flag, batch_format="pandas")
+
+
+ANOMALOUS_USERS_SQL = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+m AS (SELECT count(*) AS cnt, sum(n) AS s1, sum(n * n) AS s2 FROM c),
+p AS (SELECT CAST(s1 AS DOUBLE) / cnt AS mu,
+             sqrt(CAST(s2 AS DOUBLE) / cnt
+                  - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt))
+                 AS sd
+      FROM m)
+SELECT c.user_id, CAST(c.n AS BIGINT) AS n_events,
+       CASE WHEN p.sd = 0 THEN 0.0
+            ELSE round((c.n - p.mu) / p.sd, 6) END AS z,
+       CAST(CASE WHEN p.sd = 0 THEN FALSE
+                 ELSE abs(c.n - p.mu) > 2 * p.sd END AS BIGINT)
+           AS is_anomalous
+FROM c, p ORDER BY c.user_id
+"""
+
+
 #: fixed pivot column set (sorted event types of the synthetic schema)
 PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -4707,6 +4789,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "user_hours_click_and_purchase": q_user_hours_click_and_purchase,
     "user_hours_click_no_purchase": q_user_hours_click_no_purchase,
     "event_type_pivot": q_event_type_pivot,
+    "anomalous_users": q_anomalous_users,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -4745,6 +4828,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "user_hours_click_and_purchase": USERS_INTERSECT_SQL,
     "user_hours_click_no_purchase": USERS_EXCEPT_SQL,
     "event_type_pivot": EVENT_TYPE_PIVOT_SQL,
+    "anomalous_users": ANOMALOUS_USERS_SQL,
     "cross_kind_pattern": GRAPH_SQL_PRELUDE
     + """
     SELECT e.src_key AS conv_key, e.dst_key AS tool_key
