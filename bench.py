@@ -272,6 +272,7 @@ def run_bench() -> dict:
             "redact_text",
             "prune_common_tokens",
             "inverted_index",
+            "heavy_hitters",
             "benchmark_contamination",
             "repetition_metrics",
             "train_split",

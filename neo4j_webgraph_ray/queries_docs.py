@@ -1249,6 +1249,64 @@ ORDER BY doc_id
 """
 
 
+#: Misra–Gries summary size: guarantees every token with true frequency
+#: > N/(HH_K+1) survives the sketch, with count error ≤ N/(HH_K+1)
+HH_K = 8
+
+
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Approximate heavy hitters over the token stream via MERGEABLE
+    Misra–Gries summaries — the streaming counterpart of the exact
+    ``top_tokens`` entry: per batch, an exact local count is compressed
+    to ≤ :data:`HH_K` counters by the MG decrement; the driver merges
+    #batches × K rows with one more decrement.  Guarantee (Agarwal et
+    al., mergeable summaries): any token with true frequency >
+    N/(K+1) is present, and every reported count is an
+    underestimate by at most N/(K+1).  Output (token, min_count)
+    sorted by count desc then token.  Sketch-valued (summary depends
+    on the batch partition), hence rows-only; pytest asserts the
+    guarantee against exact counts."""
+    import pyarrow.compute as pc
+
+    from neo4j_webgraph_ray.functions.text import ws_token_lists
+
+    docs = _docs(sf_dir)
+
+    def _mg_compress(items: np.ndarray, counts: np.ndarray, k: int):
+        if len(items) <= k:
+            return items, counts
+        order = np.argsort(-counts, kind="stable")
+        items, counts = items[order], counts[order]
+        d = counts[k]
+        keep = counts > d
+        return items[keep], counts[keep] - d
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lists = ws_token_lists(batch["text"])
+        toks = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        toks = toks[toks != ""]
+        items, counts = np.unique(toks, return_counts=True)
+        items, counts = _mg_compress(items, counts.astype(np.int64), HH_K)
+        return pd.DataFrame({"token": items, "c": counts})
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # ≤ HH_K rows per batch
+    if not len(parts):
+        return pd.DataFrame(
+            {"token": pd.Series([], dtype=object),
+             "min_count": pd.Series([], dtype=np.int64)}
+        )
+    m = parts.groupby("token", as_index=False)["c"].sum()
+    items, counts = _mg_compress(
+        m["token"].to_numpy(), m["c"].to_numpy(np.int64), HH_K
+    )
+    out = pd.DataFrame({"token": items, "min_count": counts})
+    return out.sort_values(
+        ["min_count", "token"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
 #: inverted-index posting-list prefix length (impact-ordered index
 #: prefixes: the first K doc ids per token in ascending id order)
 POSTINGS_K = 10
@@ -2575,6 +2633,9 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     "normalize_text": q_normalize_text,
     "redact_text": q_redact_text,
     "inverted_index": q_inverted_index,
+    # heavy_hitters: sketch-valued (partition-dependent MG summary) —
+    # rows-only; pytest asserts the frequency guarantee vs exact counts
+    "heavy_hitters": q_heavy_hitters,
     "prune_common_tokens": q_prune_common_tokens,
     "benchmark_contamination": q_benchmark_contamination,
     "curated_corpus": q_curated_corpus,

@@ -722,3 +722,33 @@ def test_mixture_sample_weights_and_determinism(sf_smoke):
     n_even_kept = int(even.sum())
     n_odd_kept = int((~even).sum())
     assert n_even_kept > n_odd_kept > 0
+
+
+def test_heavy_hitters_guarantee(sf_smoke):
+    """Misra–Gries guarantee: every token with true frequency >
+    N/(K+1) is reported, and reported counts are underestimates by at
+    most N/(K+1)."""
+    import duckdb
+
+    from neo4j_webgraph_ray.queries_docs import HH_K, q_heavy_hitters
+
+    got = q_heavy_hitters(sf_smoke)
+    con = duckdb.connect()
+    exact = con.sql(f"""
+        WITH toks AS (SELECT list_filter(string_split_regex(trim(text),
+                      '\\s+'), x -> x <> '') AS t
+                      FROM '{sf_smoke}/documents.parquet')
+        SELECT tok, count(*) AS c
+        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    """).df()
+    true_c = dict(zip(exact["tok"], exact["c"]))
+    N = int(exact["c"].sum())
+    thresh = N / (HH_K + 1)
+    reported = dict(zip(got["token"], got["min_count"]))
+    for tok, c in true_c.items():
+        if c > thresh:
+            assert tok in reported, f"{tok} ({c} > {thresh}) missing"
+    for tok, mc in reported.items():
+        assert mc <= true_c[tok], f"{tok} overestimated"
+        assert true_c[tok] - mc <= thresh + 1e-9, f"{tok} error too large"
+    assert len(got) <= HH_K
