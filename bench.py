@@ -246,10 +246,12 @@ def run_bench() -> dict:
             "random_walks",
             "tool_cooccurrence",
             "butterfly_count",
+            "ktruss",
             # relational / OLAP family over the event stream
             "inter_event_gaps",
             "conversation_export",
             "distinct_users",
+            "bloom_semijoin",
             "approx_distinct_users",
             "events_rollup",
             "value_histogram",

@@ -1085,6 +1085,54 @@ FROM events GROUP BY event_type
 """
 
 
+BLOOM_SEGMENT = "BUILDING"
+
+
+def q_bloom_semijoin(sf_dir: str) -> ray.data.Dataset:
+    """Per-user event counts for users who are customers of ONE market
+    segment — the selective fact⋉dim semi-join, run the runtime-filter
+    way: a Bloom filter of the segment's customer keys broadcast once,
+    a map-only prefilter over the event stream, and ONE bucketed exact
+    verify over the survivors (:mod:`neo4j_webgraph_ray.stages.bloom`).
+    Non-matching events never shuffle; the result is EXACT (Bloom has
+    no false negatives; the verify removes its false positives), so
+    the plain ``IN``-subquery SQL is a full oracle."""
+    from neo4j_webgraph_ray.stages.bloom import bloom_semijoin
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    fact = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    dim = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).filter(expr=f"c_mktsegment == '{BLOOM_SEGMENT}'")
+
+    kept = bloom_semijoin(fact, "user_id", dim, "c_custkey", num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False, sort=False).agg(
+            n_events=("user_id", "size")
+        )
+
+    def combine(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("user_id", as_index=False, sort=False)["n_events"].sum()
+
+    return bucketed_groupby(
+        kept.map_batches(partial, batch_format="pandas"),
+        ["user_id"], combine, num_buckets=4,
+    )
+
+
+BLOOM_SEMIJOIN_SQL = f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+WHERE user_id IN (SELECT c_custkey FROM customer
+                  WHERE c_mktsegment = '{BLOOM_SEGMENT}')
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_events_rollup(sf_dir: str) -> pd.DataFrame:
     """OLAP rollup over the event stream: (event_type, hour-of-day) →
     (event_type) → grand total, each level with row count and
@@ -3862,6 +3910,110 @@ FROM w
 """
 
 
+KTRUSS_K = 4
+# the engine peels to the fixpoint in data-dependent rounds; the oracle
+# unrolls this many support rounds.  An under-unroll self-reports via
+# the driver's hash compare, and pytest asserts the engine converged
+# within the unroll on the test inputs (same protocol as MIS/SSSP).
+KTRUSS_ORACLE_ROUNDS = 8
+# even-partkey restriction: the FULL co-purchase graph is dense enough
+# that the k<=5 peel barely bites (382 of 115 729 edges at sf0.01) while
+# its support oracle joins ~13 M intermediate rows per round; halving
+# the part universe quarters the edges and yields a far richer peel
+# (1 277 of 28 889 edges over 5 rounds at sf0.01)
+KTRUSS_PART_MOD = 2
+
+
+def q_ktruss(sf_dir: str) -> pd.DataFrame:
+    """k-truss (k=4) of the even-part co-purchase graph — the iterative
+    per-edge triangle-support peel (Cohen 2008), the cohesion
+    refinement between the degree peel (``kcore``) and the clique.
+    Input graph: parts appearing in the same order (distinct canonical
+    pairs from ``lineitem``), a market-basket graph with real truss
+    structure (the transcript co-occurrence graph is near-complete at
+    every sf, so the peel would be vacuous there).
+
+    Scale shape: per-order pair generation is ONE order-hash bucketed
+    groupby (an order's parts co-locate; C(parts_per_order, 2) wedges
+    are the inherent co-occurrence cost), edge dedup is a bucketed
+    distinct, and the peel itself is
+    :func:`neo4j_webgraph_ray.pipelines.ktruss.ktruss_edges` —
+    single-task vectorized below the edge gate, bucketed wedge /
+    co-group support rounds beyond."""
+    from neo4j_webgraph_ray.pipelines.ktruss import ktruss_edges
+    from neo4j_webgraph_ray.stages.core import exact_distinct
+
+    def even_parts(t: pa.Table) -> pa.Table:
+        keys = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(keys % KTRUSS_PART_MOD == 0))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(even_parts, batch_format="pyarrow", zero_copy_batch=True)
+
+    def co_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).drop_duplicates().sort_values(
+            ["l_orderkey", "l_partkey"], kind="stable"
+        )
+        parts = df["l_partkey"].to_numpy()
+        ai, bi = pair_indices_within_groups(df["l_orderkey"].to_numpy())
+        if not len(ai):
+            return pd.DataFrame(
+                {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)}
+            )
+        # within-order sort is ascending, so src < dst: canonical already
+        return pd.DataFrame({"src": parts[ai], "dst": parts[bi]})
+
+    staged = li.map_batches(
+        lambda df: add_bucket_column(df, ["l_orderkey"], 16),
+        batch_format="pandas",
+    )
+    pairs = staged.groupby(BUCKET_COL).map_groups(co_pairs, batch_format="pandas")
+    edges = exact_distinct(pairs, ["src", "dst"], num_buckets=16)
+    kept, _rounds = ktruss_edges(edges, KTRUSS_K, num_buckets=16)
+    out = kept.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    return out.astype({"a": "int64", "b": "int64"})
+
+
+def _ktruss_oracle_sql(
+    k: int = KTRUSS_K, n_rounds: int = KTRUSS_ORACLE_ROUNDS
+) -> str:
+    """Unrolled support-peel rounds as chained MATERIALIZED CTEs (the
+    default CTE inlining re-expands each round's five references
+    exponentially — thousands of parquet re-opens by round 6)."""
+    thr = k - 2
+    parts = [
+        "lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p"
+        f" FROM lineitem WHERE l_partkey % {KTRUSS_PART_MOD} = 0)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b FROM lp x"
+        " JOIN lp y ON x.o = y.o AND x.p < y.p)",
+    ]
+    prev = "e0"
+    for r in range(n_rounds):
+        parts.append(
+            f"und{r} AS MATERIALIZED (SELECT a AS x, b AS y FROM {prev} "
+            f"UNION ALL SELECT b, a FROM {prev})"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT e.a, e.b, count(*) AS c "
+            f"FROM {prev} e JOIN und{r} u1 ON u1.x = e.a "
+            f"JOIN und{r} u2 ON u2.x = e.b AND u2.y = u1.y "
+            f"GROUP BY e.a, e.b)"
+        )
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT s.a, s.b FROM s{r} s "
+            f"WHERE s.c >= {thr})"
+        )
+        prev = f"e{r + 1}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT a, b FROM {prev} ORDER BY a, b"
+    )
+
+
+KTRUSS_ORACLE_SQL = _ktruss_oracle_sql()
+
+
 def q_inter_event_gaps(sf_dir: str) -> pd.DataFrame:
     """Per-event-type inter-arrival statistics — the LAG-window family:
     for consecutive same-user, same-type events, the gap in
@@ -4716,6 +4868,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "tool_cooccurrence": q_tool_cooccurrence,
     "conversation_export": q_conversation_export,
     "butterfly_count": q_butterfly_count,
+    "ktruss": q_ktruss,
     "inter_event_gaps": q_inter_event_gaps,
     "tool_cooccurrence_triangles": q_tool_cooccurrence_triangles,
     "enrich_social": q_enrich_social,
@@ -4747,6 +4900,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "reciprocity": RECIPROCITY_SQL,
     "conversation_export": CONVERSATION_EXPORT_SQL,
     "butterfly_count": BUTTERFLY_SQL,
+    "ktruss": KTRUSS_ORACLE_SQL,
     "inter_event_gaps": INTER_EVENT_GAPS_SQL,
     "assortativity": ASSORTATIVITY_SQL,
     "random_walks": _walks_sql(),
@@ -4781,6 +4935,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "conversion_funnel": q_conversion_funnel,
     "event_props_stats": q_event_props_stats,
     "distinct_users": q_distinct_users,
+    "bloom_semijoin": q_bloom_semijoin,
     # approx_distinct_users: sketch-valued (deterministic HLL), not
     # SQL-expressible — rows-only; pytest bounds it against the exact
     "approx_distinct_users": q_approx_distinct_users,
@@ -4823,6 +4978,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "conversion_funnel": CONVERSION_FUNNEL_SQL,
     "event_props_stats": EVENT_PROPS_STATS_SQL,
     "distinct_users": DISTINCT_USERS_SQL,
+    "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
     "events_rollup": EVENTS_ROLLUP_SQL,
     "value_histogram": VALUE_HISTOGRAM_SQL,
     "user_hours_click_and_purchase": USERS_INTERSECT_SQL,
