@@ -275,6 +275,7 @@ def run_bench() -> dict:
             "prune_common_tokens",
             "inverted_index",
             "heavy_hitters",
+            "cms_token_counts",
             "benchmark_contamination",
             "repetition_metrics",
             "train_split",

@@ -1307,6 +1307,56 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+#: fixed probe set for the CMS entry: frequent generator-vocabulary
+#: tokens (non-vacuous positive counts at every sf) plus stopword /
+#: absent probes whose near-zero estimates exhibit the collision floor
+CMS_PROBE_TOKENS = (
+    "join", "hash", "row", "batch", "scan", "column", "filter",
+    "merge", "order", "table", "the", "and", "der", "el", "le",
+    "zzzz_absent_a", "zzzz_absent_b",
+)
+
+
+def q_cms_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-min-sketch frequency estimates for a fixed probe set over
+    the whitespace token stream — the LINEAR mergeable sketch
+    completing the summary family (MG underestimates / HLL distincts /
+    CMS overestimates; see
+    :mod:`neo4j_webgraph_ray.stages.sketches`).  Output (token,
+    est_count) for every token in :data:`CMS_PROBE_TOKENS`, sorted by
+    token.
+
+    Scale shape: ONE fixed-size (d×w int64) partial per block to the
+    driver — the key universe never moves, so the entry costs the same
+    whether the vocabulary has 10^2 or 10^9 tokens.  Sketch-valued
+    (hash-seed dependent) hence rows-only for the driver; pytest
+    asserts estimate >= exact for every probe, the e/w·N bound, and
+    BIT-IDENTICAL sketches across partitionings (linearity — the
+    property MG cannot offer)."""
+    import pyarrow.compute as pc
+
+    from neo4j_webgraph_ray.functions.text import ws_token_lists
+    from neo4j_webgraph_ray.stages.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_hash_tokens,
+    )
+
+    docs = _docs(sf_dir)
+
+    def keys_of_batch(batch: pa.Table):
+        lists = ws_token_lists(batch["text"])
+        toks = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        toks = toks[toks != ""]
+        items, counts = np.unique(toks, return_counts=True)
+        return cms_hash_tokens(items), counts.astype(np.int64)
+
+    sketch = cms_build(docs, keys_of_batch)
+    probes = sorted(CMS_PROBE_TOKENS)
+    est = cms_estimate(sketch, cms_hash_tokens(np.array(probes, object)))
+    return pd.DataFrame({"token": probes, "est_count": est.astype(np.int64)})
+
+
 #: inverted-index posting-list prefix length (impact-ordered index
 #: prefixes: the first K doc ids per token in ascending id order)
 POSTINGS_K = 10
@@ -2636,6 +2686,10 @@ DOC_QUERIES: dict[str, Callable[[str], object]] = {
     # heavy_hitters: sketch-valued (partition-dependent MG summary) —
     # rows-only; pytest asserts the frequency guarantee vs exact counts
     "heavy_hitters": q_heavy_hitters,
+    # cms_token_counts: sketch-valued (hash-seed dependent CMS) —
+    # rows-only; pytest asserts overestimate-only + e/w·N bound +
+    # partition-invariant sketch equality vs exact counts
+    "cms_token_counts": q_cms_token_counts,
     "prune_common_tokens": q_prune_common_tokens,
     "benchmark_contamination": q_benchmark_contamination,
     "curated_corpus": q_curated_corpus,
