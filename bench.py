@@ -276,6 +276,9 @@ def run_bench() -> dict:
             "inverted_index",
             "heavy_hitters",
             "cms_token_counts",
+            "bottomk_sample",
+            "value_quantile_sketch",
+            "weighted_sample",
             "benchmark_contamination",
             "repetition_metrics",
             "train_split",

@@ -1247,6 +1247,123 @@ ORDER BY event_type, bin
 """
 
 
+#: bottom-k sample size (the driver-visible sampling entry)
+BOTTOMK_SAMPLE_K = 500
+#: sample size backing the quantile sketch (DKW rank error at k=4096:
+#: sqrt(ln(2/0.001)/(2*4096)) ~ 3.0% with probability 99.9%)
+QSKETCH_K = 4096
+QSKETCH_PS = (0.05, 0.25, 0.5, 0.75, 0.95)
+
+
+def q_bottomk_sample(sf_dir: str) -> ray.data.Dataset:
+    """Min-wise bottom-k uniform sample of events (exact size k,
+    without replacement): the k rows whose splitmix64(event_id) is
+    smallest.  Contrast with `q_transcript_sample`'s systematic
+    Bernoulli pick (a RATE); this is an exact SIZE, is mergeable
+    (bottom-k of per-block bottom-k partials == global bottom-k) and
+    partition-invariant (splitmix64 is a 64-bit bijection over unique
+    ids, so the sample is one fixed collision-free set), and min-wise
+    keys coordinate samples across streams.  Scale shape: the stream
+    never shuffles — only <= #blocks x k candidate rows move.  Fully
+    oracled: the SQL mirror computes the identical splitmix64 in
+    HUGEINT arithmetic (bit-equality asserted in pytest)."""
+    from neo4j_webgraph_ray.stages.sketches import bottomk_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    return bottomk_sample(ds, "event_id", BOTTOMK_SAMPLE_K).drop_columns(
+        ["skey"]
+    )
+
+
+def q_value_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """Mergeable QUANTILE sketch of ``events.value`` — quantiles read
+    off the min-wise bottom-k sample (k=4096).  Completes the summary
+    family (Misra-Gries heavy hitters / HLL distincts / count-min
+    frequencies): by the DKW inequality the sampled quantile's RANK
+    error is <= sqrt(ln(2/d)/2k) w.p. 1-d (~3% at k=4096, d=0.001;
+    asserted vs exact full-data quantiles in pytest), while the exact
+    grouped-quantile path (`q_token_quantiles_by_lang`) needs a
+    histogram over the value universe.  Deterministic AND fully
+    oracled — the sample is a fixed set, so DuckDB's quantile_cont
+    over the same bottom-k subquery reproduces it bit for bit."""
+    from neo4j_webgraph_ray.stages.sketches import bottomk_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    samp = bottomk_sample(ds, "event_id", QSKETCH_K).to_pandas()
+    vals = samp["value"].to_numpy(np.float64)
+    qs = np.quantile(vals, QSKETCH_PS, method="linear")
+    out = {"sample_n": np.array([len(vals)], np.int64)}
+    for p, v in zip(QSKETCH_PS, qs):
+        out[f"p{int(p * 100):02d}"] = np.array([round(float(v), 6)])
+    return pd.DataFrame(out)
+
+
+def _bottomk_sql_parts() -> tuple[str, str]:
+    from neo4j_webgraph_ray.stages.sketches import splitmix64_cte
+
+    return (
+        splitmix64_cte("events", "event_id", "event_id, value"),
+        "SELECT event_id, value FROM mixd ORDER BY skey",
+    )
+
+
+def _bottomk_sample_sql() -> str:
+    cte, sel = _bottomk_sql_parts()
+    return f"WITH {cte} {sel} LIMIT {BOTTOMK_SAMPLE_K}"
+
+
+def _value_quantile_sketch_sql() -> str:
+    cte, sel = _bottomk_sql_parts()
+    cols = ", ".join(
+        f"round(quantile_cont(value, {p}), 6) AS p{int(p * 100):02d}"
+        for p in QSKETCH_PS
+    )
+    return (
+        f"WITH {cte}, samp AS ({sel} LIMIT {QSKETCH_K}) "
+        f"SELECT count(*) AS sample_n, {cols} FROM samp"
+    )
+
+
+#: weighted-sample size (Efraimidis–Spirakis exact-size-k)
+WSAMPLE_K = 300
+
+
+def q_weighted_sample(sf_dir: str) -> ray.data.Dataset:
+    """Weighted sample without replacement of events, inclusion
+    probability ∝ ``value`` (Efraimidis–Spirakis exponential-race
+    keys; the exact-size-k counterpart of `q_mixture_sample`'s
+    rate-based reweighting).  Deterministic, partition-invariant, and
+    FULLY oracled — the SQL mirror reproduces the identical
+    splitmix64→uniform→-ln(u)/w key and picks the same k rows."""
+    from neo4j_webgraph_ray.stages.sketches import aes_weighted_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    return aes_weighted_sample(ds, "event_id", "value", WSAMPLE_K).drop_columns(
+        ["ekey"]
+    )
+
+
+def _weighted_sample_sql() -> str:
+    from neo4j_webgraph_ray.stages.sketches import splitmix64_cte
+
+    cte = splitmix64_cte(
+        "(SELECT event_id, value FROM events WHERE value > 0)",
+        "event_id",
+        "event_id, value",
+    )
+    return (
+        f"WITH {cte} SELECT event_id, value FROM mixd "
+        f"ORDER BY -ln((CAST(skey AS DOUBLE) + 1) * pow(2.0, -64)) / value "
+        f"LIMIT {WSAMPLE_K}"
+    )
+
+
 def _user_hour_set_op(sf_dir: str, keep_b: bool) -> ray.data.Dataset:
     """Shared INTERSECT / EXCEPT machinery over (user, hour-of-day)
     activity sets: one bucketed groupby on the pair hash where each
@@ -4941,6 +5058,9 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "events_rollup": q_events_rollup,
     "value_histogram": q_value_histogram,
+    "bottomk_sample": q_bottomk_sample,
+    "value_quantile_sketch": q_value_quantile_sketch,
+    "weighted_sample": q_weighted_sample,
     "user_hours_click_and_purchase": q_user_hours_click_and_purchase,
     "user_hours_click_no_purchase": q_user_hours_click_no_purchase,
     "event_type_pivot": q_event_type_pivot,
@@ -4981,6 +5101,9 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
     "events_rollup": EVENTS_ROLLUP_SQL,
     "value_histogram": VALUE_HISTOGRAM_SQL,
+    "bottomk_sample": _bottomk_sample_sql(),
+    "value_quantile_sketch": _value_quantile_sketch_sql(),
+    "weighted_sample": _weighted_sample_sql(),
     "user_hours_click_and_purchase": USERS_INTERSECT_SQL,
     "user_hours_click_no_purchase": USERS_EXCEPT_SQL,
     "event_type_pivot": EVENT_TYPE_PIVOT_SQL,

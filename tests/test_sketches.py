@@ -121,3 +121,109 @@ def test_cms_query_vs_exact(sf_smoke):
         true = int(exact.get(tok, 0))
         assert est >= true, (tok, est, true)
         assert est <= true + max(bound, 1) * 3, (tok, est, true, bound)
+
+
+# ---------------------------------------------------------------------------
+# Min-wise bottom-k sample + sample-quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_splitmix_sql_mirror_bit_identical():
+    """The DuckDB HUGEINT splitmix64 (the oracle mirror) matches the
+    engine _mix64 BIT FOR BIT — the contract both bottom-k oracles
+    stand on."""
+    import duckdb
+
+    from neo4j_webgraph_ray.pipelines.neighborhood import _mix64
+    from neo4j_webgraph_ray.stages.sketches import splitmix64_cte
+
+    rng = np.random.default_rng(7)
+    ids = np.concatenate(
+        [
+            rng.integers(-(2**63), 2**63, size=500, dtype=np.int64),
+            np.array([0, 1, -1, 2**63 - 1, -(2**63)], np.int64),
+        ]
+    )
+    eng = _mix64(ids)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(int(i),) for i in ids])
+    sql = f"WITH {splitmix64_cte('t', 'x', 'x')} SELECT x, skey FROM mixd"
+    got = {r[0]: int(r[1]) for r in con.sql(sql).fetchall()}
+    assert all(got[int(i)] == int(e) for i, e in zip(ids, eng))
+
+
+def test_bottomk_partition_invariant_and_exact_size():
+    """bottom-k is one fixed set: identical ids across any partitioning
+    (mergeability of min-wise samples), exact size k, no duplicates."""
+    from neo4j_webgraph_ray.stages.sketches import bottomk_sample
+
+    df = pd.DataFrame(
+        {"event_id": np.arange(5000, dtype=np.int64), "value": np.arange(5000.0)}
+    )
+    picks = []
+    for p in (1, 9):
+        out = bottomk_sample(
+            ray.data.from_pandas(df).repartition(p), "event_id", 200
+        ).to_pandas()
+        assert len(out) == 200
+        assert out["event_id"].is_unique
+        picks.append(np.sort(out["event_id"].to_numpy()))
+    assert (picks[0] == picks[1]).all()
+    # min-wise: the picked keys ARE the global minimum keys
+    from neo4j_webgraph_ray.pipelines.neighborhood import _mix64
+
+    allk = _mix64(df["event_id"].to_numpy(np.int64))
+    expect = df["event_id"].to_numpy()[np.argsort(allk)[:200]]
+    assert (picks[0] == np.sort(expect)).all()
+
+
+def test_quantile_sketch_dkw_bound(sf_smoke):
+    """Sampled quantiles sit within the DKW rank-error window of the
+    exact full-data quantiles: |F(est) - p| <= sqrt(ln(2/d)/2k) with
+    d=0.001 — the guarantee the sketch trades exactness for."""
+    import pyarrow.parquet as pq
+
+    from neo4j_webgraph_ray.queries import (
+        QSKETCH_K,
+        QSKETCH_PS,
+        q_value_quantile_sketch,
+    )
+
+    got = q_value_quantile_sketch(sf_smoke)
+    vals = np.sort(
+        pq.read_table(f"{sf_smoke}/events.parquet", columns=["value"])[
+            "value"
+        ].to_numpy(zero_copy_only=False)
+    )
+    n = len(vals)
+    k = int(got["sample_n"].iloc[0])
+    assert k == min(n, QSKETCH_K)
+    eps = np.sqrt(np.log(2 / 0.001) / (2 * k))
+    for p in QSKETCH_PS:
+        est = float(got[f"p{int(p * 100):02d}"].iloc[0])
+        rank = np.searchsorted(vals, est, side="right") / n
+        assert abs(rank - p) <= eps + 1.0 / n, (p, est, rank, eps)
+
+
+def test_weighted_sample_props():
+    """A-ES: exact size k, no duplicates, zero-weight rows never drawn,
+    partition-invariant, and inclusion tracks weight (the top-weight
+    decile is over-represented vs the bottom decile)."""
+    from neo4j_webgraph_ray.stages.sketches import aes_weighted_sample
+
+    n = 20_000
+    w = np.concatenate([np.full(n // 2, 0.1), np.full(n // 2, 10.0)])
+    w[:100] = 0.0  # never drawn
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "value": w})
+    picks = []
+    for p in (1, 8):
+        out = aes_weighted_sample(
+            ray.data.from_pandas(df).repartition(p), "event_id", "value", 1000
+        ).to_pandas()
+        assert len(out) == 1000 and out["event_id"].is_unique
+        assert (out["value"] > 0).all()
+        picks.append(np.sort(out["event_id"].to_numpy()))
+    assert (picks[0] == picks[1]).all()
+    heavy = (picks[0] >= n // 2).mean()
+    assert heavy > 0.9  # 100x weight ratio -> heavy half dominates
