@@ -252,6 +252,7 @@ def run_bench() -> dict:
             "conversation_export",
             "distinct_users",
             "bloom_semijoin",
+            "revenue_by_nation",
             "approx_distinct_users",
             "events_rollup",
             "value_histogram",

@@ -1133,6 +1133,142 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+# revenue is summed in 1e-4 currency units (cents x discount-cents) so
+# engine and SQL are bit-identical regardless of summation order; ONE
+# final division converts back
+REVENUE_SCALE = 10_000.0
+
+
+def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Star-schema revenue rollup — the multi-way equi-join a
+    relational user of the reference's query surface reaches for
+    first: lineitem ⨝ orders ⨝ customer ⨝ nation, revenue and item
+    count per nation (TPC-H Q5 shape without the date/region filters).
+
+    Scale shape, fact-first: the fact table is COMPRESSED before any
+    join (per-batch exact int64 partials keyed on ``l_orderkey`` via
+    argsort + ``add.reduceat`` — ~one row per order per block), both
+    key joins are the engine's size-gated :func:`_lookup_join`
+    (broadcast under ``broadcast_limit``, the side-tagged bucketed
+    co-group beyond — orders at 10^9 rows never collects on the
+    driver), the ≤25-row nation dimension is a driver dict by
+    definition of the schema, and the final rollup is a pure partial
+    aggregation (≤ #blocks × #nations rows leave the workers).  At
+    sandbox scale both joins take the broadcast path so the whole
+    query fuses into ONE streaming pass over lineitem.
+
+    Revenue is EXACT integer arithmetic: prices and discounts are
+    2-dp by construction, so ``cents(price) * (100 - cents(discount))``
+    is an exact int64 in 1e-4 units (headroom: ~9.2e18 / ~1e9 per row
+    ≈ 9e9 lineitems per partial-tree path before overflow) and the
+    single final division is the same op in both engines — the oracle
+    hash cannot be broken by float summation order."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ok):
+            return pa.table(
+                {"okey": pa.array([], pa.int64()),
+                 "rev4": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        # np.rint (half-to-even) == SQL ROUND (half-away) here: the
+        # doubles sit within 1e-9 of an integer number of cents, so
+        # no value is ever at an exact .5 boundary
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        dc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        rev4 = cents * (100 - dc)
+        order = np.argsort(ok, kind="stable")
+        ok = ok[order]
+        rev4 = rev4[order]
+        bound = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        return pa.table(
+            {
+                "okey": pa.array(ok[bound], pa.int64()),
+                "rev4": pa.array(np.add.reduceat(rev4, bound), pa.int64()),
+                "n": pa.array(
+                    np.diff(np.r_[bound, len(ok)]).astype(np.int64)
+                ),
+            }
+        )
+
+    partials = li.map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    with_cust = _lookup_join(
+        partials, "okey", orders, "o_orderkey", "o_custkey",
+        out_col="custkey", carry_cols=["rev4", "n"],
+    )
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    with_nat = _lookup_join(
+        with_cust, "custkey", customer, "c_custkey", "c_nationkey",
+        out_col="nationkey", carry_cols=["rev4", "n"],
+    )
+
+    def nat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("nationkey", as_index=False, sort=False).agg(
+            rev4=("rev4", "sum"), n=("n", "sum")
+        )
+
+    rows = with_nat.map_batches(nat_partial, batch_format="pandas").to_pandas()
+    if not len(rows):
+        return pd.DataFrame(
+            {"n_name": pd.Series([], dtype=object),
+             "n_items": pd.Series([], dtype=np.int64),
+             "revenue": pd.Series([], dtype=np.float64)}
+        )
+    out = rows.groupby("nationkey", as_index=False, sort=False).agg(
+        rev4=("rev4", "sum"), n=("n", "sum")
+    )
+    # nation: <= 25 rows at ANY scale — a driver lookup by schema design
+    nat = ray.data.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).to_pandas()
+    key_arr = nat["n_nationkey"].to_numpy(np.int64)
+    name_arr = nat["n_name"].to_numpy()
+    o = np.argsort(key_arr)
+    idx = np.searchsorted(key_arr[o], out["nationkey"].to_numpy(np.int64))
+    return pd.DataFrame(
+        {
+            "n_name": name_arr[o][idx],
+            "n_items": out["n"].to_numpy(np.int64),
+            "revenue": out["rev4"].to_numpy(np.int64) / REVENUE_SCALE,
+        }
+    ).sort_values("n_name").reset_index(drop=True)
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 def q_events_rollup(sf_dir: str) -> pd.DataFrame:
     """OLAP rollup over the event stream: (event_type, hour-of-day) →
     (event_type) → grand total, each level with row count and
@@ -5053,6 +5189,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "event_props_stats": q_event_props_stats,
     "distinct_users": q_distinct_users,
     "bloom_semijoin": q_bloom_semijoin,
+    "revenue_by_nation": q_revenue_by_nation,
     # approx_distinct_users: sketch-valued (deterministic HLL), not
     # SQL-expressible — rows-only; pytest bounds it against the exact
     "approx_distinct_users": q_approx_distinct_users,
@@ -5099,6 +5236,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "event_props_stats": EVENT_PROPS_STATS_SQL,
     "distinct_users": DISTINCT_USERS_SQL,
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
+    "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "events_rollup": EVENTS_ROLLUP_SQL,
     "value_histogram": VALUE_HISTOGRAM_SQL,
     "bottomk_sample": _bottomk_sample_sql(),

@@ -630,3 +630,63 @@ def test_repetition_metrics_semantics(tmp_path):
     assert np.isclose(got.loc[0, "dup_trigram_frac"], 1.0)
     assert np.isclose(got.loc[1, "top_bigram_frac"], 0.25)
     assert got.loc[1, "dup_trigram_frac"] == 0.0
+
+
+def test_revenue_by_nation_cogroup_path_matches_broadcast(monkeypatch):
+    """The star join's two size-gated lookup joins on the co-group path
+    (broadcast_limit=0: orders and customer both shuffle-joined) must
+    produce exactly the broadcast path's frame — the at-scale
+    configuration where orders is 10^9 rows and never collects."""
+    import functools
+
+    import pandas as pd
+
+    import neo4j_webgraph_ray.queries as Q
+
+    bc = Q.q_revenue_by_nation(SF_SMOKE)
+    monkeypatch.setattr(
+        Q, "_lookup_join", functools.partial(Q._lookup_join, broadcast_limit=0)
+    )
+    cg = Q.q_revenue_by_nation(SF_SMOKE)
+    pd.testing.assert_frame_equal(bc, cg)
+    assert len(bc) == 25  # every nation reached through the FK chain
+
+
+def test_revenue_by_nation_exact_arithmetic(tmp_path):
+    """Crafted 2-dp prices/discounts: revenue must be the exact decimal
+    value (int64 path), not a float-accumulation approximation, and
+    multi-lineitem orders must aggregate through the per-batch
+    combiner."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    import neo4j_webgraph_ray.queries as Q
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 3],
+            "l_extendedprice": [10.01, 0.03, 99.99, 5.00],
+            "l_discount": [0.05, 0.00, 0.10, 0.07],
+        }
+    ).to_parquet(sf / "lineitem.parquet")
+    pd.DataFrame(
+        {"o_orderkey": [1, 2, 3], "o_custkey": [7, 8, 7]}
+    ).to_parquet(sf / "orders.parquet")
+    pd.DataFrame(
+        {"c_custkey": [7, 8], "c_nationkey": [0, 1]}
+    ).to_parquet(sf / "customer.parquet")
+    pd.DataFrame(
+        {"n_nationkey": [0, 1], "n_name": ["ALPHA", "BETA"]}
+    ).to_parquet(sf / "nation.parquet")
+
+    got = Q.q_revenue_by_nation(str(sf)).set_index("n_name")
+    # ALPHA: order 1 (10.01*0.95 + 0.03*1.00) + order 3 (5.00*0.93)
+    #      = 9.5095 + 0.03 + 4.65 = 14.1895 exactly
+    assert got.loc["ALPHA", "revenue"] == 14.1895
+    assert got.loc["ALPHA", "n_items"] == 3
+    # BETA: 99.99 * 0.90 = 89.991 exactly
+    assert got.loc["BETA", "revenue"] == 89.991
+    assert got.loc["BETA", "n_items"] == 1
