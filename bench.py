@@ -27,6 +27,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 
@@ -414,9 +415,27 @@ def host_health_probe() -> dict:
     t0 = time.perf_counter()
     _np.sort(x)
     sort_s = time.perf_counter() - t0
+    # fsync'd sequential write: the CPU/RPC probes miss a third episode
+    # class observed on this host — disk WRITE throughput dropping to
+    # ~30 MB/s (reads and CPU healthy) — which uniformly inflates every
+    # checkpoint/parquet/spill-heavy entry.  64 MB is large enough to
+    # defeat writeback caching once fsync'd, small enough to stay sub-
+    # second when healthy (~150+ MB/s).
+    buf = b"\0" * (8 << 20)
+    fd, path = tempfile.mkstemp(dir="/tmp", suffix=".probe")
+    try:
+        t0 = time.perf_counter()
+        for _ in range(8):
+            os.write(fd, buf)
+        os.fsync(fd)
+        write_mbs = 64.0 / (time.perf_counter() - t0)
+    finally:
+        os.close(fd)
+        os.unlink(path)
     return {
         "actor_wave_ms": round(wave_ms, 1),
         "sort10m_sec": round(sort_s, 3),
+        "disk_write_mbs": round(write_mbs, 1),
     }
 
 

@@ -150,10 +150,20 @@ def write_rejects(
     the upstream pipeline a second time)."""
     fs = filesystem
     fsio.makedirs(out_dir, fs=fs)
+    # column-name probe via limit(1): Dataset.schema() on a lazy mapped
+    # pipeline executes nearly the WHOLE upstream plan to fetch metadata
+    # (measured 18/20 blocks), and the sink below re-executes it — a 2×
+    # cost on every reject derivation.  limit(1) early-stops after
+    # O(parallelism) blocks regardless of input size; only a genuinely
+    # empty rejects stream falls through to the schema() full pass.
     try:
-        names = rejects.schema().names
+        probe = rejects.limit(1).take_batch(1, batch_format="pyarrow")
+        names = list(probe.column_names)
     except Exception:
-        names = []
+        try:
+            names = rejects.schema().names
+        except Exception:
+            names = []
     err_col = next((c for c in ("error_type", "enrich_error") if c in names), None)
     # no recognized error column (ADVICE r2): still partition (by the
     # first column, purely for write distribution) but DON'T summarize

@@ -154,14 +154,25 @@ def bloom_semijoin(
     # dtype template for padding the dim side to the FACT schema: a
     # tagged union of mismatched schemas concatenates with NaN fill,
     # which silently coerces int64 fact columns to float64 (corrupting
-    # ids above 2^53) — both sides must ship identical typed columns
-    schema = fact.schema()
-    base = getattr(schema, "base_schema", schema)
-    if isinstance(base, pa.Schema):
-        dtypes = {n: np.dtype(base.field(n).type.to_pandas_dtype())
-                  for n in base.names}
-    else:  # PandasBlockSchema
-        dtypes = dict(zip(base.names, base.types))
+    # ids above 2^53) — both sides must ship identical typed columns.
+    # Probed via limit(1), not Dataset.schema(): schema() on a lazy
+    # mapped fact executes nearly the whole upstream plan, which the
+    # semi-join would then re-execute (a raw read_parquet fact is
+    # metadata-only either way, but the operator must stay cheap for
+    # mapped inputs too).  Empty fact → schema() fallback (the double
+    # pass is then of a zero-row plan).
+    try:
+        _p = fact.limit(1).take_batch(1, batch_format="pyarrow")
+        dtypes = {n: np.dtype(_p.schema.field(n).type.to_pandas_dtype())
+                  for n in _p.column_names}
+    except Exception:
+        schema = fact.schema()
+        base = getattr(schema, "base_schema", schema)
+        if isinstance(base, pa.Schema):
+            dtypes = {n: np.dtype(base.field(n).type.to_pandas_dtype())
+                      for n in base.names}
+        else:  # PandasBlockSchema
+            dtypes = dict(zip(base.names, base.types))
     fact_cols = list(dtypes)
 
     def _pad(n: int, dt) -> np.ndarray:

@@ -374,15 +374,18 @@ class SuperstepEngine:
         # input flows into the partition files; sum-mode scatter then
         # multiplies each message by its edge weight and out_deg becomes
         # the OUT-WEIGHT sum (weighted programs read it as float).
-        # min/mode/vector modes ignore weights.
-        _schema = edges.schema()
-        weighted = _schema is not None and "weight" in (_schema.names or [])
-
+        # min/mode/vector modes ignore weights.  Detected PER BATCH, not
+        # via Dataset.schema(): schema() on a lazy Dataset executes the
+        # upstream plan nearly in full to fetch metadata (measured: 18/20
+        # blocks of a 20-block map ran for one schema() call), which
+        # doubled the edge-derivation cost of every prepare().  A
+        # Dataset's schema is uniform across batches, so the per-batch
+        # check is equivalent.
         def add_part(t: pa.Table) -> pa.Table:
             src = t["src"].to_numpy()
             dst = t["dst"].to_numpy()
             cols = {}
-            if weighted:
+            if "weight" in t.column_names:
                 w = t["weight"].to_numpy().astype(np.float64)
                 if undirected:
                     w = np.r_[w, w]
@@ -407,7 +410,7 @@ class SuperstepEngine:
                 "src": pa.array(df["src"].to_numpy(), type=pa.int64()),
                 "dst": pa.array(df["dst"].to_numpy(), type=pa.int64()),
             }
-            if weighted:
+            if "weight" in df.columns:
                 cols["weight"] = pa.array(
                     df["weight"].to_numpy(), type=pa.float64()
                 )
@@ -442,6 +445,9 @@ class SuperstepEngine:
         # on-disk table is already doubled for undirected programs and
         # deduped when requested — the upstream pipeline never re-runs)
         def endpoints(t: pa.Table) -> pa.Table:
+            # reads the on-disk partition files, which carry the weight
+            # column iff the input did — same per-batch detection
+            weighted = "weight" in t.column_names
             src = t["src"].to_numpy()
             dst = t["dst"].to_numpy()
             ids = np.r_[src, dst]
@@ -474,13 +480,13 @@ class SuperstepEngine:
         def write_vertex_part(df: pd.DataFrame) -> pd.DataFrame:
             part = int(df["part"].iloc[0])
             g = df.groupby("id", sort=True, as_index=False)["out_c"].sum()
+            # endpoints() emitted out_c as float64 iff weighted; the
+            # pandas sum preserves that dtype, so out_deg inherits it
             deg = g["out_c"].to_numpy()
             t = pa.table(
                 {
                     "id": pa.array(g["id"].to_numpy(), type=pa.int64()),
-                    "out_deg": pa.array(
-                        deg if weighted else deg.astype(np.int64)
-                    ),
+                    "out_deg": pa.array(deg),
                 }
             )
             atomic_write_parquet(t, fsio.join(vdir, f"part={part}.parquet"), fs=fs)
