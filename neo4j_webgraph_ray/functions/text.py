@@ -186,8 +186,11 @@ def doc_fingerprint(text: str, k: int = 3) -> int:
         return 0
     if len(h) < k:
         acc = np.uint64(0)
-        for x in h:
-            acc = (acc * _FP_BASE + x) & _FP_MOD_MASK
+        # mod-2^64 wraparound is the hash definition — the numpy
+        # overflow RuntimeWarning is expected, not an error
+        with np.errstate(over="ignore"):
+            for x in h:
+                acc = (acc * _FP_BASE + x) & _FP_MOD_MASK
         return int(acc)
     # vectorized k-gram rolling hashes: sum of base^j * h[i+j]
     weights = np.array(
