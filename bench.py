@@ -280,6 +280,7 @@ def run_bench() -> dict:
             "cms_token_counts",
             "bottomk_sample",
             "value_quantile_sketch",
+            "value_exact_quantiles",
             "weighted_sample",
             "benchmark_contamination",
             "repetition_metrics",

@@ -1464,6 +1464,43 @@ def _value_quantile_sketch_sql() -> str:
     )
 
 
+def q_value_exact_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT global quantiles of ``events.value`` (``quantile_disc``
+    semantics: the data element at 1-based rank ``ceil(p*n)``) — the
+    exactness rung above `q_value_quantile_sketch`'s ~3%-rank-error
+    bottom-k sample, without the distributed sort an exact global
+    order statistic naively needs.
+
+    Scale shape (see :mod:`..stages.selection`): iterative histogram
+    refinement — all five quantiles narrow simultaneously, each pass is
+    ONE streaming scan of the column-pruned value column plus a shuffle
+    of only sparse (quantile, bucket, count) partials; each pass
+    shrinks every window 4096x, so real data resolves in 1-2 passes and
+    the driver only ever collects the <= 65536 values of a final
+    bucket.  Bit-exact oracled: the answer is a data element, so there
+    is no interpolation arithmetic to diverge on."""
+    from neo4j_webgraph_ray.stages.selection import exact_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+    res, n = exact_quantiles(ds, "value", QSKETCH_PS)
+    out: dict[str, np.ndarray] = {"n": np.array([n], np.int64)}
+    for p in QSKETCH_PS:
+        out[f"p{int(p * 100):02d}"] = np.array([res[p]], np.float64)
+    return pd.DataFrame(out)
+
+
+VALUE_EXACT_QUANTILES_SQL = (
+    "SELECT CAST(count(value) AS BIGINT) AS n, "
+    + ", ".join(
+        f"quantile_disc(value, {p}) AS p{int(p * 100):02d}"
+        for p in QSKETCH_PS
+    )
+    + " FROM events"
+)
+
+
 #: weighted-sample size (Efraimidis–Spirakis exact-size-k)
 WSAMPLE_K = 300
 
@@ -5197,6 +5234,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "value_histogram": q_value_histogram,
     "bottomk_sample": q_bottomk_sample,
     "value_quantile_sketch": q_value_quantile_sketch,
+    "value_exact_quantiles": q_value_exact_quantiles,
     "weighted_sample": q_weighted_sample,
     "user_hours_click_and_purchase": q_user_hours_click_and_purchase,
     "user_hours_click_no_purchase": q_user_hours_click_no_purchase,
@@ -5241,6 +5279,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "value_histogram": VALUE_HISTOGRAM_SQL,
     "bottomk_sample": _bottomk_sample_sql(),
     "value_quantile_sketch": _value_quantile_sketch_sql(),
+    "value_exact_quantiles": VALUE_EXACT_QUANTILES_SQL,
     "weighted_sample": _weighted_sample_sql(),
     "user_hours_click_and_purchase": USERS_INTERSECT_SQL,
     "user_hours_click_no_purchase": USERS_EXCEPT_SQL,
