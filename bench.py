@@ -234,6 +234,7 @@ def run_bench() -> dict:
             "triangle_count",
             "clustering_coefficient",
             "vertex_similarity",
+            "adamic_adar",
             "mis",
             "neighborhood_function",
             "effective_diameter",
@@ -254,6 +255,11 @@ def run_bench() -> dict:
             "distinct_users",
             "bloom_semijoin",
             "revenue_by_nation",
+            "revenue_by_brand",
+            "shipping_priority",
+            "supplier_balance_by_region",
+            "pricing_summary",
+            "user_retention",
             "approx_distinct_users",
             "events_rollup",
             "value_histogram",
@@ -263,6 +269,7 @@ def run_bench() -> dict:
             "anomalous_users",
             # LLM-training-data family over the documents/embeddings tables
             "top_tokens",
+            "top_docs_per_lang",
             "sample_stratified",
             "tfidf_top_terms",
             "unigram_logprob",

@@ -747,6 +747,87 @@ GROUP BY 1, 2, 3
 """
 
 
+_DAY_US = np.int64(86_400_000_000)
+
+
+def q_user_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention — the activation/retention matrix a product or
+    data-curation team computes over interaction logs: users cohorted
+    by their FIRST active day; for every (cohort_day, day_offset), the
+    number of cohort users active ``day_offset`` days after joining.
+
+    Scale shape: the classic two-phase plan (per-user first day, then
+    join back and re-aggregate) collapses into ONE shuffle because
+    both phases key on ``user_id`` — after the single
+    ``user_id % B`` bucketing (same exchange as sessions / as-of), a
+    user's entire history is bucket-local, so each bucket derives its
+    users' distinct active days, first days and offsets with pure
+    numpy (one structured-dtype ``np.unique``) and emits
+    pre-aggregated (cohort_day, offset) partial counts.  Only
+    B × |days| × |offsets| partial rows reach the final fold (days
+    and offsets are calendar-bounded — ~365² rows/bucket after years
+    of data), never per-user rows.  Days are us-epoch floor-division
+    (events are post-1970 by schema; pre-epoch rows would need
+    ``floor_divide`` semantics matching SQL ``date_trunc``)."""
+    staged = _events_user_bucketed(sf_dir, ["user_id", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy()
+        empty = pd.DataFrame(
+            {"cohort_day": np.empty(0, "datetime64[us]"),
+             "day_offset": np.empty(0, np.int64),
+             "n_users": np.empty(0, np.int64)}
+        )
+        if len(uid) == 0:
+            return empty
+        t = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        arr = np.empty(len(uid), dtype=_UT_DT)
+        arr["u"], arr["t"] = uid, t // _DAY_US
+        arr = np.unique(arr)  # distinct (user, day), sorted by (u, t)
+        u, d = arr["u"], arr["t"]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        first = d[new_user]  # sorted within user => first = min day
+        uord = np.cumsum(new_user) - 1
+        ck = np.empty(len(u), dtype=_UT_DT)
+        ck["u"], ck["t"] = first[uord], d - first[uord]
+        keys, counts = np.unique(ck, return_counts=True)
+        return pd.DataFrame(
+            {
+                "cohort_day": (keys["u"] * _DAY_US).astype("datetime64[us]"),
+                "day_offset": keys["t"].astype(np.int64),
+                "n_users": counts.astype(np.int64),
+            }
+        )
+
+    rows = staged.groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    ).to_pandas()
+    if not len(rows):
+        return pd.DataFrame(
+            {"cohort_day": np.empty(0, "datetime64[us]"),
+             "day_offset": np.empty(0, np.int64),
+             "n_users": np.empty(0, np.int64)}
+        )
+    return (
+        rows.groupby(["cohort_day", "day_offset"], as_index=False, sort=True)[
+            "n_users"
+        ]
+        .sum()
+        .reset_index(drop=True)
+    )
+
+
+USER_RETENTION_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT f.cohort_day AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, ud.day) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN f ON ud.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 ERROR_CONTEXT_MINUTES = 240
 
 
@@ -1266,6 +1347,490 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY n_name
+"""
+
+
+PRICING_CUTOFF = "1998-09-02"
+
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-shaped pricing summary: the canonical full-scan
+    multi-aggregate report — per (returnflag, linestatus), sums of
+    quantity / base price / discounted price / charged amount, the
+    three averages, and the row count, over lineitems shipped on or
+    before ``PRICING_CUTOFF``.
+
+    Scale shape: the ideal streaming aggregate — column-pruned read
+    (7 of 11 columns), per-batch vectorized filter + exact-integer
+    partials into a SIX-row key space (per-batch pandas groupby), so
+    only #blocks × 6 tiny rows ever leave the workers; no shuffle at
+    all.  Arithmetic is exact int64 per partial (prices/discounts/
+    taxes are 2-dp by construction, quantities integral):
+    ``disc4 = cents·(100-dc)`` (1e-4 units) and
+    ``charge6 = disc4·(100+tx)`` (1e-6 units, ≤ ~1.1e11/row — a
+    partial path overflows int64 only past ~8e7 rows per BLOCK, far
+    above any block size).  The driver's final fold runs on Python
+    object ints (arbitrary precision, ≤ #blocks × 6 rows), matching
+    DuckDB's HUGEINT sum exactly at any corpus size; each output
+    double is ONE division of identical quantities in both engines,
+    so the oracle hash cannot be broken by float summation order."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+    cutoff = np.datetime64(PRICING_CUTOFF, "us").view(np.int64)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ship = (
+            t["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        m = ship <= cutoff
+        if not m.any():
+            return pd.DataFrame(
+                {
+                    "l_returnflag": pd.Series([], dtype=object),
+                    "l_linestatus": pd.Series([], dtype=object),
+                    **{
+                        c: pd.Series([], dtype=np.int64)
+                        for c in ("qty100", "cents", "dc", "disc4",
+                                  "charge6", "n")
+                    },
+                }
+            )
+        qty100 = np.rint(
+            t["l_quantity"].to_numpy(zero_copy_only=False)[m] * 100.0
+        ).astype(np.int64)
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100.0
+        ).astype(np.int64)
+        dc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False)[m] * 100.0
+        ).astype(np.int64)
+        tx = np.rint(
+            t["l_tax"].to_numpy(zero_copy_only=False)[m] * 100.0
+        ).astype(np.int64)
+        disc4 = cents * (100 - dc)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_numpy(
+                    zero_copy_only=False
+                )[m],
+                "l_linestatus": t["l_linestatus"].to_numpy(
+                    zero_copy_only=False
+                )[m],
+                "qty100": qty100,
+                "cents": cents,
+                "dc": dc,
+                "disc4": disc4,
+                "charge6": disc4 * (100 + tx),
+                "n": np.ones(len(qty100), np.int64),
+            }
+        )
+        return df.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False, sort=False
+        ).sum()
+
+    rows = li.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if not len(rows):
+        return pd.DataFrame(
+            {
+                "l_returnflag": pd.Series([], dtype=object),
+                "l_linestatus": pd.Series([], dtype=object),
+                "sum_qty": pd.Series([], dtype=np.float64),
+                "sum_base_price": pd.Series([], dtype=np.float64),
+                "sum_disc_price": pd.Series([], dtype=np.float64),
+                "sum_charge": pd.Series([], dtype=np.float64),
+                "avg_qty": pd.Series([], dtype=np.float64),
+                "avg_price": pd.Series([], dtype=np.float64),
+                "avg_disc": pd.Series([], dtype=np.float64),
+                "count_order": pd.Series([], dtype=np.int64),
+            }
+        )
+    # object-int fold: exact at ANY row count (int64 partials are safe
+    # per block; the global sums are what could overflow)
+    for c in ("qty100", "cents", "dc", "disc4", "charge6", "n"):
+        rows[c] = rows[c].map(int)
+    g = rows.groupby(
+        ["l_returnflag", "l_linestatus"], as_index=False, sort=True
+    ).sum()
+    n = g["n"].map(float).to_numpy(np.float64)
+    return pd.DataFrame(
+        {
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": g["qty100"].map(float).to_numpy() / 100.0,
+            "sum_base_price": g["cents"].map(float).to_numpy() / 100.0,
+            "sum_disc_price": g["disc4"].map(float).to_numpy() / 10000.0,
+            "sum_charge": g["charge6"].map(float).to_numpy() / 1000000.0,
+            "avg_qty": g["qty100"].map(float).to_numpy() / (100.0 * n),
+            "avg_price": g["cents"].map(float).to_numpy() / (100.0 * n),
+            "avg_disc": g["dc"].map(float).to_numpy() / (100.0 * n),
+            "count_order": g["n"].to_numpy(np.int64),
+        }
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0
+    AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
+    AS sum_base_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)
+    / 10000.0 AS sum_disc_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+           * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS DOUBLE)
+    / 1000000.0 AS sum_charge,
+  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)
+    / (100.0 * count(*)) AS avg_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+    / (100.0 * count(*)) AS avg_price,
+  CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)
+    / (100.0 * count(*)) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+SHIP_SEGMENT = "BUILDING"
+SHIP_CUTOFF = "1998-06-30"
+SHIP_TOPN = 10
+
+
+def q_shipping_priority(
+    sf_dir: str, broadcast_limit: int = 500_000
+) -> pd.DataFrame:
+    """TPC-H-Q3-shaped shipping priority: the ``SHIP_TOPN`` unshipped
+    orders of ``SHIP_SEGMENT`` customers (ordered before, not fully
+    shipped by ``SHIP_CUTOFF``) with the highest outstanding revenue.
+
+    Scale shape, fact-first like :func:`q_revenue_by_nation`: lineitem
+    is filtered at the scan (``l_shipdate > cutoff``) and COMPRESSED to
+    per-batch exact-int partials per order before any join; orders is
+    date-filtered at its scan and semi-joined to the segment's
+    customers via the size-gated :func:`_lookup_join` (broadcast at
+    sandbox scale, bucketed co-group beyond); the order-date attach is
+    a second size-gated join.  The only shuffle is ONE bucketed
+    groupby that completes the per-order revenue sums — the top-N cut
+    happens per OUTPUT batch (each row there already carries its
+    complete sum, so a per-batch cut can never drop a global top-N
+    row; cutting inside the local combine WOULD — a batch's partial
+    sum can be small for an order whose total is large), and the
+    driver merges ≤ #blocks × N candidate rows."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+    cutoff = np.datetime64(SHIP_CUTOFF, "us").view(np.int64)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ship = (
+            t["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        m = ship > cutoff
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)[m]
+        if not len(ok):
+            return pa.table(
+                {"okey": pa.array([], pa.int64()),
+                 "rev4": pa.array([], pa.int64())}
+            )
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100.0
+        ).astype(np.int64)
+        dc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False)[m] * 100.0
+        ).astype(np.int64)
+        rev4 = cents * (100 - dc)
+        order = np.argsort(ok, kind="stable")
+        ok, rev4 = ok[order], rev4[order]
+        bound = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        return pa.table(
+            {"okey": pa.array(ok[bound], pa.int64()),
+             "rev4": pa.array(np.add.reduceat(rev4, bound), pa.int64())}
+        )
+
+    partials = li.map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def ord_filter(t: pa.Table) -> pa.Table:
+        od = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        return t.filter(pa.array(od < cutoff))
+
+    orders_f = orders.map_batches(
+        ord_filter, batch_format="pyarrow", zero_copy_batch=True
+    )
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    with_seg = _lookup_join(
+        orders_f, "o_custkey", customer, "c_custkey", "c_mktsegment",
+        out_col="seg", carry_cols=["o_orderkey", "o_orderdate"],
+        val_default="", broadcast_limit=broadcast_limit,
+    )
+    bld = with_seg.map_batches(
+        lambda df: df.loc[
+            df["seg"] == SHIP_SEGMENT, ["o_orderkey", "o_orderdate"]
+        ],
+        batch_format="pandas",
+    )
+    joined = _lookup_join(
+        partials, "okey", bld, "o_orderkey", "o_orderdate",
+        out_col="o_orderdate", carry_cols=["rev4"],
+        val_default=np.datetime64(0, "us"), keep_key=True,
+        broadcast_limit=broadcast_limit,
+    )
+    summed = bucketed_groupby(
+        joined, ["okey"],
+        lambda df: df.groupby(
+            ["okey", "o_orderdate"], as_index=False, sort=False
+        )["rev4"].sum(),
+    )
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["rev4", "okey"], ascending=[False, True], kind="stable"
+        ).head(SHIP_TOPN)
+
+    cand = summed.map_batches(cut, batch_format="pandas").to_pandas()
+    if not len(cand):
+        return pd.DataFrame(
+            {"l_orderkey": pd.Series([], dtype=np.int64),
+             "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+             "revenue": pd.Series([], dtype=np.float64)}
+        )
+    out = cand.sort_values(
+        ["rev4", "okey"], ascending=[False, True], kind="stable"
+    ).head(SHIP_TOPN)
+    return pd.DataFrame(
+        {
+            "l_orderkey": out["okey"].to_numpy(np.int64),
+            # the co-group join path concats through pandas (ns
+            # resolution); normalize so the contract dtype is
+            # gate-path-invariant
+            "o_orderdate": out["o_orderdate"].to_numpy().astype(
+                "datetime64[us]"
+            ),
+            "revenue": out["rev4"].to_numpy(np.int64) / 10000.0,
+        }
+    ).reset_index(drop=True)
+
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT l_orderkey, o_orderdate,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{SHIP_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) DESC,
+         l_orderkey
+LIMIT {SHIP_TOPN}
+"""
+
+
+def q_revenue_by_brand(sf_dir: str) -> pd.DataFrame:
+    """Part-dimension revenue rollup: lineitem ⨝ part, revenue and item
+    count per ``p_brand`` — the product-dimension cut beside the
+    customer-dimension :func:`q_revenue_by_nation`.
+
+    Same fact-first shape: per-batch exact-int partials keyed on
+    ``l_partkey`` compress lineitem before the size-gated part join,
+    then a pure partial aggregation into the ~25-brand key space
+    (≤ #blocks × #brands rows reach the driver; no shuffle at sandbox
+    scale where the part side broadcasts)."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(pk):
+            return pa.table(
+                {"pkey": pa.array([], pa.int64()),
+                 "rev4": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        dc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        rev4 = cents * (100 - dc)
+        order = np.argsort(pk, kind="stable")
+        pk, rev4 = pk[order], rev4[order]
+        bound = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        return pa.table(
+            {
+                "pkey": pa.array(pk[bound], pa.int64()),
+                "rev4": pa.array(np.add.reduceat(rev4, bound), pa.int64()),
+                "n": pa.array(np.diff(np.r_[bound, len(pk)]).astype(np.int64)),
+            }
+        )
+
+    partials = li.map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"],
+    )
+    joined = _lookup_join(
+        partials, "pkey", part, "p_partkey", "p_brand",
+        out_col="p_brand", carry_cols=["rev4", "n"], val_default="",
+    )
+
+    def brand_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("p_brand", as_index=False, sort=False).agg(
+            rev4=("rev4", "sum"), n=("n", "sum")
+        )
+
+    rows = joined.map_batches(brand_partial, batch_format="pandas").to_pandas()
+    if not len(rows):
+        return pd.DataFrame(
+            {"p_brand": pd.Series([], dtype=object),
+             "n_items": pd.Series([], dtype=np.int64),
+             "revenue": pd.Series([], dtype=np.float64)}
+        )
+    g = rows.groupby("p_brand", as_index=False, sort=True).agg(
+        rev4=("rev4", "sum"), n=("n", "sum")
+    )
+    return pd.DataFrame(
+        {
+            "p_brand": g["p_brand"],
+            "n_items": g["n"].to_numpy(np.int64),
+            "revenue": g["rev4"].to_numpy(np.int64) / 10000.0,
+        }
+    )
+
+
+REVENUE_BY_BRAND_SQL = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def q_supplier_balance_by_region(sf_dir: str) -> pd.DataFrame:
+    """Supplier account-balance rollup by region: supplier ⨝ nation ⨝
+    region, (count, exact-cents total, average) per region name.
+
+    Nation (≤25 rows) and region (≤5 rows) are driver lookups BY
+    SCHEMA DESIGN — composing their two searchsorted maps turns the
+    two dimension joins into one vectorized gather inside the scan, so
+    the supplier table streams exactly once with per-batch partials
+    into a five-row key space.  Balances are 2-dp by construction →
+    exact int64 cents; the averages are one division of identical
+    quantities in both engines."""
+    nat = ray.data.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    ).to_pandas()
+    reg = ray.data.read_parquet(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    ).to_pandas()
+    rk = reg["r_regionkey"].to_numpy(np.int64)
+    rn = reg["r_name"].to_numpy()
+    ro = np.argsort(rk)
+    nk = nat["n_nationkey"].to_numpy(np.int64)
+    # nation key -> region NAME, composed once on the driver
+    nreg = rn[ro][np.searchsorted(rk[ro], nat["n_regionkey"].to_numpy(np.int64))]
+    no = np.argsort(nk)
+    nk_sorted, nreg_sorted = nk[no], nreg[no]
+
+    sup = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_nationkey", "s_acctbal"],
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        snk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(snk):
+            return pd.DataFrame(
+                {"r_name": pd.Series([], dtype=object),
+                 "bal_cents": pd.Series([], dtype=np.int64),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        cents = np.rint(
+            t["s_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        region = nreg_sorted[np.searchsorted(nk_sorted, snk)]
+        return pd.DataFrame(
+            {"r_name": region, "bal_cents": cents,
+             "n": np.ones(len(snk), np.int64)}
+        ).groupby("r_name", as_index=False, sort=False).sum()
+
+    rows = sup.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if not len(rows):
+        return pd.DataFrame(
+            {"r_name": pd.Series([], dtype=object),
+             "n_suppliers": pd.Series([], dtype=np.int64),
+             "total_acctbal": pd.Series([], dtype=np.float64),
+             "avg_acctbal": pd.Series([], dtype=np.float64)}
+        )
+    g = rows.groupby("r_name", as_index=False, sort=True).sum()
+    n = g["n"].to_numpy(np.int64)
+    cents = g["bal_cents"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "r_name": g["r_name"],
+            "n_suppliers": n,
+            "total_acctbal": cents / 100.0,
+            "avg_acctbal": cents.astype(np.float64) / (100.0 * n),
+        }
+    )
+
+
+SUPPLIER_BALANCE_BY_REGION_SQL = """
+SELECT r_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_acctbal,
+       CAST(SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS DOUBLE)
+         / (100.0 * count(*)) AS avg_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
 """
 
 
@@ -3063,6 +3628,129 @@ def q_vertex_similarity(sf_dir: str) -> pd.DataFrame:
         kind="stable",
     ).head(VERTEX_SIM_TOP_K)
     return out.reset_index(drop=True)
+
+
+#: Adamic–Adar weights in integer micro-units: each wedge contributes
+#: round(1e6 / ln(deg_center)) so the per-pair SUM is exact int64 in
+#: both engines (float summation order can't break the oracle hash);
+#: ln() of the same small-integer degrees is computed by libm on both
+#: sides and the rounding boundary .5 is never hit for integer degrees.
+AA_SCALE = 1_000_000.0
+
+
+def q_adamic_adar(sf_dir: str) -> pd.DataFrame:
+    """Adamic–Adar link-prediction scores over the simple undirected
+    transcript graph — the frequency-weighted twin of
+    :func:`q_vertex_similarity`: for every vertex pair sharing at
+    least one (informative) common neighbor, AA(a, b) = Σ_{c ∈
+    N(a)∩N(b)} 1/ln(deg(c)), with the same stop-word center bound
+    (deg ≤ :data:`VERTEX_SIM_MAX_CENTER_DEG`) as part of the operator
+    definition.  Output the :data:`VERTEX_SIM_TOP_K` best pairs
+    (vkey_a, vkey_b, inter, aa) ranked by (exact integer aa DESC,
+    vkey_a, vkey_b).
+
+    Scale shape: identical to the Jaccard scorer — per-center wedge
+    expansion inside center-bucketed groups (wedges ≤ bound·|E| by the
+    filter), ONE bucketed (x, y) groupby summing the integer wedge
+    weights, vkey attach via size-gated lookup joins, per-block
+    partial top-k merged driver-side (blocks×k rows)."""
+    from neo4j_webgraph_ray.pipelines.triangles import undirected_simple
+
+    edges, vertices = graph(sf_dir)
+    nb = 16
+    und = undirected_simple(edges, num_buckets=nb)
+
+    def adj_rows(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        return pd.DataFrame({"c": np.r_[a, b], "n": np.r_[b, a]})
+
+    adj = und.map_batches(adj_rows, batch_format="pandas")
+    deg = bucketed_groupby(
+        adj.map_batches(
+            lambda df: df.assign(deg=np.int64(1)), batch_format="pandas"
+        ),
+        ["c"],
+        lambda df: df.groupby("c", as_index=False)["deg"].sum(),
+        num_buckets=nb,
+    )
+    # centers carry their FULL degree (the AA weight basis) through
+    # the informative-center filter
+    adj2 = _lookup_join(
+        adj, "c", deg, "c", "deg", "deg_c", carry_cols=["n"],
+        num_buckets=nb, keep_key=True,
+    ).map_batches(
+        lambda df: df.loc[
+            df["deg_c"].to_numpy() <= VERTEX_SIM_MAX_CENTER_DEG,
+            ["c", "n", "deg_c"],
+        ],
+        batch_format="pandas",
+    )
+
+    def wedge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["c", "n"], kind="stable")
+        c = df["c"].to_numpy()
+        nn = df["n"].to_numpy()
+        # a wedge's center has deg >= 2 by construction (it pairs two
+        # neighbors), so ln(deg) > 0 always
+        w = np.rint(AA_SCALE / np.log(df["deg_c"].to_numpy())).astype(
+            np.int64
+        )
+        ai, bi = pair_indices_within_groups(c)
+        return pd.DataFrame(
+            {"x": nn[ai], "y": nn[bi], "aa_u6": w[ai],
+             "inter": np.ones(len(ai), np.int64)}
+        )
+
+    staged = adj2.map_batches(
+        lambda df: add_bucket_column(df, ["c"], nb), batch_format="pandas"
+    )
+    wedges = staged.groupby(BUCKET_COL).map_groups(wedge, batch_format="pandas")
+    aa = bucketed_groupby(
+        wedges,
+        ["x", "y"],
+        lambda df: df.groupby(["x", "y"], as_index=False).agg(
+            aa_u6=("aa_u6", "sum"), inter=("inter", "sum")
+        ),
+        num_buckets=nb,
+    )
+    vk = vertices.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "id": df["id"].to_numpy(),
+                "vkey": (df["kind"].astype(str) + ":" + df["key"].astype(str)),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j3 = _lookup_join(aa, "x", vk, "id", "vkey", "vkx",
+                      carry_cols=["y", "aa_u6", "inter"],
+                      val_default="", num_buckets=nb)
+    j4 = _lookup_join(j3, "y", vk, "id", "vkey", "vky",
+                      carry_cols=["aa_u6", "inter", "vkx"],
+                      val_default="", num_buckets=nb)
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        a = np.minimum(df["vkx"].to_numpy(), df["vky"].to_numpy())
+        b = np.maximum(df["vkx"].to_numpy(), df["vky"].to_numpy())
+        out = pd.DataFrame(
+            {"vkey_a": a, "vkey_b": b,
+             "inter": df["inter"].to_numpy(np.int64),
+             "aa_u6": df["aa_u6"].to_numpy(np.int64)}
+        )
+        out = out.sort_values(
+            ["aa_u6", "vkey_a", "vkey_b"],
+            ascending=[False, True, True], kind="stable",
+        )
+        return out.head(VERTEX_SIM_TOP_K)
+
+    parts = j4.map_batches(score_topk, batch_format="pandas").to_pandas()
+    out = parts.sort_values(
+        ["aa_u6", "vkey_a", "vkey_b"], ascending=[False, True, True],
+        kind="stable",
+    ).head(VERTEX_SIM_TOP_K)
+    out["aa"] = out["aa_u6"].to_numpy(np.int64) / AA_SCALE
+    return out[["vkey_a", "vkey_b", "inter", "aa"]].reset_index(drop=True)
 
 
 #: exact-bitset neighborhood-function gate: below this many vertices the
@@ -4967,6 +5655,30 @@ LIMIT {VERTEX_SIM_TOP_K}
 """
 )
 
+ADAMIC_ADAR_SQL = (
+    GRAPH_SQL_PRELUDE
+    + f""",
+und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM (SELECT src_kind || ':' || src_key AS u,
+                     dst_kind || ':' || dst_key AS v FROM edges)
+        WHERE u <> v),
+adj AS (SELECT a AS c, b AS n FROM und UNION ALL SELECT b, a FROM und),
+degf AS (SELECT c, count(*) AS deg FROM adj GROUP BY c),
+adj2 AS (SELECT adj.c, adj.n, degf.deg FROM adj JOIN degf ON degf.c = adj.c
+         WHERE degf.deg <= {VERTEX_SIM_MAX_CENTER_DEG}),
+pairs AS (SELECT l.n AS x, r.n AS y,
+                 SUM(CAST(ROUND({AA_SCALE} / ln(l.deg)) AS BIGINT)) AS aa_u6,
+                 count(*) AS inter
+          FROM adj2 l JOIN adj2 r ON l.c = r.c AND l.n < r.n
+          GROUP BY l.n, r.n)
+SELECT x AS vkey_a, y AS vkey_b, CAST(inter AS BIGINT) AS inter,
+       CAST(aa_u6 AS DOUBLE) / {AA_SCALE} AS aa
+FROM pairs
+ORDER BY aa_u6 DESC, vkey_a, vkey_b
+LIMIT {VERTEX_SIM_TOP_K}
+"""
+)
+
 SCC_ORACLE_SQL = (
     _RECURSIVE_PRELUDE
     + """,
@@ -5145,6 +5857,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "triangle_count": q_triangle_count,
     "clustering_coefficient": q_clustering_coefficient,
     "vertex_similarity": q_vertex_similarity,
+    "adamic_adar": q_adamic_adar,
     "mis": q_mis,
     "neighborhood_function": q_neighborhood_function,
     "effective_diameter": q_effective_diameter,
@@ -5181,6 +5894,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "triangle_count": TRIANGLE_ORACLE_SQL,
     "clustering_coefficient": CLUSTERING_ORACLE_SQL,
     "vertex_similarity": VERTEX_SIM_SQL,
+    "adamic_adar": ADAMIC_ADAR_SQL,
     "mis": MIS_ORACLE_SQL,
     "neighborhood_function": NF_ORACLE_SQL,
     "effective_diameter": EFFDIAM_ORACLE_SQL,
@@ -5219,6 +5933,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "turns_per_hour": q_turns_per_hour,
     "role_transitions": q_role_transitions,
     "user_sessions": q_user_sessions,
+    "user_retention": q_user_retention,
     "purchase_asof_click": q_purchase_asof_click,
     "error_context": q_error_context,
     "rolling_user_activity": q_rolling_user_activity,
@@ -5227,6 +5942,10 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "distinct_users": q_distinct_users,
     "bloom_semijoin": q_bloom_semijoin,
     "revenue_by_nation": q_revenue_by_nation,
+    "revenue_by_brand": q_revenue_by_brand,
+    "shipping_priority": q_shipping_priority,
+    "supplier_balance_by_region": q_supplier_balance_by_region,
+    "pricing_summary": q_pricing_summary,
     # approx_distinct_users: sketch-valued (deterministic HLL), not
     # SQL-expressible — rows-only; pytest bounds it against the exact
     "approx_distinct_users": q_approx_distinct_users,
@@ -5267,6 +5986,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "turns_per_hour": TURNS_PER_HOUR_SQL,
     "role_transitions": ROLE_TRANSITIONS_SQL,
     "user_sessions": USER_SESSIONS_SQL,
+    "user_retention": USER_RETENTION_SQL,
     "purchase_asof_click": PURCHASE_ASOF_CLICK_SQL,
     "error_context": ERROR_CONTEXT_SQL,
     "rolling_user_activity": ROLLING_USER_ACTIVITY_SQL,
@@ -5275,6 +5995,10 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "distinct_users": DISTINCT_USERS_SQL,
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
+    "revenue_by_brand": REVENUE_BY_BRAND_SQL,
+    "shipping_priority": SHIPPING_PRIORITY_SQL,
+    "supplier_balance_by_region": SUPPLIER_BALANCE_BY_REGION_SQL,
+    "pricing_summary": PRICING_SUMMARY_SQL,
     "events_rollup": EVENTS_ROLLUP_SQL,
     "value_histogram": VALUE_HISTOGRAM_SQL,
     "bottomk_sample": _bottomk_sample_sql(),

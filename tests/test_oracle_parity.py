@@ -88,6 +88,22 @@ def test_random_walks_cogroup_path_matches_broadcast():
     assert set(bc["step"]) == set(range(WALK_STEPS + 1))
 
 
+def test_shipping_priority_cogroup_path_matches_broadcast():
+    """The Q3-shaped pipeline's two size-gated joins (string segment
+    AND datetime order-date lookup values) must produce identical
+    top-N rows on the bucketed co-group path (broadcast_limit=0)."""
+    import pandas as pd
+
+    from neo4j_webgraph_ray.queries import q_shipping_priority
+
+    bc = q_shipping_priority(SF_SMOKE)
+    cg = q_shipping_priority(SF_SMOKE, broadcast_limit=0)
+    pd.testing.assert_frame_equal(
+        bc.reset_index(drop=True), cg.reset_index(drop=True)
+    )
+    assert len(bc) > 0
+
+
 def test_dense_rank_vkeys_exact():
     """Distributed dense rank == lexicographic position, contiguous
     from 0, regardless of bucket boundaries (forced tiny buckets)."""
