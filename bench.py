@@ -216,6 +216,7 @@ def run_bench() -> dict:
             "top_in_degree",
             "degree_threshold",
             "count_by_kind",
+            "degree_histogram",
             "cross_kind_pattern",
             "event_props_stats",
             "role_transitions",
@@ -225,6 +226,7 @@ def run_bench() -> dict:
             "weighted_pagerank",
             "hits",
             "connected_components",
+            "component_sizes",
             "scc",
             "label_propagation",
             "bfs_distance",
@@ -288,6 +290,7 @@ def run_bench() -> dict:
             "bottomk_sample",
             "value_quantile_sketch",
             "value_exact_quantiles",
+            "winsorized_value_stats",
             "weighted_sample",
             "benchmark_contamination",
             "repetition_metrics",

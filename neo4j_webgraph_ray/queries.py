@@ -259,6 +259,65 @@ def q_count_by_kind(sf_dir: str) -> pd.DataFrame:
     return out.rename(columns={"count()": "n"})
 
 
+def q_degree_histogram(sf_dir: str) -> pd.DataFrame:
+    """Log2-binned degree distribution per direction — THE first-look
+    webgraph analytic (power-law degree plots): for each direction and
+    bin b = floor(log2(deg + 1)), how many vertices fall in it (bin 0
+    = degree 0, bin 1 = degrees 1..2, bin 2 = 3..6, ...).
+
+    Scale shape: pure per-batch bincount partials over the vertex
+    table into a ≤ 2×64-bin key space; no shuffle, driver merges
+    #blocks × #bins rows.  Bins use float64 ``log2`` of exact small
+    integers in both engines (identical libm results; exact at powers
+    of two)."""
+    _, vertices = graph(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for direction, col in (("in", "in_deg"), ("out", "out_deg")):
+            d = df[col].to_numpy().astype(np.int64)
+            if not len(d):
+                continue
+            b = np.floor(np.log2(d + 1.0)).astype(np.int64)
+            u, c = np.unique(b, return_counts=True)
+            outs.append(
+                pd.DataFrame(
+                    {"direction": direction, "deg_bin": u,
+                     "n_vertices": c.astype(np.int64)}
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {"direction": pd.Series([], dtype=object),
+                 "deg_bin": pd.Series([], dtype=np.int64),
+                 "n_vertices": pd.Series([], dtype=np.int64)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    rows = vertices.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(rows):
+        return pd.DataFrame(
+            {"direction": pd.Series([], dtype=object),
+             "deg_bin": pd.Series([], dtype=np.int64),
+             "n_vertices": pd.Series([], dtype=np.int64)}
+        )
+    return rows.groupby(
+        ["direction", "deg_bin"], as_index=False, sort=True
+    )["n_vertices"].sum()
+
+
+DEGREE_HISTOGRAM_SQL_TAIL = """,
+db AS (
+  SELECT 'in' AS direction,
+         CAST(floor(log2(in_deg + 1)) AS BIGINT) AS deg_bin FROM vertices
+  UNION ALL
+  SELECT 'out', CAST(floor(log2(out_deg + 1)) AS BIGINT) FROM vertices
+)
+SELECT direction, deg_bin, CAST(count(*) AS BIGINT) AS n_vertices
+FROM db GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_content_regex_count(sf_dir: str, pattern: str = ":error$") -> pd.DataFrame:
     """Q4: count vertices whose content matches a regex (Cypher ``=~``,
     ``README.md:152-156``) — vectorized pc.match_substring_regex."""
@@ -2066,6 +2125,91 @@ VALUE_EXACT_QUANTILES_SQL = (
 )
 
 
+#: winsorization bounds: corpus-wide exact quantiles
+WINSOR_PS = (0.01, 0.99)
+
+
+def q_winsorized_value_stats(sf_dir: str) -> pd.DataFrame:
+    """Winsorized value statistics per event type: clamp every value to
+    the corpus-wide exact [p01, p99] quantiles, then per-type count /
+    clamped sum / clamped mean — the outlier-robust aggregate a metrics
+    pipeline runs before alerting.
+
+    Scale shape: TWO streaming passes — the bounds come from
+    :func:`exact_quantiles` (iterative histogram refinement: no sort,
+    no driver materialization), then one column-pruned pass of
+    per-batch partials into the #types key space.  Values are 2-dp by
+    construction, so the clamp and the sums run in EXACT int64 cents
+    (the quantile bounds are data elements, hence also 2-dp); each
+    output double is one division of identical quantities in both
+    engines — no float-summation-order hazard."""
+    from neo4j_webgraph_ray.stages.selection import exact_quantiles
+
+    path = os.path.join(sf_dir, "events.parquet")
+    res, _n = exact_quantiles(
+        ray.data.read_parquet(path, columns=["value"]), "value", WINSOR_PS
+    )
+    lo_c = np.int64(np.rint(res[WINSOR_PS[0]] * 100.0))
+    hi_c = np.int64(np.rint(res[WINSOR_PS[1]] * 100.0))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)  # count(value) semantics: nulls excluded
+        if not ok.any():
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=object),
+                 "c": pd.Series([], dtype=np.int64),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        cents = np.rint(v[ok] * 100.0).astype(np.int64)
+        return pd.DataFrame(
+            {"event_type": et[ok], "c": np.clip(cents, lo_c, hi_c),
+             "n": np.ones(int(ok.sum()), np.int64)}
+        ).groupby("event_type", as_index=False, sort=False).sum()
+
+    rows = ray.data.read_parquet(
+        path, columns=["event_type", "value"]
+    ).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if not len(rows):
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype=object),
+             "n_events": pd.Series([], dtype=np.int64),
+             "win_sum": pd.Series([], dtype=np.float64),
+             "win_avg": pd.Series([], dtype=np.float64)}
+        )
+    g = rows.groupby("event_type", as_index=False, sort=True).sum()
+    n = g["n"].to_numpy(np.int64)
+    c = g["c"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "event_type": g["event_type"],
+            "n_events": n,
+            "win_sum": c / 100.0,
+            "win_avg": c.astype(np.float64) / (100.0 * n),
+        }
+    )
+
+
+WINSORIZED_VALUE_STATS_SQL = f"""
+WITH b AS (
+  SELECT CAST(ROUND(quantile_disc(value, {WINSOR_PS[0]})*100) AS BIGINT) AS lo,
+         CAST(ROUND(quantile_disc(value, {WINSOR_PS[1]})*100) AS BIGINT) AS hi
+  FROM events)
+SELECT event_type,
+  CAST(count(value) AS BIGINT) AS n_events,
+  CAST(SUM(greatest(least(CAST(ROUND(value*100) AS BIGINT), b.hi), b.lo))
+       AS DOUBLE) / 100.0 AS win_sum,
+  CAST(SUM(greatest(least(CAST(ROUND(value*100) AS BIGINT), b.hi), b.lo))
+       AS DOUBLE) / (100.0 * count(value)) AS win_avg
+FROM events, b
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 #: weighted-sample size (Efraimidis–Spirakis exact-size-k)
 WSAMPLE_K = 300
 
@@ -2935,6 +3079,62 @@ def q_connected_components(sf_dir: str) -> pd.DataFrame:
     df["component"] = np.where(isolated, df["vkey"], df["label"].map(rep))
     out = df[["vkey", "component"]]
     return out.sort_values("vkey").reset_index(drop=True)
+
+
+def q_component_sizes(sf_dir: str) -> pd.DataFrame:
+    """Component-size distribution: (component_size, n_components) over
+    the undirected transcript graph — the giant-component profile a
+    webgraph analyst reads before anything else.
+
+    Scale shape: reuses the converged CC superstep state (same workdir
+    as :func:`q_connected_components`, so back-to-back contract runs
+    resume instead of re-iterating), aggregates label sizes with ONE
+    bucketed groupby, then histograms the sizes via per-batch partials
+    (the distinct-size space is tiny).  Isolated vertices — present in
+    the vertex table but absent from edge-endpoint state — are size-1
+    components counted by a pure row-count difference; per-vertex rows
+    never reach the driver."""
+    edges, vertices = graph(sf_dir)
+    state = connected_components(
+        edges, _workdir(sf_dir, "cc"), num_partitions=_algo_parts(edges),
+        checkpoint_every=_query_checkpoint_every()
+    )
+    sizes = bucketed_groupby(
+        state.map_batches(
+            lambda df: pd.DataFrame(
+                {"label": df["label"].to_numpy(),
+                 "sz": np.ones(len(df), np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["label"],
+        lambda df: df.groupby("label", as_index=False)["sz"].sum(),
+    )
+    parts = sizes.map_batches(
+        # valid partial: each label appears exactly once globally after
+        # the bucketed sum, so per-batch size counts add up
+        lambda df: df.groupby("sz", as_index=False).agg(
+            n_components=("label", "count")
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    n_isolated = int(vertices.count()) - int(state.count())
+    if n_isolated:
+        parts = pd.concat(
+            [parts, pd.DataFrame({"sz": [np.int64(1)],
+                                  "n_components": [np.int64(n_isolated)]})],
+            ignore_index=True,
+        )
+    if not len(parts):
+        return pd.DataFrame(
+            {"component_size": pd.Series([], dtype=np.int64),
+             "n_components": pd.Series([], dtype=np.int64)}
+        )
+    g = parts.groupby("sz", as_index=False, sort=True)["n_components"].sum()
+    return pd.DataFrame(
+        {"component_size": g["sz"].to_numpy(np.int64),
+         "n_components": g["n_components"].to_numpy(np.int64)}
+    )
 
 
 def scc_labels(
@@ -5543,6 +5743,28 @@ SELECT v AS vkey, min(l) AS component FROM reach GROUP BY v ORDER BY vkey
 """
 )
 
+COMPONENT_SIZES_SQL = (
+    _RECURSIVE_PRELUDE
+    + """,
+und AS (
+    SELECT src_kind || ':' || src_key AS u, dst_kind || ':' || dst_key AS v
+    FROM edges WHERE src_kind || ':' || src_key <> dst_kind || ':' || dst_key
+),
+sym AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+vk AS (SELECT kind || ':' || "key" AS v FROM vertices),
+reach(v, l) AS (
+    SELECT v, v FROM vk
+    UNION
+    SELECT s.v, r.l FROM reach r JOIN sym s ON s.u = r.v
+),
+lab AS (SELECT v, min(l) AS comp FROM reach GROUP BY v),
+szs AS (SELECT comp, count(*) AS sz FROM lab GROUP BY comp)
+SELECT CAST(sz AS BIGINT) AS component_size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM szs GROUP BY sz ORDER BY component_size
+"""
+)
+
 TRIANGLE_ORACLE_SQL = (
     GRAPH_SQL_PRELUDE
     + """,
@@ -5845,6 +6067,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "weighted_pagerank": q_weighted_pagerank,
     "hits": q_hits,
     "connected_components": q_connected_components,
+    "component_sizes": q_component_sizes,
     "scc": q_scc,
     "label_propagation": q_label_propagation,
     "modularity": q_modularity,
@@ -5887,6 +6110,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "label_propagation": LPA_ORACLE_SQL,
     "modularity": _modularity_oracle_sql(),
     "connected_components": CC_ORACLE_SQL,
+    "component_sizes": COMPONENT_SIZES_SQL,
     "scc": SCC_ORACLE_SQL,
     "bfs_distance": BFS_ORACLE_SQL,
     "weighted_sssp": _sssp_oracle_sql(),
@@ -5925,6 +6149,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "top_in_degree": q_top_in_degree,
     "degree_threshold": q_degree_threshold,
     "count_by_kind": q_count_by_kind,
+    "degree_histogram": q_degree_histogram,
     "content_regex_count": q_content_regex_count,
     "null_tool_scan": q_null_tool_scan,
     "point_lookup": q_point_lookup,
@@ -5954,6 +6179,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "bottomk_sample": q_bottomk_sample,
     "value_quantile_sketch": q_value_quantile_sketch,
     "value_exact_quantiles": q_value_exact_quantiles,
+    "winsorized_value_stats": q_winsorized_value_stats,
     "weighted_sample": q_weighted_sample,
     "user_hours_click_and_purchase": q_user_hours_click_and_purchase,
     "user_hours_click_no_purchase": q_user_hours_click_no_purchase,
@@ -5975,6 +6201,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     + 'SELECT kind, "key", in_deg FROM vertices WHERE in_deg >= 5',
     "count_by_kind": GRAPH_SQL_PRELUDE
     + "SELECT kind, count(*) AS n FROM vertices GROUP BY kind",
+    "degree_histogram": GRAPH_SQL_PRELUDE + DEGREE_HISTOGRAM_SQL_TAIL,
     "content_regex_count": GRAPH_SQL_PRELUDE
     + "SELECT count(*) AS n_match FROM vertices WHERE regexp_matches(content, ':error$')",
     "null_tool_scan": f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}) "
@@ -6004,6 +6231,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "bottomk_sample": _bottomk_sample_sql(),
     "value_quantile_sketch": _value_quantile_sketch_sql(),
     "value_exact_quantiles": VALUE_EXACT_QUANTILES_SQL,
+    "winsorized_value_stats": WINSORIZED_VALUE_STATS_SQL,
     "weighted_sample": _weighted_sample_sql(),
     "user_hours_click_and_purchase": USERS_INTERSECT_SQL,
     "user_hours_click_no_purchase": USERS_EXCEPT_SQL,
