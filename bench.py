@@ -229,6 +229,7 @@ def run_bench() -> dict:
             "component_sizes",
             "scc",
             "label_propagation",
+            "community_graph",
             "bfs_distance",
             "weighted_sssp",
             "kcore",
@@ -266,6 +267,9 @@ def run_bench() -> dict:
             "events_rollup",
             "value_histogram",
             "event_type_pivot",
+            "latest_event_per_user",
+            "daily_new_users",
+            "orders_by_priority",
             "user_hours_click_and_purchase",
             "user_hours_click_no_purchase",
             "anomalous_users",

@@ -806,6 +806,47 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Log-compaction snapshot: each user's LATEST event (argmax by ts,
+    ties to the larger event_id), carrying the event's other columns —
+    the per-key last-value compaction a state-store ingest runs over an
+    append log.
+
+    Scale shape: argmax-with-carry is algebraic, so the SAME vectorized
+    reduction runs twice — once per batch BEFORE the shuffle (cutting
+    exchange volume from #events to ≤ #users-per-batch rows) and once
+    per user-keyed bucket after it.  One sort + run-boundary mask per
+    stage; no window function, no per-row state."""
+    staged = _events_user_bucketed(
+        sf_dir, ["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        last = np.r_[uid[1:] != uid[:-1], True]
+        return df.iloc[np.flatnonzero(last)]
+
+    pre = staged.map_batches(latest, batch_format="pandas")
+    return pre.groupby("bucket").map_groups(
+        latest, batch_format="pandas"
+    ).map_batches(
+        lambda df: df[["user_id", "event_id", "ts", "event_type"]],
+        batch_format="pandas",
+    )
+
+
+LATEST_EVENT_PER_USER_SQL = """
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
 _DAY_US = np.int64(86_400_000_000)
 
 
@@ -884,6 +925,71 @@ SELECT f.cohort_day AS cohort_day,
        CAST(count(*) AS BIGINT) AS n_users
 FROM ud JOIN f ON ud.user_id = f.user_id
 GROUP BY 1, 2
+"""
+
+
+def q_daily_new_users(sf_dir: str) -> pd.DataFrame:
+    """User-growth curve: per calendar day, the number of FIRST-seen
+    users and the cumulative user count — the acquisition plot next to
+    the retention matrix.
+
+    Scale shape: phase 1 of :func:`q_user_retention` (per-user first
+    day inside the single user-keyed exchange, emitted as per-bucket
+    partial counts per first-day — ≤ #days rows per bucket); the
+    cumulative sum is a driver-side scan over the ≤ #days merged rows,
+    which is the right place for an inherently sequential prefix over
+    a calendar-bounded axis."""
+    staged = _events_user_bucketed(sf_dir, ["user_id", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy()
+        if len(uid) == 0:
+            return pd.DataFrame(
+                {"day_i": pd.Series([], dtype=np.int64),
+                 "n_new_users": pd.Series([], dtype=np.int64)}
+            )
+        t = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        arr = np.empty(len(uid), dtype=_UT_DT)
+        arr["u"], arr["t"] = uid, t // _DAY_US
+        arr = np.unique(arr)
+        new_user = np.r_[True, arr["u"][1:] != arr["u"][:-1]]
+        first = arr["t"][new_user]  # first day per user in this bucket
+        u, c = np.unique(first, return_counts=True)
+        return pd.DataFrame(
+            {"day_i": u.astype(np.int64), "n_new_users": c.astype(np.int64)}
+        )
+
+    rows = staged.groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    ).to_pandas()
+    if not len(rows):
+        return pd.DataFrame(
+            {"day": np.empty(0, "datetime64[us]"),
+             "n_new_users": pd.Series([], dtype=np.int64),
+             "cum_users": pd.Series([], dtype=np.int64)}
+        )
+    g = rows.groupby("day_i", as_index=False, sort=True)["n_new_users"].sum()
+    n = g["n_new_users"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "day": (g["day_i"].to_numpy(np.int64) * _DAY_US).astype(
+                "datetime64[us]"
+            ),
+            "n_new_users": n,
+            "cum_users": np.cumsum(n),
+        }
+    )
+
+
+DAILY_NEW_USERS_SQL = """
+WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS day FROM events
+           GROUP BY user_id),
+d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new_users FROM f GROUP BY day)
+SELECT day, n_new_users,
+       CAST(sum(n_new_users) OVER (ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM d
 """
 
 
@@ -1559,6 +1665,82 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF} 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Temporal rollup over the orders table directly (previously only
+    reached through joins): per (order year, priority), the order count
+    and exact-cents total value.
+
+    Scale shape: a pure streaming aggregate — column-pruned scan,
+    per-batch exact-int partials into a ≤ #years × 5 key space, no
+    shuffle; driver folds #blocks × keys rows on Python object ints
+    (exact at any corpus size, matching DuckDB's HUGEINT)."""
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {"o_year": pd.Series([], dtype=np.int64),
+                 "o_orderpriority": pd.Series([], dtype=object),
+                 "cents": pd.Series([], dtype=np.int64),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[Y]"
+        )
+        year = od.astype(np.int64) + 1970
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "o_year": year,
+                "o_orderpriority": t["o_orderpriority"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "cents": cents,
+                "n": np.ones(len(year), np.int64),
+            }
+        ).groupby(["o_year", "o_orderpriority"], as_index=False, sort=False).sum()
+
+    rows = orders.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if not len(rows):
+        return pd.DataFrame(
+            {"o_year": pd.Series([], dtype=np.int64),
+             "o_orderpriority": pd.Series([], dtype=object),
+             "n_orders": pd.Series([], dtype=np.int64),
+             "total_price": pd.Series([], dtype=np.float64)}
+        )
+    for c in ("cents", "n"):
+        rows[c] = rows[c].map(int)
+    g = rows.groupby(
+        ["o_year", "o_orderpriority"], as_index=False, sort=True
+    ).sum()
+    return pd.DataFrame(
+        {
+            "o_year": g["o_year"].to_numpy(np.int64),
+            "o_orderpriority": g["o_orderpriority"],
+            "n_orders": g["n"].to_numpy(np.int64),
+            "total_price": g["cents"].map(float).to_numpy() / 100.0,
+        }
+    )
+
+
+ORDERS_BY_PRIORITY_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
 """
 
 
@@ -3405,6 +3587,75 @@ def q_label_propagation(sf_dir: str) -> pd.DataFrame:
         num_buckets=rb, prebuilt_arrays=rank2vkey,
     ).to_pandas()
     return out[["vkey", "community"]].sort_values("vkey").reset_index(drop=True)
+
+
+def q_community_graph(sf_dir: str) -> pd.DataFrame:
+    """Community quotient graph: contract every vertex to its LPA
+    community and count the directed edge multiset between community
+    pairs (unordered; intra-community edges appear as comm_a ==
+    comm_b) — the supergraph a webgraph analyst renders after
+    community detection.
+
+    Scale shape: labels attach to edge endpoints via the same
+    size-gated rank joins LPA itself uses, the pair key canonicalizes
+    IN RANK SPACE (dense ranks order exactly like vkey strings, so
+    min/max on rank ints equals SQL least/greatest on the label
+    strings), and ONE bucketed groupby sums per-batch pair partials;
+    community names attach to the ≤ #communities² result, never to
+    edges.  The quotient is tiny relative to the graph by
+    construction."""
+    from neo4j_webgraph_ray.stages.core import bucketed_groupby
+
+    ranks, redges, state, jb, rb, id2rank, rank2vkey = _lpa_rank_state(
+        sf_dir, "community_graph"
+    )
+    if redges.count() == 0:
+        return pd.DataFrame(
+            {"comm_a": pd.Series([], dtype=object),
+             "comm_b": pd.Series([], dtype=object),
+             "n_edges": pd.Series([], dtype=np.int64)}
+        )
+    lab2 = _collect_lookup_arrays(state, "id", "label") \
+        if state.count() <= 500_000 else None
+    j1 = _lookup_join(
+        redges, "src", state, "id", "label", "sl", carry_cols=["dst"],
+        num_buckets=jb, prebuilt_arrays=lab2,
+    )
+    j2 = _lookup_join(
+        j1, "dst", state, "id", "label", "dl", carry_cols=["sl"],
+        num_buckets=jb, prebuilt_arrays=lab2,
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sl = df["sl"].to_numpy()
+        dl = df["dl"].to_numpy()
+        return pd.DataFrame(
+            {"ca": np.minimum(sl, dl), "cb": np.maximum(sl, dl),
+             "n_edges": np.ones(len(sl), np.int64)}
+        ).groupby(["ca", "cb"], as_index=False, sort=False).sum()
+
+    pairs = bucketed_groupby(
+        j2.map_batches(pair_partial, batch_format="pandas"),
+        ["ca", "cb"],
+        lambda df: df.groupby(["ca", "cb"], as_index=False, sort=False)[
+            "n_edges"
+        ].sum(),
+        num_buckets=rb,
+    )
+    k1 = _lookup_join(
+        pairs, "ca", ranks, "rank", "vkey", "comm_a",
+        carry_cols=["cb", "n_edges"], val_default="",
+        num_buckets=rb, prebuilt_arrays=rank2vkey,
+    )
+    out = _lookup_join(
+        k1, "cb", ranks, "rank", "vkey", "comm_b",
+        carry_cols=["comm_a", "n_edges"], val_default="",
+        carry_defaults={"comm_a": ""},
+        num_buckets=rb, prebuilt_arrays=rank2vkey,
+    ).to_pandas()
+    return out[["comm_a", "comm_b", "n_edges"]].sort_values(
+        ["comm_a", "comm_b"]
+    ).reset_index(drop=True)
 
 
 def q_modularity(sf_dir: str) -> pd.DataFrame:
@@ -5605,6 +5856,24 @@ def _lpa_oracle_sql(n_iter: int = 20) -> str:
     )
 
 
+def _community_graph_sql(n_iter: int = 20) -> str:
+    """Quotient-graph tail over the same unrolled LPA fixpoint: map
+    each directed edge's endpoints to their community label and count
+    the unordered community pairs."""
+    base = _lpa_oracle_sql(n_iter)
+    tail = f"SELECT v AS vkey, lab AS community FROM lp{n_iter} ORDER BY vkey"
+    assert base.endswith(tail)
+    return base[: -len(tail)] + f"""
+, lab AS (SELECT v, lab FROM lp{n_iter}),
+qe AS (SELECT la.lab AS ca, lb.lab AS cb
+       FROM und JOIN lab la ON la.v = und.s
+                JOIN lab lb ON lb.v = und.d)
+SELECT least(ca, cb) AS comm_a, greatest(ca, cb) AS comm_b,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM qe GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 _RECURSIVE_PRELUDE = GRAPH_SQL_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)
 
 
@@ -6070,6 +6339,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "component_sizes": q_component_sizes,
     "scc": q_scc,
     "label_propagation": q_label_propagation,
+    "community_graph": q_community_graph,
     "modularity": q_modularity,
     "bfs_distance": q_bfs_distance,
     "weighted_sssp": q_weighted_sssp,
@@ -6108,6 +6378,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "weighted_pagerank": WPAGERANK_ORACLE_SQL,
     "hits": HITS_ORACLE_SQL,
     "label_propagation": LPA_ORACLE_SQL,
+    "community_graph": _community_graph_sql(),
     "modularity": _modularity_oracle_sql(),
     "connected_components": CC_ORACLE_SQL,
     "component_sizes": COMPONENT_SIZES_SQL,
@@ -6159,6 +6430,9 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "role_transitions": q_role_transitions,
     "user_sessions": q_user_sessions,
     "user_retention": q_user_retention,
+    "latest_event_per_user": q_latest_event_per_user,
+    "daily_new_users": q_daily_new_users,
+    "orders_by_priority": q_orders_by_priority,
     "purchase_asof_click": q_purchase_asof_click,
     "error_context": q_error_context,
     "rolling_user_activity": q_rolling_user_activity,
@@ -6214,6 +6488,9 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "role_transitions": ROLE_TRANSITIONS_SQL,
     "user_sessions": USER_SESSIONS_SQL,
     "user_retention": USER_RETENTION_SQL,
+    "latest_event_per_user": LATEST_EVENT_PER_USER_SQL,
+    "daily_new_users": DAILY_NEW_USERS_SQL,
+    "orders_by_priority": ORDERS_BY_PRIORITY_SQL,
     "purchase_asof_click": PURCHASE_ASOF_CLICK_SQL,
     "error_context": ERROR_CONTEXT_SQL,
     "rolling_user_activity": ROLLING_USER_ACTIVITY_SQL,
