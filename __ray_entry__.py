@@ -32,11 +32,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         RELATIONAL_QUERIES,
     )
     from neo4j_webgraph_ray.queries_docs import DOC_QUERIES
+    from neo4j_webgraph_ray.queries_rel2 import REL2_QUERIES
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(RELATIONAL_QUERIES)
     out.update(GRAPH_ANALYTICS_QUERIES)
     out.update(DOC_QUERIES)
+    out.update(REL2_QUERIES)
     return out
 
 
@@ -47,9 +49,11 @@ def oracle_sql() -> dict[str, str]:
         RELATIONAL_ORACLES,
     )
     from neo4j_webgraph_ray.queries_docs import DOC_ORACLES
+    from neo4j_webgraph_ray.queries_rel2 import REL2_ORACLES
 
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
     out.update(GRAPH_ANALYTICS_ORACLES)
     out.update(DOC_ORACLES)
+    out.update(REL2_ORACLES)
     return out

@@ -273,6 +273,17 @@ def run_bench() -> dict:
             "user_hours_click_and_purchase",
             "user_hours_click_no_purchase",
             "anomalous_users",
+            # warehouse-shape panel (queries_rel2)
+            "promo_revenue",
+            "late_shipment_priority",
+            "returnflag_priority_counts",
+            "large_volume_orders",
+            "top_supplier_per_nation",
+            "above_avg_customers",
+            "cumulative_customer_spend",
+            "clicks_before_purchase",
+            "value_by_dayofweek",
+            "rich_club",
             # LLM-training-data family over the documents/embeddings tables
             "top_tokens",
             "top_docs_per_lang",
