@@ -33,12 +33,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from neo4j_webgraph_ray.queries_docs import DOC_QUERIES
     from neo4j_webgraph_ray.queries_rel2 import REL2_QUERIES
+    from neo4j_webgraph_ray.queries_rel3 import REL3_QUERIES
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(RELATIONAL_QUERIES)
     out.update(GRAPH_ANALYTICS_QUERIES)
     out.update(DOC_QUERIES)
     out.update(REL2_QUERIES)
+    out.update(REL3_QUERIES)
     return out
 
 
@@ -50,10 +52,12 @@ def oracle_sql() -> dict[str, str]:
     )
     from neo4j_webgraph_ray.queries_docs import DOC_ORACLES
     from neo4j_webgraph_ray.queries_rel2 import REL2_ORACLES
+    from neo4j_webgraph_ray.queries_rel3 import REL3_ORACLES
 
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
     out.update(GRAPH_ANALYTICS_ORACLES)
     out.update(DOC_ORACLES)
     out.update(REL2_ORACLES)
+    out.update(REL3_ORACLES)
     return out

@@ -284,6 +284,14 @@ def run_bench() -> dict:
             "clicks_before_purchase",
             "value_by_dayofweek",
             "rich_club",
+            # warehouse-shape panel 3 (queries_rel3)
+            "local_supplier_volume",
+            "nation_pair_volume",
+            "returned_item_revenue",
+            "customer_order_counts",
+            "small_qty_revenue",
+            "special_discount_revenue",
+            "idle_customer_balance",
             # LLM-training-data family over the documents/embeddings tables
             "top_tokens",
             "top_docs_per_lang",
