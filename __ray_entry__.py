@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from neo4j_webgraph_ray.queries_docs import DOC_QUERIES
     from neo4j_webgraph_ray.queries_rel2 import REL2_QUERIES
     from neo4j_webgraph_ray.queries_rel3 import REL3_QUERIES
+    from neo4j_webgraph_ray.queries_rel4 import REL4_QUERIES
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(RELATIONAL_QUERIES)
@@ -41,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(DOC_QUERIES)
     out.update(REL2_QUERIES)
     out.update(REL3_QUERIES)
+    out.update(REL4_QUERIES)
     return out
 
 
@@ -53,6 +55,7 @@ def oracle_sql() -> dict[str, str]:
     from neo4j_webgraph_ray.queries_docs import DOC_ORACLES
     from neo4j_webgraph_ray.queries_rel2 import REL2_ORACLES
     from neo4j_webgraph_ray.queries_rel3 import REL3_ORACLES
+    from neo4j_webgraph_ray.queries_rel4 import REL4_ORACLES
 
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
@@ -60,4 +63,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(DOC_ORACLES)
     out.update(REL2_ORACLES)
     out.update(REL3_ORACLES)
+    out.update(REL4_ORACLES)
     return out

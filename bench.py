@@ -292,6 +292,11 @@ def run_bench() -> dict:
             "small_qty_revenue",
             "special_discount_revenue",
             "idle_customer_balance",
+            # warehouse-shape panel 4 (queries_rel4)
+            "forecast_revenue",
+            "nation_market_share",
+            "margin_by_nation_year",
+            "supplier_count_by_part",
             # LLM-training-data family over the documents/embeddings tables
             "top_tokens",
             "top_docs_per_lang",
