@@ -225,6 +225,7 @@ def run_bench() -> dict:
             "personalized_pagerank",
             "weighted_pagerank",
             "hits",
+            "eigenvector",
             "connected_components",
             "component_sizes",
             "scc",

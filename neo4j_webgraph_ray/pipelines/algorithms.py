@@ -513,6 +513,81 @@ class HITSProgram(VertexProgram):
             ctx["auth_sum"] = step_metrics["auth_sum"]
 
 
+class EigenvectorProgram(VertexProgram):
+    """Eigenvector centrality: power iteration on the simple undirected
+    adjacency matrix, x' = A (x / ||x||_1), with the L1 norm applied
+    lazily at gather time exactly like :class:`HITSProgram` — the
+    stored iterate stays "raw" and the norm of the CURRENT state rides
+    the manifest-metrics channel (``payload_stats`` on the actors
+    backend, ``update_ctx`` replay on the Dataset backend).  Dividing
+    by Σx_t instead of re-normalizing in place keeps x_t ∝ A^t·1 with
+    the scale tracked by the running norm, so the iteration is
+    numerically stable and the final driver-side L1 normalization
+    recovers the centrality vector.
+
+    Callers feed the SIMPLE undirected graph (each unordered edge once,
+    self-loops dropped — ``triangles.undirected_simple``); the engine's
+    ``undirected=True`` doubling turns each pair into both directions,
+    so one superstep is exactly one symmetric-matrix multiply.  Every
+    simple-graph endpoint has degree >= 1, so x stays strictly positive
+    and the norm guard never fires on a non-empty graph.
+
+    Run with ``tol=0.0`` + a fixed step budget for oracle-parity (the
+    unrolled-SQL pattern of HITS/PageRank), or a positive tol for the
+    production L∞ stop.
+
+    Reference contrast: the reference's Cypher surface ranks pages by
+    raw in-degree only (``/root/reference/README.md:103-131``);
+    eigenvector centrality is the classic recursive refinement of that
+    query (a page is important if important pages link to it) and the
+    direct ancestor of the PageRank entry this engine's north rule
+    names."""
+
+    name = "eigenvector"
+    undirected = True
+    mode = "sum"
+
+    def __init__(self, tol: float = 0.0):
+        self.tol = tol
+
+    def config(self):
+        return {"tol": self.tol}
+
+    def init_state(self, ids, out_deg, ctx):
+        return pd.DataFrame(
+            {
+                "id": ids.astype(np.int64),
+                "val": np.ones(len(ids), dtype=np.float64),
+            }
+        )
+
+    def init_metrics(self, state):
+        return {"x_sum": float(state["val"].to_numpy().sum())}
+
+    def payload_stats(self, state):
+        return {"x_sum": float(state["val"].to_numpy().sum())}
+
+    def scatter_values(self, state):
+        return state["val"].to_numpy()
+
+    def gather_update(self, state, reduced, ctx):
+        sums = _aligned_agg(state, reduced, np.float64(0.0))
+        xs = ctx.get("x_sum", 0.0)
+        new = sums / xs if xs > 0 else sums
+        old = state["val"].to_numpy()
+        out = state.copy(deep=False)
+        out["val"] = new
+        delta = float(np.max(np.abs(new - old))) if len(new) else 0.0
+        return out, {"max_delta": delta, "x_sum": float(new.sum())}
+
+    def converged(self, m):
+        return m.get("max_delta", np.inf) < self.tol
+
+    def update_ctx(self, ctx, step_metrics):
+        if "x_sum" in step_metrics:
+            ctx["x_sum"] = step_metrics["x_sum"]
+
+
 def _aligned_vec(
     state: pd.DataFrame, reduced: pd.DataFrame, lanes: int
 ) -> np.ndarray:
@@ -1163,6 +1238,32 @@ def hits(
     )
     if not resume:
         engine.prepare(doubled_edges)
+    return engine.run(resume=resume)
+
+
+def eigenvector(
+    simple_edges: ray.data.Dataset,
+    workdir: str,
+    num_partitions: int = 16,
+    tol: float = 0.0,
+    max_steps: int = 50,
+    resume: bool = False,
+    backend: str = "actors",
+    checkpoint_every: int = 1,
+    run_metadata: dict | None = None,
+    filesystem=None,
+) -> ray.data.Dataset:
+    """Eigenvector centrality: Dataset(id, val) over the SIMPLE
+    undirected graph (callers pass each unordered edge once, self-loops
+    dropped — ``triangles.undirected_simple``; see
+    :class:`EigenvectorProgram`).  ``val`` is the raw final iterate —
+    L1-normalize driver-side for the contract result."""
+    engine = _make_engine(
+        workdir, EigenvectorProgram(tol), num_partitions, max_steps,
+        backend, checkpoint_every, run_metadata, filesystem,
+    )
+    if not resume:
+        engine.prepare(simple_edges)
     return engine.run(resume=resume)
 
 

@@ -33,6 +33,7 @@ from neo4j_webgraph_ray.pipelines.algorithms import (
     connected_components,
     directed_bfs,
     directed_min_labels,
+    eigenvector,
     hits,
     kcore,
     mis,
@@ -3861,6 +3862,91 @@ def q_hits(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vkey").reset_index(drop=True)
 
 
+#: fixed eigenvector-centrality iteration budget shared engine <->
+#: oracle (same parity pattern as HITS_FIXED_STEPS)
+EIGEN_FIXED_STEPS = 50
+
+
+def q_eigenvector(sf_dir: str) -> pd.DataFrame:
+    """Eigenvector centrality over the simple undirected transcript
+    graph: (vkey, score), L1-normalized and rounded to 6 dp — the
+    classic recursive importance measure (a vertex is central if its
+    neighbors are central; the undirected ancestor of the PageRank
+    entry).
+
+    Runs :class:`~neo4j_webgraph_ray.pipelines.algorithms.
+    EigenvectorProgram` (power iteration with lazy L1 normalization
+    through the metrics channel) on ``undirected_simple`` edges for
+    exactly :data:`EIGEN_FIXED_STEPS` steps to match the oracle's
+    unroll.  Output rows = simple-graph endpoint vertices (self-loop-
+    only and isolated vertices excluded, as in the oracle's edge-built
+    vertex set)."""
+    from neo4j_webgraph_ray.pipelines.triangles import undirected_simple
+
+    edges, vertices = graph(sf_dir)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"a": "src", "b": "dst"})
+
+    simple = (
+        undirected_simple(edges, num_buckets=16)
+        .map_batches(rename, batch_format="pandas")
+        .materialize()  # prepare() consumes its edge input more than once
+    )
+    state = eigenvector(
+        simple, _workdir(sf_dir, "eigenvector"),
+        num_partitions=_algo_parts(edges), tol=0.0,
+        max_steps=EIGEN_FIXED_STEPS,
+        checkpoint_every=_query_checkpoint_every(),
+    )
+    named = attach_vkeys(state, vertices, ["val"]).to_pandas()
+    x = named["val"].to_numpy(np.float64)
+    s = float(x.sum())
+    out = pd.DataFrame(
+        {"vkey": named["vkey"], "score": np.round(x / s if s > 0 else x, 6)}
+    )
+    return out.sort_values("vkey").reset_index(drop=True)
+
+
+def _eigenvector_oracle_sql(n_iter: int = EIGEN_FIXED_STEPS) -> str:
+    """Fixed-iteration power iteration unrolled as chained MATERIALIZED
+    CTEs, mirroring :class:`EigenvectorProgram` exactly: per step
+    x' = A (x / ||x||_1) over the SIMPLE undirected graph (distinct
+    least/greatest pairs, self-loops dropped, then symmetrized), with
+    the L1 norm applied lazily at use.  x0 = 1 on every endpoint
+    vertex; the final output normalizes by the last iterate's L1 sum.
+    Both engines run the same step count, so values differ only by fp
+    summation order inside the shared 6-dp rounding."""
+    parts = [
+        "und AS MATERIALIZED (SELECT src_kind || ':' || src_key AS s, "
+        "dst_kind || ':' || dst_key AS d FROM edges)",
+        "simp AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, "
+        "greatest(s, d) AS b FROM und WHERE s <> d)",
+        "sym AS MATERIALIZED (SELECT a AS s, b AS d FROM simp "
+        "UNION ALL SELECT b, a FROM simp)",
+        "x0 AS MATERIALIZED (SELECT DISTINCT s AS v, 1.0 AS x FROM sym)",
+    ]
+    for k in range(n_iter):
+        parts.append(
+            f"x{k + 1} AS MATERIALIZED (\n"
+            f"  SELECT p.v, coalesce(w.m, 0.0) AS x\n"
+            f"  FROM x{k} p\n"
+            f"  LEFT JOIN (SELECT sym.d AS v, sum(p2.x / n.s) AS m\n"
+            f"             FROM x{k} p2 JOIN sym ON sym.s = p2.v\n"
+            f"             CROSS JOIN (SELECT sum(x) AS s FROM x{k}) n\n"
+            f"             GROUP BY sym.d) w ON w.v = p.v)"
+        )
+    return (
+        GRAPH_SQL_PRELUDE
+        + ",\n"
+        + ",\n".join(parts)
+        + f"\nSELECT v AS vkey,\n"
+        f"       round(coalesce(x / nullif((SELECT sum(x) FROM x{n_iter}), 0),"
+        f" 0.0), 6) AS score\n"
+        f"FROM x{n_iter} ORDER BY vkey"
+    )
+
+
 def q_mis(sf_dir: str) -> pd.DataFrame:
     """Maximal independent set of the simple undirected transcript
     graph (greedy-priority Luby rounds): (vkey, in_mis 0/1) for every
@@ -5990,6 +6076,7 @@ PAGERANK_ORACLE_SQL = _pagerank_oracle_sql()
 LPA_ORACLE_SQL = _lpa_oracle_sql()
 PPR_ORACLE_SQL = _ppr_oracle_sql()
 HITS_ORACLE_SQL = _hits_oracle_sql()
+EIGENVECTOR_ORACLE_SQL = _eigenvector_oracle_sql()
 MIS_ORACLE_SQL = _mis_oracle_sql()
 WPAGERANK_ORACLE_SQL = _wpagerank_oracle_sql()
 KCORE_ORACLE_SQL = _kcore_oracle_sql()
@@ -6335,6 +6422,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "personalized_pagerank": q_personalized_pagerank,
     "weighted_pagerank": q_weighted_pagerank,
     "hits": q_hits,
+    "eigenvector": q_eigenvector,
     "connected_components": q_connected_components,
     "component_sizes": q_component_sizes,
     "scc": q_scc,
@@ -6377,6 +6465,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "personalized_pagerank": PPR_ORACLE_SQL,
     "weighted_pagerank": WPAGERANK_ORACLE_SQL,
     "hits": HITS_ORACLE_SQL,
+    "eigenvector": EIGENVECTOR_ORACLE_SQL,
     "label_propagation": LPA_ORACLE_SQL,
     "community_graph": _community_graph_sql(),
     "modularity": _modularity_oracle_sql(),

@@ -424,3 +424,31 @@ def mis_oracle(edges: list[tuple[int, int]]) -> dict[int, bool]:
         # already joined
         out[v] = not any(out.get(u, False) for u in adj[v] if u < v)
     return out
+
+
+def eigenvector_oracle(
+    edges: list[tuple[int, int]], n_iter: int = 50
+) -> dict[int, float]:
+    """Power iteration on the simple undirected adjacency with lazy L1
+    normalization, matching EigenvectorProgram: simple graph = distinct
+    (min, max) pairs, self-loops dropped; x0 = 1 on endpoint vertices;
+    per step x' = A (x / ||x||_1).  Returns v -> score, L1-normalized
+    at the end."""
+    simple = sorted({(min(s, d), max(s, d)) for s, d in edges if s != d})
+    verts = sorted({v for e in simple for v in e})
+    if not verts:
+        return {}
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    si = np.array([idx[a] for a, _ in simple], dtype=np.int64)
+    di = np.array([idx[b] for _, b in simple], dtype=np.int64)
+    x = np.ones(n, dtype=np.float64)
+    for _ in range(n_iter):
+        xs = x.sum()
+        xn = x / xs if xs > 0 else x
+        x = np.bincount(di, weights=xn[si], minlength=n) + np.bincount(
+            si, weights=xn[di], minlength=n
+        )
+    s = x.sum()
+    out = x / s if s > 0 else x
+    return {v: float(out[i]) for v, i in idx.items()}

@@ -658,3 +658,63 @@ def test_weighted_pagerank_unit_weights_equal_unweighted(tmp_path):
     assert set(pm) == set(wm)
     for v in pm:
         assert abs(pm[v] - wm[v]) < 1e-12, v
+
+
+def _simple_ds(pairs) -> ray.data.Dataset:
+    simple = sorted({(min(s, d), max(s, d)) for s, d in pairs if s != d})
+    t = pa.table(
+        {
+            "src": pa.array([a for a, _ in simple], type=pa.int64()),
+            "dst": pa.array([b for _, b in simple], type=pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def _eigen_result(pairs, workdir, **kw) -> dict[int, float]:
+    from neo4j_webgraph_ray.pipelines.algorithms import eigenvector
+
+    res = eigenvector(_simple_ds(pairs), workdir, max_steps=50, **kw).to_pandas()
+    vals = res["val"].to_numpy()
+    s = vals.sum()
+    vals = vals / s if s > 0 else vals
+    return {int(i): float(v) for i, v in zip(res["id"].to_numpy(), vals)}
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_eigenvector_matches_oracle(gname, tmp_path):
+    from tests.oracles import eigenvector_oracle
+
+    pairs = GRAPHS[gname]
+    got = _eigen_result(pairs, str(tmp_path / "ev"), num_partitions=4)
+    oracle = eigenvector_oracle(pairs)
+    assert set(got) == set(oracle), gname
+    for v, x in oracle.items():
+        assert abs(got[v] - x) < 1e-9, f"{gname}: {v} {got[v]} vs {x}"
+
+
+def test_eigenvector_backends_and_partitioning_agree(tmp_path):
+    pairs = GRAPHS["g_random"]
+    a = _eigen_result(pairs, str(tmp_path / "a"), num_partitions=2,
+                      backend="dataset")
+    b = _eigen_result(pairs, str(tmp_path / "b"), num_partitions=7,
+                      backend="actors")
+    assert set(a) == set(b)
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-12
+
+
+def test_eigenvector_triangle_pendant_ordering(tmp_path):
+    """On a triangle with a pendant (non-bipartite, so the iteration
+    converges to the principal eigenvector): the attachment vertex is
+    the most central, the symmetric pair are equal, the pendant is the
+    least central, and the closed-form eigen-equation holds: the
+    pendant's score is attachment/λ with λ the principal eigenvalue
+    (scores are eigenvector ratios, normalization-independent)."""
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    got = _eigen_result(pairs, str(tmp_path / "tp"), num_partitions=2)
+    assert got[2] > got[0] > got[3] > 0
+    assert got[0] == pytest.approx(got[1], abs=1e-12)
+    # λ from the symmetric pair: A·x at vertex 0 = x1 + x2 = λ·x0
+    lam = (got[1] + got[2]) / got[0]
+    assert got[3] == pytest.approx(got[2] / lam, abs=1e-9)
