@@ -226,6 +226,7 @@ def run_bench() -> dict:
             "weighted_pagerank",
             "hits",
             "eigenvector",
+            "katz",
             "connected_components",
             "component_sizes",
             "scc",

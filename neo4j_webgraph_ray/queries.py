@@ -35,6 +35,7 @@ from neo4j_webgraph_ray.pipelines.algorithms import (
     directed_min_labels,
     eigenvector,
     hits,
+    katz,
     kcore,
     mis,
     weighted_pagerank,
@@ -3947,6 +3948,70 @@ def _eigenvector_oracle_sql(n_iter: int = EIGEN_FIXED_STEPS) -> str:
     )
 
 
+#: Katz damping + fixed iteration budget shared engine <-> oracle
+#: (30 affine steps is past 6-dp convergence at α·λmax < 1, and the
+#: final L1 normalization keeps the rounding robust regardless)
+KATZ_ALPHA = 0.05
+KATZ_FIXED_STEPS = 30
+
+
+def q_katz(sf_dir: str) -> pd.DataFrame:
+    """Katz centrality over the directed transcript graph: (vkey,
+    score), L1-normalized and rounded to 6 dp — the damped all-walk
+    in-link centrality (x' = α·Aᵀx + 1; α = :data:`KATZ_ALPHA`, run for
+    exactly :data:`KATZ_FIXED_STEPS` steps to match the oracle's
+    unroll).  Output rows = edge-endpoint vertices, the PageRank
+    contract."""
+    edges, vertices = graph(sf_dir)
+    state = katz(
+        edges.select_columns(["src", "dst"]),
+        _workdir(sf_dir, "katz"), num_partitions=_algo_parts(edges),
+        alpha=KATZ_ALPHA, tol=0.0, max_steps=KATZ_FIXED_STEPS,
+        checkpoint_every=_query_checkpoint_every(),
+    )
+    named = attach_vkeys(state, vertices, ["val"]).to_pandas()
+    x = named["val"].to_numpy(np.float64)
+    s = float(x.sum())
+    out = pd.DataFrame(
+        {"vkey": named["vkey"], "score": np.round(x / s if s > 0 else x, 6)}
+    )
+    return out.sort_values("vkey").reset_index(drop=True)
+
+
+def _katz_oracle_sql(
+    n_iter: int = KATZ_FIXED_STEPS, alpha: float = KATZ_ALPHA
+) -> str:
+    """Fixed-iteration Katz unrolled as chained MATERIALIZED CTEs,
+    mirroring :class:`KatzProgram` exactly: per step x' = α·Aᵀx + 1
+    over the directed deduped edge table, x0 = 1 on every endpoint
+    vertex, final output L1-normalized."""
+    parts = [
+        "und AS MATERIALIZED (SELECT src_kind || ':' || src_key AS s, "
+        "dst_kind || ':' || dst_key AS d FROM edges)",
+        "x0 AS MATERIALIZED (SELECT v, 1.0 AS x FROM "
+        "(SELECT s AS v FROM und UNION SELECT d FROM und))",
+    ]
+    for k in range(n_iter):
+        parts.append(
+            f"x{k + 1} AS MATERIALIZED (\n"
+            f"  SELECT p.v, CAST({alpha} AS DOUBLE) * coalesce(w.m, 0.0)"
+            f" + 1.0 AS x\n"
+            f"  FROM x{k} p\n"
+            f"  LEFT JOIN (SELECT und.d AS v, sum(p2.x) AS m\n"
+            f"             FROM x{k} p2 JOIN und ON und.s = p2.v\n"
+            f"             GROUP BY und.d) w ON w.v = p.v)"
+        )
+    return (
+        GRAPH_SQL_PRELUDE
+        + ",\n"
+        + ",\n".join(parts)
+        + f"\nSELECT v AS vkey,\n"
+        f"       round(coalesce(x / nullif((SELECT sum(x) FROM x{n_iter}), 0),"
+        f" 0.0), 6) AS score\n"
+        f"FROM x{n_iter} ORDER BY vkey"
+    )
+
+
 def q_mis(sf_dir: str) -> pd.DataFrame:
     """Maximal independent set of the simple undirected transcript
     graph (greedy-priority Luby rounds): (vkey, in_mis 0/1) for every
@@ -6077,6 +6142,7 @@ LPA_ORACLE_SQL = _lpa_oracle_sql()
 PPR_ORACLE_SQL = _ppr_oracle_sql()
 HITS_ORACLE_SQL = _hits_oracle_sql()
 EIGENVECTOR_ORACLE_SQL = _eigenvector_oracle_sql()
+KATZ_ORACLE_SQL = _katz_oracle_sql()
 MIS_ORACLE_SQL = _mis_oracle_sql()
 WPAGERANK_ORACLE_SQL = _wpagerank_oracle_sql()
 KCORE_ORACLE_SQL = _kcore_oracle_sql()
@@ -6423,6 +6489,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "weighted_pagerank": q_weighted_pagerank,
     "hits": q_hits,
     "eigenvector": q_eigenvector,
+    "katz": q_katz,
     "connected_components": q_connected_components,
     "component_sizes": q_component_sizes,
     "scc": q_scc,
@@ -6466,6 +6533,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "weighted_pagerank": WPAGERANK_ORACLE_SQL,
     "hits": HITS_ORACLE_SQL,
     "eigenvector": EIGENVECTOR_ORACLE_SQL,
+    "katz": KATZ_ORACLE_SQL,
     "label_propagation": LPA_ORACLE_SQL,
     "community_graph": _community_graph_sql(),
     "modularity": _modularity_oracle_sql(),

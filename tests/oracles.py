@@ -452,3 +452,21 @@ def eigenvector_oracle(
     s = x.sum()
     out = x / s if s > 0 else x
     return {v: float(out[i]) for v, i in idx.items()}
+
+
+def katz_oracle(
+    edges: list[tuple[int, int]], alpha: float = 0.05, n_iter: int = 30
+) -> dict[int, float]:
+    """Directed Katz x' = alpha*A^T x + 1 from x0 = 1, matching
+    KatzProgram; L1-normalized at the end."""
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    si = np.array([idx[s] for s, _ in edges], dtype=np.int64)
+    di = np.array([idx[d] for _, d in edges], dtype=np.int64)
+    x = np.ones(n, dtype=np.float64)
+    for _ in range(n_iter):
+        x = alpha * np.bincount(di, weights=x[si], minlength=n) + 1.0
+    s = x.sum()
+    out = x / s if s > 0 else x
+    return {v: float(out[i]) for v, i in idx.items()}

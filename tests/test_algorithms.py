@@ -718,3 +718,50 @@ def test_eigenvector_triangle_pendant_ordering(tmp_path):
     # λ from the symmetric pair: A·x at vertex 0 = x1 + x2 = λ·x0
     lam = (got[1] + got[2]) / got[0]
     assert got[3] == pytest.approx(got[2] / lam, abs=1e-9)
+
+
+def _katz_result(pairs, workdir, **kw) -> dict[int, float]:
+    from neo4j_webgraph_ray.pipelines.algorithms import katz
+
+    res = katz(edges_ds(pairs), workdir, alpha=0.05, max_steps=30,
+               **kw).to_pandas()
+    vals = res["val"].to_numpy()
+    s = vals.sum()
+    vals = vals / s if s > 0 else vals
+    return {int(i): float(v) for i, v in zip(res["id"].to_numpy(), vals)}
+
+
+@pytest.mark.parametrize("gname", sorted(GRAPHS))
+def test_katz_matches_oracle(gname, tmp_path):
+    from tests.oracles import katz_oracle
+
+    pairs = GRAPHS[gname]
+    got = _katz_result(pairs, str(tmp_path / "kz"), num_partitions=4)
+    oracle = katz_oracle(pairs)
+    assert set(got) == set(oracle), gname
+    for v, x in oracle.items():
+        assert abs(got[v] - x) < 1e-9, f"{gname}: {v} {got[v]} vs {x}"
+
+
+def test_katz_backends_and_partitioning_agree(tmp_path):
+    pairs = GRAPHS["g_random"]
+    a = _katz_result(pairs, str(tmp_path / "a"), num_partitions=2,
+                     backend="dataset")
+    b = _katz_result(pairs, str(tmp_path / "b"), num_partitions=7,
+                     backend="actors")
+    assert set(a) == set(b)
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-12
+
+
+def test_katz_chain_closed_form(tmp_path):
+    """On the 3-edge chain 0->1->2->3, the fixpoint is the geometric
+    walk sum: x(0)=1, x(k)=1+alpha*x(k-1) (30 affine steps converge far
+    past 1e-12 at alpha=0.05)."""
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    got = _katz_result(pairs, str(tmp_path / "chain"), num_partitions=2)
+    a = 0.05
+    raw = [1.0, 1 + a, 1 + a * (1 + a), 1 + a * (1 + a * (1 + a))]
+    s = sum(raw)
+    for v in range(4):
+        assert abs(got[v] - raw[v] / s) < 1e-9
