@@ -233,6 +233,7 @@ def run_bench() -> dict:
             "label_propagation",
             "community_graph",
             "bfs_distance",
+            "bipartite_check",
             "weighted_sssp",
             "kcore",
             "betweenness",

@@ -5209,6 +5209,121 @@ def q_bfs_distance(sf_dir: str) -> pd.DataFrame:
     return df[["vkey", "dist"]].sort_values("vkey").reset_index(drop=True)
 
 
+def _bipartite_parity(sf_dir: str):
+    """Shared pipeline of the two bipartiteness entries: rank-relabel
+    the simple undirected graph (dense vkey ranks, so component minima
+    are SQL-comparable min vkeys), run superstep CC to find each
+    component's min-rank vertex, then ONE multi-source BFS from all
+    component minima at once — side = hop parity.  Two superstep runs
+    total regardless of component count.
+
+    Returns (redges, ranks, rb, state(id=rank, dist)).  The seed fold
+    collects one row per COMPONENT on the driver (bounded by the
+    component count, not the vertex count — the same driver-residency
+    class as PPR's per-kind seed table; a 10^12-edge crawl graph has
+    few giant components, and a pathological all-isolated-pairs input
+    degrades to the vertex count only when the answer itself is that
+    large)."""
+    from neo4j_webgraph_ray.pipelines.triangles import undirected_simple
+
+    edges, vertices = graph(sf_dir)
+    cap = _scale_cap()
+    jb = int(np.clip(edges.count() // 100_000 + 4, 4, cap))
+    rb = int(np.clip(vertices.count() // 100_000 + 4, 4, cap))
+    ranks = dense_rank_vkeys(vertices, num_buckets=rb)
+    small = ranks.count() <= 500_000
+    id2rank = _collect_lookup_arrays(ranks, "id", "rank") if small else None
+    simple = undirected_simple(edges, num_buckets=16)
+    r1 = _lookup_join(
+        simple, "a", ranks, "id", "rank", "src", carry_cols=["b"],
+        num_buckets=jb, prebuilt_arrays=id2rank,
+    )
+    r2 = _lookup_join(r1, "b", ranks, "id", "rank", "dst",
+                      carry_cols=["src"], num_buckets=jb,
+                      prebuilt_arrays=id2rank)
+    redges = r2.materialize()  # prepare() consumes it more than once
+    labels = connected_components(
+        redges, _workdir(sf_dir, "bip_cc"),
+        num_partitions=_algo_parts(edges),
+        checkpoint_every=_query_checkpoint_every(),
+    )
+    seeds = np.sort(
+        labels.map_batches(
+            lambda df: df[["label"]].drop_duplicates(), batch_format="pandas"
+        ).to_pandas()["label"].unique()
+    ).astype(np.int64)
+    state = bfs_distances(
+        redges, _workdir(sf_dir, "bip_bfs"), seeds,
+        num_partitions=_algo_parts(edges), max_steps=BFS_ORACLE_CAP,
+        checkpoint_every=_query_checkpoint_every(),
+    )
+    return redges, ranks, rb, state
+
+
+def _parity_sides(state: ray.data.Dataset) -> ray.data.Dataset:
+    def par(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"rank": df["id"].to_numpy().astype(np.int64),
+             "side": df["dist"].to_numpy().astype(np.int64) % 2}
+        )
+
+    return state.map_batches(par, batch_format="pandas")
+
+
+def q_bipartite_sides(sf_dir: str) -> pd.DataFrame:
+    """Two-coloring attempt of the simple undirected transcript graph:
+    (vkey, side) with side = parity of the hop distance from the
+    vertex's component minimum (min vkey — the deterministic seed both
+    engines share).  On a bipartite component the two sides ARE the
+    bipartition; `bipartite_check` counts the same-side edges that
+    certify non-bipartiteness.  The conv→tool / role-role transcript
+    graph is bipartite-ish by construction, making this the natural
+    structural check of the reference's two-kind data model
+    (`/root/reference/README.md:60-69`)."""
+    _, ranks, rb, state = _bipartite_parity(sf_dir)
+    small = ranks.count() <= 500_000
+    rank2vkey = _collect_lookup_arrays(ranks, "rank", "vkey") if small else None
+    named = _lookup_join(
+        _parity_sides(state), "rank", ranks, "rank", "vkey", "vkey",
+        carry_cols=["side"], val_default="", num_buckets=rb,
+        prebuilt_arrays=rank2vkey,
+    ).to_pandas()
+    return (
+        named[["vkey", "side"]].sort_values("vkey").reset_index(drop=True)
+    )
+
+
+def q_bipartite_check(sf_dir: str) -> pd.DataFrame:
+    """Bipartiteness certificate over the simple undirected transcript
+    graph: one row (n_conflicts, is_bipartite) — n_conflicts = simple
+    edges whose endpoints land on the SAME parity side (each unordered
+    edge counted once), is_bipartite = 1 iff none do.  Conflict
+    counting is a per-block partial after two size-gated side
+    attachments; only one int per block reaches the driver."""
+    redges, _, _, state = _bipartite_parity(sf_dir)
+    sided = _parity_sides(state)
+    j1 = _lookup_join(
+        redges, "src", sided, "rank", "side", "side_a", carry_cols=["dst"]
+    )
+    j2 = _lookup_join(
+        j1, "dst", sided, "rank", "side", "side_b", carry_cols=["side_a"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = int((df["side_a"].to_numpy() == df["side_b"].to_numpy()).sum())
+        return pd.DataFrame({"c": pd.array([c], dtype="int64")})
+
+    n = int(
+        j2.map_batches(partial, batch_format="pandas").to_pandas()["c"].sum()
+    )
+    return pd.DataFrame(
+        {
+            "n_conflicts": pd.array([n], dtype="int64"),
+            "is_bipartite": pd.array([1 if n == 0 else 0], dtype="int64"),
+        }
+    )
+
+
 #: unrolled Bellman–Ford rounds in the SSSP oracle; the engine
 #: converges at the hop count of the longest weighted shortest path
 #: (asserted ≤ this by the parity hash itself — extra oracle rounds
@@ -6103,6 +6218,50 @@ ORDER BY vkey
 """
 )
 
+_BIPARTITE_CORE = """,
+und AS (SELECT src_kind || ':' || src_key AS s,
+               dst_kind || ':' || dst_key AS d FROM edges
+        WHERE src_kind || ':' || src_key <> dst_kind || ':' || dst_key),
+sym AS (SELECT s, d FROM und UNION SELECT d, s FROM und),
+sverts AS (SELECT DISTINCT s AS v FROM sym),
+comp(v, l) AS (
+    SELECT v, v FROM sverts
+    UNION
+    SELECT sym.d, comp.l FROM comp JOIN sym ON sym.s = comp.v
+),
+lab AS (SELECT v, min(l) AS l FROM comp GROUP BY v),
+seeds AS (SELECT DISTINCT l AS v FROM lab),
+reach(v, dist) AS (
+    SELECT v, 0 FROM seeds
+    UNION
+    SELECT sym.d, reach.dist + 1 FROM reach JOIN sym ON sym.s = reach.v
+    WHERE reach.dist < {cap}
+),
+best AS (SELECT v, min(dist) AS dist FROM reach GROUP BY v)"""
+
+BIPARTITE_SIDES_SQL = (
+    _RECURSIVE_PRELUDE
+    + _BIPARTITE_CORE.format(cap=BFS_ORACLE_CAP)
+    + """
+SELECT v AS vkey, CAST(dist % 2 AS BIGINT) AS side FROM best ORDER BY vkey
+"""
+)
+
+BIPARTITE_CHECK_SQL = (
+    _RECURSIVE_PRELUDE
+    + _BIPARTITE_CORE.format(cap=BFS_ORACLE_CAP)
+    + """,
+simp AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM und),
+conf AS (SELECT count(*) AS c FROM simp
+         JOIN best sa ON sa.v = simp.a
+         JOIN best sb ON sb.v = simp.b
+         WHERE sa.dist % 2 = sb.dist % 2)
+SELECT CAST(c AS BIGINT) AS n_conflicts,
+       CAST(CASE WHEN c = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_bipartite
+FROM conf
+"""
+)
+
 
 def _kcore_oracle_sql(
     k: int = KCORE_K, n_rounds: int = KCORE_ORACLE_ROUNDS
@@ -6497,6 +6656,8 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "community_graph": q_community_graph,
     "modularity": q_modularity,
     "bfs_distance": q_bfs_distance,
+    "bipartite_sides": q_bipartite_sides,
+    "bipartite_check": q_bipartite_check,
     "weighted_sssp": q_weighted_sssp,
     "kcore": q_kcore,
     # betweenness: per-source dependency folds are not single-statement
@@ -6541,6 +6702,8 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "component_sizes": COMPONENT_SIZES_SQL,
     "scc": SCC_ORACLE_SQL,
     "bfs_distance": BFS_ORACLE_SQL,
+    "bipartite_sides": BIPARTITE_SIDES_SQL,
+    "bipartite_check": BIPARTITE_CHECK_SQL,
     "weighted_sssp": _sssp_oracle_sql(),
     "kcore": KCORE_ORACLE_SQL,
     "triangle_count": TRIANGLE_ORACLE_SQL,

@@ -765,3 +765,37 @@ def test_katz_chain_closed_form(tmp_path):
     s = sum(raw)
     for v in range(4):
         assert abs(got[v] - raw[v] / s) < 1e-9
+
+
+def _parity_conflicts(pairs, workdir) -> int:
+    """Mirror of the q_bipartite_check composition on raw int edges:
+    CC min-label seeds -> one multi-source BFS -> count simple
+    undirected edges whose endpoints share hop parity."""
+    simple = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    eds = edges_ds(sorted(simple))
+    labels = connected_components(
+        eds, f"{workdir}/cc", num_partitions=3
+    ).to_pandas()
+    seeds = np.sort(labels["label"].unique()).astype(np.int64)
+    state = bfs_distances(
+        eds, f"{workdir}/bfs", seeds, num_partitions=3
+    ).to_pandas()
+    side = dict(zip(state["id"].astype(int), state["dist"].astype(int) % 2))
+    return sum(1 for a, b in simple if side[a] == side[b])
+
+
+def test_bipartite_parity_even_cycle(tmp_path):
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert _parity_conflicts(pairs, str(tmp_path)) == 0
+
+
+def test_bipartite_parity_odd_cycle(tmp_path):
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    assert _parity_conflicts(pairs, str(tmp_path)) == 1
+
+
+def test_bipartite_parity_two_components(tmp_path):
+    """One bipartite island (path) + one odd-cycle island: exactly the
+    odd cycle's conflict, found with a single multi-seed BFS."""
+    pairs = [(0, 1), (1, 2), (10, 11), (11, 12), (12, 10)]
+    assert _parity_conflicts(pairs, str(tmp_path)) == 1
