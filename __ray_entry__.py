@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from neo4j_webgraph_ray.queries_rel2 import REL2_QUERIES
     from neo4j_webgraph_ray.queries_rel3 import REL3_QUERIES
     from neo4j_webgraph_ray.queries_rel4 import REL4_QUERIES
+    from neo4j_webgraph_ray.queries_rel5 import REL5_QUERIES
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(RELATIONAL_QUERIES)
@@ -43,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(REL2_QUERIES)
     out.update(REL3_QUERIES)
     out.update(REL4_QUERIES)
+    out.update(REL5_QUERIES)
     return out
 
 
@@ -56,6 +58,7 @@ def oracle_sql() -> dict[str, str]:
     from neo4j_webgraph_ray.queries_rel2 import REL2_ORACLES
     from neo4j_webgraph_ray.queries_rel3 import REL3_ORACLES
     from neo4j_webgraph_ray.queries_rel4 import REL4_ORACLES
+    from neo4j_webgraph_ray.queries_rel5 import REL5_ORACLES
 
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
@@ -64,4 +67,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(REL2_ORACLES)
     out.update(REL3_ORACLES)
     out.update(REL4_ORACLES)
+    out.update(REL5_ORACLES)
     return out

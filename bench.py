@@ -300,6 +300,12 @@ def run_bench() -> dict:
             "nation_market_share",
             "margin_by_nation_year",
             "supplier_count_by_part",
+            # warehouse-shape panel 5 (queries_rel5)
+            "preferred_supplier_per_part",
+            "important_parts",
+            "top_revenue_supplier",
+            "dominant_suppliers",
+            "waiting_orders_suppliers",
             # LLM-training-data family over the documents/embeddings tables
             "top_tokens",
             "top_docs_per_lang",
