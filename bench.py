@@ -234,6 +234,7 @@ def run_bench() -> dict:
             "community_graph",
             "bfs_distance",
             "bipartite_check",
+            "min_spanning_forest",
             "weighted_sssp",
             "kcore",
             "betweenness",

@@ -5324,6 +5324,174 @@ def q_bipartite_check(sf_dir: str) -> pd.DataFrame:
     )
 
 
+#: Borůvka round budget shared by the engine loop and the unrolled SQL
+#: oracle: components at least halve per round, so 12 covers 2^12
+#: vertices per component — far beyond the correctness-scale graphs
+#: (the engine raises if an input ever needs more; extra SQL rounds are
+#: fixpoint no-ops)
+MSF_ORACLE_ROUNDS = 12
+
+
+def q_min_spanning_forest(sf_dir: str) -> pd.DataFrame:
+    """Minimum spanning forest of the weighted transcript graph
+    (weights = PRE-dedup edge multiplicities summed over both
+    directions — the same multiset ``weighted_pagerank``/``weighted_sssp``
+    use), as (vkey_a, vkey_b, weight) rows with vkey_a < vkey_b.
+
+    Runs distributed Borůvka (:mod:`neo4j_webgraph_ray.pipelines.msf`)
+    in dense-rank space so the ``(w, a, b)`` tie-break order equals the
+    oracle's ``(w, vkey_a, vkey_b)`` string order — with ties perturbed
+    into a total order the forest is UNIQUE, which is what makes an
+    edge-for-edge SQL comparison meaningful.  Each round: O(E) relabel
+    joins, one algebraic argmin shuffle, and a superstep CC contraction
+    of a merge graph that at least halves every round."""
+    from neo4j_webgraph_ray.pipelines.msf import minimum_spanning_forest
+
+    edges, vertices = graph(sf_dir)
+    cap = _scale_cap()
+    rb = int(np.clip(vertices.count() // 100_000 + 4, 4, cap))
+    ranks = dense_rank_vkeys(vertices, num_buckets=rb)
+    small = ranks.count() <= 500_000
+    id2rank = _collect_lookup_arrays(ranks, "id", "rank") if small else None
+    w = _weighted_edges(sf_dir)
+    j1 = _lookup_join(
+        w, "src", ranks, "id", "rank", out_col="ra",
+        carry_cols=["dst", "weight"], num_buckets=rb,
+        prebuilt_arrays=id2rank,
+    )
+    j2 = _lookup_join(
+        j1, "dst", ranks, "id", "rank", out_col="rb",
+        carry_cols=["ra", "weight"], num_buckets=rb,
+        prebuilt_arrays=id2rank,
+    )
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        ra = df["ra"].to_numpy(np.int64)
+        rbv = df["rb"].to_numpy(np.int64)
+        m = ra != rbv
+        return pd.DataFrame(
+            {
+                "a": np.minimum(ra[m], rbv[m]),
+                "b": np.maximum(ra[m], rbv[m]),
+                # multiplicity counts: float64-exact far past any corpus
+                "w": np.rint(df["weight"].to_numpy()[m]).astype(np.int64),
+            }
+        )
+
+    base = bucketed_groupby(
+        j2.map_batches(canon, batch_format="pandas"),
+        ["a", "b"],
+        lambda df: df.groupby(["a", "b"], as_index=False, sort=False)["w"].sum(),
+        num_buckets=rb,
+    )
+    verts = ranks.map_batches(
+        lambda df: pd.DataFrame({"v": df["rank"].to_numpy(np.int64)}),
+        batch_format="pandas",
+    )
+    forest = minimum_spanning_forest(
+        base, verts, _workdir(sf_dir, "msf"),
+        num_partitions=_algo_parts(edges), max_rounds=MSF_ORACLE_ROUNDS,
+        num_buckets=rb, checkpoint_every=_query_checkpoint_every(),
+    )
+    rank2vkey = _collect_lookup_arrays(ranks, "rank", "vkey") if small else None
+    n1 = _lookup_join(
+        forest, "a", ranks, "rank", "vkey", out_col="vkey_a",
+        carry_cols=["b", "w"], val_default="", num_buckets=rb,
+        prebuilt_arrays=rank2vkey,
+    )
+    n2 = _lookup_join(
+        n1, "b", ranks, "rank", "vkey", out_col="vkey_b",
+        carry_cols=["vkey_a", "w"], val_default="", num_buckets=rb,
+        prebuilt_arrays=rank2vkey,
+    ).to_pandas()
+    if not len(n2):
+        return pd.DataFrame(
+            {"vkey_a": pd.array([], dtype=object),
+             "vkey_b": pd.array([], dtype=object),
+             "weight": pd.array([], dtype="int64")}
+        )
+    return (
+        pd.DataFrame(
+            {
+                "vkey_a": n2["vkey_a"].to_numpy(),
+                "vkey_b": n2["vkey_b"].to_numpy(),
+                "weight": n2["w"].to_numpy(np.int64),
+            }
+        )
+        .sort_values(["vkey_a", "vkey_b"])
+        .reset_index(drop=True)
+    )
+
+
+def _msf_oracle_sql(rounds: int = MSF_ORACLE_ROUNDS) -> str:
+    """Borůvka unrolled as chained MATERIALIZED CTEs over the canonical
+    weighted simple undirected graph (weights = edges_raw multiplicities
+    summed over both directions, matching :func:`_weighted_edges`): per
+    round, a per-component window argmin under (w, a, b), then a
+    recursive min-label closure over the selected merge graph to
+    contract.  Rounds past convergence are fixpoint no-ops (empty
+    selections), mirroring the engine's early exit."""
+    parts = [
+        "w0 AS MATERIALIZED (SELECT src_kind || ':' || src_key AS s, "
+        "dst_kind || ':' || dst_key AS d, count(*) AS w "
+        "FROM edges_raw GROUP BY 1, 2)",
+        "base AS MATERIALIZED (SELECT least(s, d) AS a, greatest(s, d) AS b, "
+        "SUM(w) AS w FROM w0 WHERE s <> d GROUP BY 1, 2)",
+        "lab0 AS MATERIALIZED (SELECT v, v AS l FROM "
+        "(SELECT DISTINCT a AS v FROM base UNION SELECT b FROM base))",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"er{r} AS MATERIALIZED (SELECT la.l AS ca, lb.l AS cb, "
+            f"e.w, e.a, e.b FROM base e "
+            f"JOIN lab{r} la ON la.v = e.a JOIN lab{r} lb ON lb.v = e.b "
+            f"WHERE la.l <> lb.l)"
+        )
+        parts.append(
+            f"cand{r} AS (SELECT ca AS c, w, a, b, ca, cb FROM er{r} "
+            f"UNION ALL SELECT cb AS c, w, a, b, ca, cb FROM er{r})"
+        )
+        parts.append(
+            f"sel{r} AS MATERIALIZED (SELECT DISTINCT w, a, b, ca, cb FROM ("
+            f"SELECT c, w, a, b, ca, cb, row_number() OVER ("
+            f"PARTITION BY c ORDER BY w, a, b) AS rn FROM cand{r}) "
+            f"WHERE rn = 1)"
+        )
+        parts.append(
+            f"symc{r} AS MATERIALIZED (SELECT ca AS x, cb AS y FROM sel{r} "
+            f"UNION SELECT cb, ca FROM sel{r})"
+        )
+        parts.append(
+            f"cn{r} AS MATERIALIZED (SELECT DISTINCT x AS c FROM symc{r})"
+        )
+        parts.append(
+            f"cl{r}(c, l) AS (SELECT c, c FROM cn{r} "
+            f"UNION SELECT s.y, cl{r}.l FROM cl{r} "
+            f"JOIN symc{r} s ON s.x = cl{r}.c)"
+        )
+        parts.append(
+            f"nl{r} AS MATERIALIZED (SELECT c, min(l) AS l FROM cl{r} "
+            f"GROUP BY c)"
+        )
+        parts.append(
+            f"lab{r + 1} AS MATERIALIZED (SELECT t.v, coalesce(n.l, t.l) AS l "
+            f"FROM lab{r} t LEFT JOIN nl{r} n ON n.c = t.l)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT a, b, w FROM sel{r}" for r in range(rounds)
+    )
+    return (
+        _RECURSIVE_PRELUDE
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT a AS vkey_a, b AS vkey_b, CAST(w AS BIGINT) AS weight
+FROM ({union})
+ORDER BY vkey_a, vkey_b
+"""
+    )
+
+
 #: unrolled Bellman–Ford rounds in the SSSP oracle; the engine
 #: converges at the hop count of the longest weighted shortest path
 #: (asserted ≤ this by the parity hash itself — extra oracle rounds
@@ -6658,6 +6826,7 @@ GRAPH_ANALYTICS_QUERIES: dict[str, Callable[[str], object]] = {
     "bfs_distance": q_bfs_distance,
     "bipartite_sides": q_bipartite_sides,
     "bipartite_check": q_bipartite_check,
+    "min_spanning_forest": q_min_spanning_forest,
     "weighted_sssp": q_weighted_sssp,
     "kcore": q_kcore,
     # betweenness: per-source dependency folds are not single-statement
@@ -6704,6 +6873,7 @@ GRAPH_ANALYTICS_ORACLES: dict[str, str] = {
     "bfs_distance": BFS_ORACLE_SQL,
     "bipartite_sides": BIPARTITE_SIDES_SQL,
     "bipartite_check": BIPARTITE_CHECK_SQL,
+    "min_spanning_forest": _msf_oracle_sql(),
     "weighted_sssp": _sssp_oracle_sql(),
     "kcore": KCORE_ORACLE_SQL,
     "triangle_count": TRIANGLE_ORACLE_SQL,
