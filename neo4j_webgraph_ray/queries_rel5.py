@@ -426,16 +426,22 @@ def q_dominant_suppliers(sf_dir: str) -> pd.DataFrame:
     )
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # a bucket where the verdict filtered every row
+            return pd.DataFrame({"sk": pd.array([], dtype="int64"),
+                                 "n_parts": pd.array([], dtype="int64")})
         sk, n = _sum_by_key(
             df["sk"].to_numpy(np.int64), np.ones(len(df), np.int64)
         )
         return pd.DataFrame({"sk": sk, "n_parts": n})
 
-    agg = (
-        dominant.map_batches(counts, batch_format="pandas")
-        .to_pandas()
-        .groupby("sk", as_index=False, sort=True)["n_parts"].sum()
-    )
+    partials = dominant.map_batches(counts, batch_format="pandas").to_pandas()
+    if not len(partials):  # zero qualifying rows arrive schema-less
+        return pd.DataFrame(
+            {"s_suppkey": pd.array([], dtype="int64"),
+             "s_name": pd.array([], dtype=object),
+             "n_parts": pd.array([], dtype="int64")}
+        )
+    agg = partials.groupby("sk", as_index=False, sort=True)["n_parts"].sum()
     named = _lookup_join(
         ray.data.from_pandas(agg),
         "sk", _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
@@ -557,16 +563,22 @@ def q_waiting_orders_suppliers(sf_dir: str) -> pd.DataFrame:
     sole_late = bucketed_groupby(pair_late, ["ok"], verdict, local_combine=False)
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # a bucket where the verdict filtered every row
+            return pd.DataFrame({"sk": pd.array([], dtype="int64"),
+                                 "numwait": pd.array([], dtype="int64")})
         sk, n = _sum_by_key(
             df["sk"].to_numpy(np.int64), np.ones(len(df), np.int64)
         )
         return pd.DataFrame({"sk": sk, "numwait": n})
 
-    agg = (
-        sole_late.map_batches(counts, batch_format="pandas")
-        .to_pandas()
-        .groupby("sk", as_index=False, sort=True)["numwait"].sum()
-    )
+    partials = sole_late.map_batches(counts, batch_format="pandas").to_pandas()
+    if not len(partials):  # zero qualifying rows arrive schema-less
+        return pd.DataFrame(
+            {"s_suppkey": pd.array([], dtype="int64"),
+             "s_name": pd.array([], dtype=object),
+             "numwait": pd.array([], dtype="int64")}
+        )
+    agg = partials.groupby("sk", as_index=False, sort=True)["numwait"].sum()
     named = _lookup_join(
         ray.data.from_pandas(agg),
         "sk", _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),

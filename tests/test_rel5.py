@@ -208,3 +208,24 @@ def test_waiting_orders_90_day_boundary(tmp_path, ray_session):
     assert out.to_dict("records") == [
         {"s_suppkey": 1, "s_name": "s1", "numwait": 1}
     ]
+
+
+def test_dominant_and_waiting_empty_results(tmp_path, ray_session):
+    """Zero qualifying rows must return typed empty frames (a corpus
+    with no dominant shares / no waiting orders is legal input)."""
+    _supplier(tmp_path, [(1, "s1", 0.0, 0), (2, "s2", 0.0, 0)])
+    _write(tmp_path, "part",
+           {"p_partkey": pa.array([1], pa.int64()),
+            "p_name": pa.array(["red bolt"])})  # suffix gate drops all
+    _write(tmp_path, "orders",
+           {"o_orderkey": pa.array([1], pa.int64()),
+            "o_orderdate": _ts(["1997-01-01"]),
+            "o_orderstatus": pa.array(["F"])})
+    _lineitem(tmp_path, [
+        (1, 1, 1, 10, 1.0, 0.0, "1997-01-02"),
+        (1, 1, 2, 10, 1.0, 0.0, "1997-01-03"),
+    ])
+    d = q_dominant_suppliers(str(tmp_path))
+    assert len(d) == 0 and list(d.columns) == ["s_suppkey", "s_name", "n_parts"]
+    w = q_waiting_orders_suppliers(str(tmp_path))
+    assert len(w) == 0 and list(w.columns) == ["s_suppkey", "s_name", "numwait"]
