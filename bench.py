@@ -307,6 +307,7 @@ def run_bench() -> dict:
             "top_revenue_supplier",
             "dominant_suppliers",
             "waiting_orders_suppliers",
+            "events_cube",
             # LLM-training-data family over the documents/embeddings tables
             "top_tokens",
             "top_docs_per_lang",

@@ -617,12 +617,82 @@ ORDER BY numwait DESC, s_suppkey
 """
 
 
+
+
+# ---------------------------------------------------------------- CUBE
+
+
+def q_events_cube(sf_dir: str) -> pd.DataFrame:
+    """Full CUBE over (event_type, day-of-week): all four grouping sets
+    — (type, dow), (type), (dow), () — with event count and exact-cent
+    value sum; rolled-up dimensions report the 'ALL' / -1 sentinels
+    (the GROUPING() convention, shared with the oracle).  Completes the
+    OLAP family next to ``events_rollup``'s ROLLUP walk.
+
+    Scale shape: ONE streaming pass folds to per-batch partials at the
+    finest grain (≤ #types × 7 rows per block); every coarser grouping
+    set is FOLDED from the finest aggregate on the driver (sums are
+    algebraic; the finest table is bounded by the dimension product,
+    never the corpus)."""
+    from neo4j_webgraph_ray.queries import _DAY_US
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        dow = ((t // _DAY_US) + 4) % 7  # SQL dayofweek: Sunday = 0
+        g = pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(),
+             "dow": dow.astype(np.int64),
+             "v": _cents(df["value"].to_numpy()),
+             "n": np.int64(1)}
+        )
+        return g.groupby(["event_type", "dow"], as_index=False, sort=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    fine = parts.groupby(["event_type", "dow"], as_index=False, sort=True).sum()
+    by_type = fine.groupby("event_type", as_index=False, sort=True)[["v", "n"]].sum()
+    by_type["dow"] = np.int64(-1)
+    by_dow = fine.groupby("dow", as_index=False, sort=True)[["v", "n"]].sum()
+    by_dow["event_type"] = "ALL"
+    total = pd.DataFrame(
+        [{"event_type": "ALL", "dow": np.int64(-1),
+          "v": fine["v"].sum(), "n": fine["n"].sum()}]
+    )
+    out = pd.concat(
+        [fine, by_type, by_dow, total], ignore_index=True
+    )[["event_type", "dow", "v", "n"]]
+    return pd.DataFrame(
+        {
+            "event_type": out["event_type"].to_numpy(),
+            "dow": out["dow"].to_numpy(np.int64),
+            "n_events": out["n"].to_numpy(np.int64),
+            "total_value": out["v"].to_numpy(np.int64) / 100.0,
+        }
+    ).sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+EVENTS_CUBE_SQL = """
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END
+         AS event_type,
+       CAST(CASE WHEN GROUPING(dow) = 1 THEN -1 ELSE dow END AS BIGINT)
+         AS dow,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM (SELECT event_type, dayofweek(ts) AS dow, value FROM events)
+GROUP BY CUBE(event_type, dow)
+ORDER BY event_type, dow
+"""
+
+
 REL5_QUERIES: dict[str, Callable[[str], object]] = {
     "preferred_supplier_per_part": q_preferred_supplier_per_part,
     "important_parts": q_important_parts,
     "top_revenue_supplier": q_top_revenue_supplier,
     "dominant_suppliers": q_dominant_suppliers,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
+    "events_cube": q_events_cube,
 }
 
 REL5_ORACLES: dict[str, str] = {
@@ -631,4 +701,5 @@ REL5_ORACLES: dict[str, str] = {
     "top_revenue_supplier": TOP_REVENUE_SUPPLIER_SQL,
     "dominant_suppliers": DOMINANT_SUPPLIERS_SQL,
     "waiting_orders_suppliers": WAITING_ORDERS_SQL,
+    "events_cube": EVENTS_CUBE_SQL,
 }
