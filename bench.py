@@ -329,6 +329,7 @@ def run_bench() -> dict:
             "bottomk_sample",
             "value_quantile_sketch",
             "value_exact_quantiles",
+            "value_cont_quantiles",
             "winsorized_value_stats",
             "weighted_sample",
             "benchmark_contamination",

@@ -2309,6 +2309,56 @@ VALUE_EXACT_QUANTILES_SQL = (
 )
 
 
+def q_value_cont_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT interpolated (``quantile_cont``) global quantiles of
+    ``events.value`` — the PERCENTILE_CONT semantics next to
+    `q_value_exact_quantiles`'s discrete element rule.
+
+    Each quantile needs the two neighboring order statistics at
+    0-based ranks ``floor((n-1)p)`` and ``+1``; both come from ONE run
+    of the rank-general histogram-refinement core
+    (:func:`~neo4j_webgraph_ray.stages.selection.exact_order_stats` —
+    all 2×|ps| ranks narrow simultaneously, no sort, no driver
+    materialization), then the lerp ``v_lo + ((n-1)p - lo) ·
+    (v_hi - v_lo)`` reproduces DuckDB's double arithmetic bit for bit
+    (pinned empirically in the docstring test of the fold)."""
+    from neo4j_webgraph_ray.stages.selection import exact_order_stats
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+
+    def ranks(n: int) -> list[int]:
+        ks = []
+        for p in QSKETCH_PS:
+            lo = int(np.floor((n - 1) * p))
+            ks.extend([lo + 1, min(lo + 2, n)])  # 1-based neighbors
+        return ks
+
+    res, n = exact_order_stats(ds, "value", ranks)
+    out: dict[str, np.ndarray] = {"n": np.array([n], np.int64)}
+    for i, p in enumerate(QSKETCH_PS):
+        if n == 0:
+            v = float("nan")
+        else:
+            h = (n - 1) * p
+            lo = int(np.floor(h))
+            vlo, vhi = res[2 * i], res[2 * i + 1]
+            v = vlo + (h - lo) * (vhi - vlo)
+        out[f"p{int(p * 100):02d}"] = np.array([v], np.float64)
+    return pd.DataFrame(out)
+
+
+VALUE_CONT_QUANTILES_SQL = (
+    "SELECT CAST(count(value) AS BIGINT) AS n, "
+    + ", ".join(
+        f"quantile_cont(value, {p}) AS p{int(p * 100):02d}"
+        for p in QSKETCH_PS
+    )
+    + " FROM events"
+)
+
+
 #: winsorization bounds: corpus-wide exact quantiles
 WINSOR_PS = (0.01, 0.99)
 
@@ -6943,6 +6993,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[str], object]] = {
     "bottomk_sample": q_bottomk_sample,
     "value_quantile_sketch": q_value_quantile_sketch,
     "value_exact_quantiles": q_value_exact_quantiles,
+    "value_cont_quantiles": q_value_cont_quantiles,
     "winsorized_value_stats": q_winsorized_value_stats,
     "weighted_sample": q_weighted_sample,
     "user_hours_click_and_purchase": q_user_hours_click_and_purchase,
@@ -6998,6 +7049,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "bottomk_sample": _bottomk_sample_sql(),
     "value_quantile_sketch": _value_quantile_sketch_sql(),
     "value_exact_quantiles": VALUE_EXACT_QUANTILES_SQL,
+    "value_cont_quantiles": VALUE_CONT_QUANTILES_SQL,
     "winsorized_value_stats": WINSORIZED_VALUE_STATS_SQL,
     "weighted_sample": _weighted_sample_sql(),
     "user_hours_click_and_purchase": USERS_INTERSECT_SQL,

@@ -79,6 +79,33 @@ def exact_quantiles(
     All quantiles narrow simultaneously — each refinement pass costs
     ONE scan regardless of ``len(ps)``.
     """
+    vals_list, n = exact_order_stats(
+        ds, col,
+        lambda n: [min(n, max(1, int(np.ceil(p * n)))) for p in ps],
+        num_buckets=num_buckets, collect_limit=collect_limit,
+        max_passes=max_passes,
+    )
+    if n == 0:
+        return {p: float("nan") for p in ps}, 0
+    return {p: vals_list[i] for i, p in enumerate(ps)}, n
+
+
+def exact_order_stats(
+    ds: ray.data.Dataset,
+    col: str,
+    ranks_for,
+    num_buckets: int = HIST_BUCKETS,
+    collect_limit: int = COLLECT_LIMIT,
+    max_passes: int = MAX_PASSES,
+) -> tuple[list[float], int]:
+    """Exact order statistics of ``ds[col]`` at caller-chosen 1-based
+    ranks: ``ranks_for(n_nonnull) -> list[int]`` is called once the
+    count is known (ranks clipped into [1, n]).  Returns
+    ``(values_in_rank_arg_order, n_nonnull)`` — the rank-general core
+    the ``quantile_disc`` wrapper and the interpolated
+    ``quantile_cont`` entry both ride; same iterative histogram
+    refinement, all ranks narrowing simultaneously (one scan per pass
+    regardless of how many ranks)."""
     from neo4j_webgraph_ray.stages.core import bucketed_groupby
 
     # pin: every pass re-scans this column; prune + materialize once so
@@ -104,19 +131,19 @@ def exact_quantiles(
     ).to_pandas()
     n = int(parts["n"].sum()) if len(parts) else 0
     if n == 0:
-        return {p: float("nan") for p in ps}, 0
+        return [], 0
+    ks = [min(n, max(1, int(k))) for k in ranks_for(n)]
     glo = float(parts["lo"].min())
     ghi = float(parts["hi"].max())
 
-    # state per quantile: window [lo, hi], hi_closed (window top
-    # inclusive?), global target rank k (1-based, ceil(p*n)), and —
-    # once the window population fits collect_limit — rank_in, the
-    # rank of the answer within the collected window
+    # state per rank: window [lo, hi], hi_closed (window top
+    # inclusive?), global target rank k (1-based), and — once the
+    # window population fits collect_limit — rank_in, the rank of the
+    # answer within the collected window
     state = [
         {"lo": glo, "hi": ghi, "hi_closed": True, "done": False,
-         "k": min(n, max(1, int(np.ceil(p * n)))),
-         "val": None, "rank_in": None, "collect": False}
-        for p in ps
+         "k": k, "val": None, "rank_in": None, "collect": False}
+        for k in ks
     ]
 
     for _pass in range(max_passes):
@@ -233,4 +260,4 @@ def exact_quantiles(
             s["val"] = float(w[s["rank_in"] - 1])
             s["done"] = True
 
-    return {p: state[i]["val"] for i, p in enumerate(ps)}, n
+    return [s_["val"] for s_ in state], n

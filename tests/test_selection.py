@@ -113,3 +113,41 @@ def test_exact_quantiles_extreme_ranks(p):
         ds, "value", (p,), num_buckets=8, collect_limit=16, max_passes=40
     )
     assert got[p] == _np_disc(v, p)
+
+
+def test_exact_order_stats_matches_numpy_linear_lerp():
+    """The rank-general core + the quantile_cont lerp reproduce
+    np.quantile(method='linear') exactly on tie-heavy 2-dp data — the
+    same formula DuckDB's quantile_cont uses (pinned in the query
+    docstring)."""
+    from neo4j_webgraph_ray.stages.selection import exact_order_stats
+
+    rng = np.random.default_rng(23)
+    v = np.round(rng.exponential(20.0, size=2345), 2)  # heavy 2-dp ties
+    ds = ray.data.from_pandas(pd.DataFrame({"value": v})).repartition(7)
+    ps = (0.1, 0.25, 0.5, 0.75, 0.9, 0.0, 1.0)
+
+    def ranks(n):
+        ks = []
+        for p in ps:
+            lo = int(np.floor((n - 1) * p))
+            ks.extend([lo + 1, min(lo + 2, n)])
+        return ks
+
+    res, n = exact_order_stats(
+        ds, "value", ranks, num_buckets=16, collect_limit=32, max_passes=40
+    )
+    assert n == len(v)
+    for i, p in enumerate(ps):
+        h = (n - 1) * p
+        lo = int(np.floor(h))
+        got = res[2 * i] + (h - lo) * (res[2 * i + 1] - res[2 * i])
+        assert got == np.quantile(v, p, method="linear"), p
+
+
+def test_exact_order_stats_empty():
+    from neo4j_webgraph_ray.stages.selection import exact_order_stats
+
+    ds = ray.data.from_pandas(pd.DataFrame({"value": np.array([], np.float64)}))
+    res, n = exact_order_stats(ds, "value", lambda n: [1])
+    assert res == [] and n == 0
